@@ -1,0 +1,239 @@
+"""Core relational queries: the flagship market-candle query plus
+TPC-H-style aggregation/join workloads that exercise the engine's
+scan -> filter -> join -> aggregate spine at scale.
+
+The flagship re-expresses the reference's core analytical object — a
+15-minute prediction-market window over a price stream (SURVEY §2 T1/F10,
+market cadence at reference producers/market_discovery.py:114-137) — as a
+declarative event-time window aggregation: per (event_type, 15-min window),
+OHLC of ``value`` plus direction, which is exactly the "Up or Down per
+15-minute market" question the reference pipeline exists to answer
+(reference producers/market_resolution.py:84-90 decodes the same).
+
+Scale notes: the candle query is one shuffle (partial aggregation map-side,
+AQE-coalesced); the TPC-H joins broadcast every dimension side (region,
+nation, customer at sf<=1 scale; at 100 TB the orders/lineitem join is the
+only sort-merge and is co-partitioned on the join key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Flagship: 15-minute market candles over the events stream table
+# ---------------------------------------------------------------------------
+
+_CANDLES_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
+         ts, event_id, value
+  FROM events
+), w AS (
+  SELECT event_type, window_start, value,
+         first_value(value) OVER (
+           PARTITION BY event_type, window_start ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_w,
+         last_value(value) OVER (
+           PARTITION BY event_type, window_start ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_w
+  FROM b
+)
+SELECT event_type, window_start,
+       any_value(open_w)  AS open,
+       max(value)         AS high,
+       min(value)         AS low,
+       any_value(close_w) AS close,
+       count(*)           AS n_events,
+       (any_value(close_w) > any_value(open_w)) AS is_up
+FROM w
+GROUP BY event_type, window_start
+"""
+
+
+@register("market_candles_15m", oracle=_CANDLES_ORACLE)
+def market_candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per (event_type, 15-min tumbling window) OHLC + direction.
+
+    Re-expresses the reference's 15-minute market windows
+    (producers/market_discovery.py:114-137) and Up/Down resolution decode
+    (producers/market_resolution.py:84-90) as one event-time window agg.
+    ``min_by``/``max_by`` on (ts, event_id) give deterministic open/close.
+    """
+    events = load(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(
+            F.col("event_type"),
+            F.window("ts", "15 minutes").start.alias("window_start"),
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("is_up", F.col("close") > F.col("open"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style workloads (scan/filter/join/agg spine)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_Q1_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: 1 scan, map-side partial agg, 1 shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority_top10", oracle=_Q3_ORACLE)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> top-K.
+
+    customer (filtered) is broadcast; orders/lineitem join shuffles on the
+    order key. The LIMIT uses an l_orderkey tiebreak so the top-10 set is
+    deterministic across engines.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue_raw = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_raw.alias("_revenue_raw"))
+        .orderBy(F.desc("_revenue_raw"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_revenue_raw"), 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("regional_revenue", oracle=_Q5_ORACLE)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join; all dimension sides broadcast."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_ORDER_PRIO_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_check", oracle=_ORDER_PRIO_ORACLE)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS -> left-semi join + count per priority."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

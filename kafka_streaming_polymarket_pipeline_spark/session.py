@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed (one JVM, N threads); the config choices are the
+ones that transfer to a 1000-executor cluster: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), shuffle partitions sized to the
+parallelism at hand rather than the 200 default, UTC session time so
+event-time semantics are reproducible, and Arrow enabled so any
+Pandas-UDF path is batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka_streaming_polymarket_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-sane defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable knobs to an externally provided session.
+
+    The correctness driver hands us its own SparkSession; static configs
+    (driver memory) are fixed by then, but SQL conf is not. Pin UTC so
+    timestamp comparisons against the (UTC-naive) DuckDB oracle hold.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # conf may be static in some deployments; AQE is an optimization only
+    return spark

@@ -1,1 +1,761 @@
-"""Placeholder — populated in a later milestone."""
+"""SURVEY.md §2 operator inventory, re-expressed over the testdata tables.
+
+Each query is named after the operator ID(s) it covers (P=projection/filter,
+J=join, A=aggregation, O=order/limit, F=scalar function, U=set op) and cites
+the reference behavior it mirrors. The reference performs these operators
+row-at-a-time in Python (producers/*.py); here every one is a declarative
+DataFrame plan that Catalyst can push down / broadcast / codegen.
+
+Operators covered elsewhere:
+- A7 (1s latest-wins downsample) streaming form -> streaming/downsample.py
+- A11 (running message counter) is operational telemetry -> observe()/listeners,
+  not a relational result; intentionally no query entry.
+- S1-S9 sources/sinks -> sources/ + streaming/ modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# P-series: projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_substring_filter",
+    oracle="""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE contains(lower(text), 'merge') OR contains(lower(text), 'stream')
+""",
+)
+def p1_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F1/F2: lowercase substring containment filter.
+
+    Mirrors the reference's BTC-market keyword filter
+    (producers/market_discovery.py:35-48: keep markets whose lowercased
+    question contains 'bitcoin' or 'btc').
+    """
+    docs = load(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    return docs.filter(text.contains("merge") | text.contains("stream")).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "p2_window_containment",
+    oracle="""
+SELECT event_id, ts, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+  AND ts <  TIMESTAMP '2024-01-15 12:00:00' + INTERVAL 15 MINUTE
+""",
+)
+def p2_window_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F9: time-window containment predicate (start <= t < start + 15 min).
+
+    Mirrors the current-market window check (producers/market_discovery.py:50-73,
+    end = start + 15 min at :66).
+    """
+    events = load(spark, sf_dir, "events")
+    start = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    return events.filter(
+        (F.col("ts") >= start) & (F.col("ts") < start + F.expr("INTERVAL 15 MINUTES"))
+    ).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "p4_type_filter",
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def p4_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: discriminator equality filter (reference: keep only type=='ticker'
+    frames, producers/coinbase_producer.py:35). Pushed down to the parquet scan."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "p5_event_dispatch",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_type = 'click'    THEN 'book'
+            WHEN event_type = 'view'     THEN 'price_change'
+            WHEN event_type = 'purchase' THEN 'trade'
+            ELSE 'unknown' END AS routed_type,
+       value
+FROM events
+""",
+)
+def p5_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: multiplexed-stream router (reference: dispatch on event_type in
+    {book, price_change, last_trade_price, else},
+    producers/polymarket_ws_manager.py:48-162). One select with
+    when/otherwise instead of four imperative branches; the 'unknown'
+    passthrough is the otherwise arm (:151-162)."""
+    events = load(spark, sf_dir, "events")
+    routed = (
+        F.when(F.col("event_type") == "click", "book")
+        .when(F.col("event_type") == "view", "price_change")
+        .when(F.col("event_type") == "purchase", "trade")
+        .otherwise("unknown")
+    )
+    return events.select("event_id", routed.alias("routed_type"), "value")
+
+
+@register(
+    "p6_explode_filter",
+    oracle="""
+SELECT doc_id, count(*) AS n_merge_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token = 'merge'
+GROUP BY doc_id
+""",
+)
+def p6_explode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: explode an array column then filter elements (reference: explode
+    price_changes array, keep side=='BUY',
+    producers/polymarket_ws_manager.py:114-117)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") == "merge")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_merge_tokens"))
+    )
+
+
+@register(
+    "p7_positive_filter",
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE value > 100.0
+""",
+)
+def p7_positive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: threshold filter (reference: skip balance <= 0 positions,
+    producers/user_positions_tracker.py:81-85)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > 100.0)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "p8_null_empty_guards",
+    oracle="""
+SELECT doc_id, n_chars
+FROM documents
+WHERE text IS NOT NULL
+  AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 40
+""",
+)
+def p8_null_empty_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: null/empty guards (reference: skip markets without eventStartTime,
+    require non-empty bids and asks — producers/market_discovery.py:57-59,
+    producers/polymarket_ws_manager.py:55-60). Guard = not-null + size()>=N
+    on the tokenized array."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.filter(F.col("text").isNotNull() & (F.size(tokens) >= 40)).select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
+    "p9_resolution_predicate",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+""",
+)
+def p9_resolution_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: conjunctive predicate (reference: resolved iff closed AND
+    umaResolutionStatus == 'resolved', producers/market_resolution.py:41)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000.0))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-series: joins / enrichment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_dim_broadcast_join",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def j1_dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact-stream x tiny-dimension equi-join, broadcast-hash.
+
+    Mirrors the token->outcome dict probe (built per market at
+    producers/polymarket_ws_manager.py:279-282, probed at :61,117,135);
+    misses drop = inner-join semantics. The dimension side is broadcast —
+    at 100 TB the fact side never shuffles for this join.
+    """
+    events = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        events.join(F.broadcast(cust), events.user_id == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "j2_interval_join",
+    oracle="""
+WITH windows AS (
+  SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end
+  FROM generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                       TIMESTAMP '2024-01-05 23:00:00',
+                       INTERVAL 1 HOUR) t(ws)
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM windows JOIN events ON ts >= window_start AND ts < window_end
+GROUP BY window_start
+""",
+)
+def j2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: interval/as-of correlation — stamp each event with the window
+    containing it (reference: current_market_id stamped by wall-clock
+    containment, producers/polymarket_ws_manager.py:263-284,92).
+
+    The window dimension is tiny -> broadcast nested-loop on the range
+    predicate; the fact side streams through without a shuffle. (At scale,
+    if the window table were large, bucketize ts to an equi-key first.)
+    """
+    events = load(spark, sf_dir, "events")
+    base = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    windows = spark.range(24).select(
+        F.timestamp_seconds(F.unix_timestamp(base) + F.col("id") * 3600).alias("window_start"),
+        F.timestamp_seconds(F.unix_timestamp(base) + (F.col("id") + 1) * 3600).alias("window_end"),
+    )
+    return (
+        events.join(
+            F.broadcast(windows),
+            (events.ts >= windows.window_start) & (events.ts < windows.window_end),
+        )
+        .groupBy("window_start")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "j3_left_label_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       coalesce(n_orders, 0) AS n_orders,
+       round(coalesce(total_spend, 0.0), 2) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spend
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+""",
+)
+def j3_left_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer label join with null back-fill (reference plan: join
+    resolutions back onto features as the winner label, README.md:225-229;
+    unresolved markets keep null -> coalesce default)."""
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"), F.sum("o_totalprice").alias("_spend"))
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce(F.col("_spend"), F.lit(0.0)), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "j4_lag_deltas",
+    oracle="""
+SELECT event_id, user_id, value,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+FROM events
+""",
+)
+def j4_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: snapshot-over-snapshot delta as a lag window, not a self-join
+    (reference plan: whale position changes between 10s snapshots,
+    README.md:228; key at producers/user_positions_tracker.py:94)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "j5_latest_scalar",
+    oracle="""
+SELECT event_id, ts, event_type, value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 1
+""",
+)
+def j5_latest_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/O2: latest-row scalar lookup (reference: SELECT payload->>... ORDER BY
+    ingested_at DESC LIMIT 1, producers/user_positions_tracker.py:171-180).
+    event_id tiebreak keeps it deterministic."""
+    return (
+        load(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-series: aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_array_sum",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST((SELECT sum(len(t.token)) FROM unnest(string_split(text, ' ')) t(token)) AS BIGINT)
+         AS total_token_chars
+FROM documents
+""",
+)
+def a1_array_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: fold over an array column without exploding (reference:
+    total_bid_volume = sum of sizes over book levels,
+    producers/polymarket_ws_manager.py:73-74). Uses the higher-order
+    ``aggregate`` so the sum stays inside codegen, no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    total = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        total.alias("total_token_chars"),
+    )
+
+
+@register(
+    "a2_argmax_per_group",
+    oracle="""
+SELECT event_type, event_id AS top_event_id, value AS top_value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def a2_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: argmax — return the row attributes at the max value (reference:
+    largest bid/ask order returns both size and price,
+    producers/polymarket_ws_manager.py:77-84). ``max_by`` on a (value, id)
+    struct = one-pass agg, no sort."""
+    events = load(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return events.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.max("value").alias("top_value"),
+    )
+
+
+@register(
+    "a3_positional_first",
+    oracle="""
+SELECT user_id, any_value(fv) AS first_val
+FROM (
+  SELECT user_id,
+         first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS fv
+  FROM events
+)
+GROUP BY user_id
+""",
+)
+def a3_positional_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: positional first element of an ordered collection (reference:
+    best bid = bids[0], assuming best-first order,
+    producers/polymarket_ws_manager.py:67-70). Built as
+    collect -> array_sort -> element_at(1) to exercise real array
+    positional access; the sortedness assumption is made explicit here."""
+    events = load(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    return events.groupBy("user_id").agg(
+        F.element_at(ordered, 1).getField("value").alias("first_val")
+    )
+
+
+@register(
+    "a4_ratio_guarded",
+    oracle="""
+SELECT user_id,
+       round(CASE WHEN (click_v + view_v) > 0
+                  THEN (click_v - view_v) / (click_v + view_v)
+                  ELSE 0.0 END, 6) AS imbalance
+FROM (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS click_v,
+         sum(CASE WHEN event_type = 'view'  THEN value ELSE 0 END) AS view_v
+  FROM events GROUP BY user_id
+)
+""",
+)
+def a4_ratio_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: derived ratio with zero-denominator guard (reference:
+    book_imbalance = (bidVol-askVol)/(bidVol+askVol), 0 on empty book,
+    producers/polymarket_ws_manager.py:87-88)."""
+    events = load(spark, sf_dir, "events")
+    click_v = F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0))
+    view_v = F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0))
+    agg = events.groupBy("user_id").agg(click_v.alias("_c"), view_v.alias("_v"))
+    denom = F.col("_c") + F.col("_v")
+    imb = F.when(denom > 0, (F.col("_c") - F.col("_v")) / denom).otherwise(0.0)
+    return agg.select("user_id", F.round(imb, 6).alias("imbalance"))
+
+
+@register(
+    "a5_topk_per_group",
+    oracle="""
+SELECT event_type, event_id, value, CAST(rn AS INT) AS rank
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+""",
+)
+def a5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O1: top-K per group by value (reference: top-1000 positions per
+    market by balance desc, pushed into GraphQL at
+    producers/user_positions_tracker.py:30-47). row_number window; at scale
+    AQE handles the skewed-group case."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "event_id", "value", "rank")
+    )
+
+
+@register(
+    "a6_count_empty_marker",
+    oracle="""
+SELECT u.user_id, t.event_type,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       (coalesce(c.n, 0) = 0) AS is_empty
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+) c ON u.user_id = c.user_id AND t.event_type = c.event_type
+""",
+)
+def a6_count_empty_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: group counts densified with explicit empty-group markers
+    (reference: emit position_snapshot_empty when a snapshot has 0 rows,
+    producers/user_positions_tracker.py:65-76,105). Cross join of the key
+    domains + left join + coalesce(0)."""
+    events = load(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    types = events.select("event_type").distinct()
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("_n"))
+    dense = users.crossJoin(F.broadcast(types)).join(counts, ["user_id", "event_type"], "left")
+    n = F.coalesce(F.col("_n"), F.lit(0).cast("long"))
+    return dense.select("user_id", "event_type", n.alias("n"), (n == 0).alias("is_empty"))
+
+
+@register(
+    "a7_downsample_last",
+    oracle="""
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS window_start,
+       any_value(lv) AS last_val
+FROM (
+  SELECT event_type, ts, value,
+         last_value(value) OVER (
+           PARTITION BY event_type, make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+  FROM events
+)
+GROUP BY event_type, window_start
+""",
+)
+def a7_downsample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/T3: latest-value-per-window downsample (reference: coinbase ticker
+    throttle keeps the latest message per second,
+    producers/coinbase_producer.py:11,36-48 — last-value dedup, not an
+    average). Batch form; the streaming form is streaming/downsample.py."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.window("ts", "1 minute").start.alias("window_start")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("last_val"))
+
+
+@register(
+    "a8_incremental_watermark_max",
+    oracle="""
+SELECT event_type, max(ts) AS high_watermark, count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def a8_incremental_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: max-watermark gate for incremental models (reference: dbt
+    incremental gate SELECT MAX(discovered_at) FROM {{this}},
+    models/silver/btc_prices.sql:17-19). In streaming this disappears into
+    checkpoint offsets; batch form is a plain max."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("high_watermark"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a9_change_detect_dedup",
+    oracle="""
+SELECT user_id, event_type, event_id AS first_event_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def a9_change_detect_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: keep-first dedup per key (reference: act only when token_ids
+    changed, producers/polymarket_ws_manager.py:271). Deterministic
+    first-by-(ts,id) via min_by instead of dropDuplicates (whose pick is
+    partition-order dependent)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id")
+    )
+
+
+@register(
+    "a10_consecutive_runs",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rnt
+  FROM events
+), runs AS (
+  SELECT user_id, count(*) AS run_len
+  FROM s WHERE event_type = 'error'
+  GROUP BY user_id, rn - rnt
+)
+SELECT user_id, CAST(max(run_len) AS BIGINT) AS max_error_run
+FROM runs GROUP BY user_id
+""",
+)
+def a10_consecutive_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: consecutive-failure run length (reference: consecutive-error
+    counter alerting every 5th failure, resetting on success,
+    producers/user_positions_tracker.py:13,119-151). Batch form via
+    gaps-and-islands (rn - rn_per_type); the stateful streaming form is
+    streaming/stateful.py."""
+    events = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    islands = (
+        events.withColumn("_island", F.row_number().over(w_all) - F.row_number().over(w_type))
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id", "_island")
+        .agg(F.count("*").alias("_run_len"))
+    )
+    return islands.groupBy("user_id").agg(F.max("_run_len").alias("max_error_run"))
+
+
+# ---------------------------------------------------------------------------
+# U-series: set operations (§2.6) + grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_by_name",
+    oracle="""
+SELECT event_id, kind, value, user_id FROM (
+  SELECT event_id, 'big' AS kind, value, user_id FROM events WHERE value > 150
+  UNION ALL BY NAME
+  SELECT event_id, user_id, 'err' AS kind, CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_type = 'error' AND value <= 150
+)
+""",
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of differently-shaped branches by column name (reference:
+    the multiplexed polymarket-prices topic materializes the union of
+    orderbook_summary/price_change/trade shapes,
+    producers/polymarket_ws_manager.py:110,131,149,161)."""
+    events = load(spark, sf_dir, "events")
+    big = events.filter(F.col("value") > 150).select(
+        "event_id", F.lit("big").alias("kind"), "value", "user_id"
+    )
+    err = events.filter((F.col("event_type") == "error") & (F.col("value") <= 150)).select(
+        "event_id", "user_id", F.lit("err").alias("kind")
+    )
+    return big.unionByName(err, allowMissingColumns=True)
+
+
+@register(
+    "u2_rollup_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_base_price, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def u2_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: hierarchical rollup totals (beyond the reference's surface — its
+    planned gold layer needs share-of-total metrics, README.md:225-229;
+    rollup computes the totals level in one pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-series: scalar function battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_scalar_battery",
+    oracle="""
+SELECT event_id,
+       lower(event_type) AS lower_type,
+       contains(event_type, 'ck') AS has_ck,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(value AS DOUBLE) AS value_dbl,
+       ts + INTERVAL 15 MINUTE AS ts_plus_15m,
+       date_trunc('hour', ts) AS ts_hour,
+       CASE WHEN value >= 150 THEN 'Up' WHEN value < 50 THEN 'Down' ELSE 'Unknown' END AS winner,
+       CASE WHEN user_id % 2 = 0 THEN 'YES' ELSE 'NO' END AS outcome,
+       CAST(floor(epoch(ts - TIMESTAMP '2024-01-01 00:00:00') / 10) AS BIGINT) AS elapsed_10s,
+       substring(event_type, 1, 3) AS type_prefix
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+""",
+)
+def f_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F15 scalar battery: lower (F1), contains (F2), JSON extract+cast
+    (F3/F14), double cast (F5), long cast (F6), interval add (F9),
+    hour truncation (F10), winner decode when/otherwise (F11), parity
+    outcome decode (F12), elapsed/10 bucket (F13), substring truncation
+    (F15) — each mirroring the cited reference call sites in SURVEY §2.7."""
+    events = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    )
+    winner = (
+        F.when(F.col("value") >= 150, "Up")
+        .when(F.col("value") < 50, "Down")
+        .otherwise("Unknown")
+    )
+    outcome = F.when(F.col("user_id") % 2 == 0, "YES").otherwise("NO")
+    epoch_base = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    return events.select(
+        "event_id",
+        F.lower("event_type").alias("lower_type"),
+        F.col("event_type").contains("ck").alias("has_ck"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.col("value").cast("double").alias("value_dbl"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("ts_plus_15m"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        winner.alias("winner"),
+        outcome.alias("outcome"),
+        F.floor((F.unix_timestamp("ts") - epoch_base) / 10).cast("long").alias("elapsed_10s"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+    )
+
+
+@register(
+    "f7_iso8601_parse",
+    oracle="""
+SELECT event_id,
+       CAST(strptime(replace(iso, 'Z', '+00:00'), '%Y-%m-%dT%H:%M:%S.%f%z') AS TIMESTAMP)
+         AS parsed_ts
+FROM (
+  SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS iso
+  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+)
+""",
+)
+def f7_iso8601_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: ISO-8601 string -> timestamp round-trip, Z suffix included
+    (reference parses ISO strings with a manual Z->+00:00 fixup,
+    producers/market_discovery.py:62; Spark's to_timestamp handles Z).
+    The serialize leg mirrors F8's isoformat() producers."""
+    events = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    )
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z"))
+    return events.select(
+        "event_id",
+        F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX").alias("parsed_ts"),
+    )
+
+
+@register(
+    "f4_json_serialize_roundtrip",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(j, '$.event_type') AS VARCHAR) AS rt_type,
+       CAST(json_extract(j, '$.value') AS DOUBLE) AS rt_value
+FROM (
+  SELECT event_id,
+         to_json(struct_pack(event_type := event_type, value := value)) AS j
+  FROM events WHERE event_type = 'purchase'
+)
+""",
+)
+def f4_json_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F3: to_json(struct(...)) then parse back (reference: every
+    producer.send JSON-serializes dicts, producers/market_discovery.py:11;
+    consumers deserialize at consumers/db_writer.py:51)."""
+    events = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    j = F.to_json(F.struct("event_type", "value"))
+    return events.select(
+        "event_id",
+        F.get_json_object(j, "$.event_type").alias("rt_type"),
+        F.get_json_object(j, "$.value").cast("double").alias("rt_value"),
+    )

@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each designed partition-parallel for 100 TB:
+
+- **exact**: content-hash groupBy (one shuffle on the hash).
+- **n-gram Jaccard (exact)**: shingle inverted index -> pair intersection
+  counts -> |A∩B| / (|A|+|B|-|A∩B|). Quadratic in co-shingled docs; the
+  ground truth the approximate methods are measured against.
+- **MinHash + LSH**: per-doc signature of NUM_PERM universal-hash minima,
+  banded into BANDS buckets; only same-bucket pairs are candidates, then
+  exact-Jaccard verified. At J>=0.5 with 64 bands x 2 rows the miss
+  probability per true pair is (1-0.5^2)^64 ~ 1e-8, so the verified output
+  equals the exact pair set while scaling near-linearly.
+- **SimHash**: 64-bit charge/discharge fingerprint over token md5 bits;
+  near-dups differ in few bits (compare via hamming distance on the hex
+  signature).
+- **embedding cosine**: near-dup pairs above a cosine threshold over an
+  ``array<float>`` column (brute pairs here; the LSH-bucketed scale path is
+  operators/similarity.py).
+
+Everything is built-in-function Spark (no Python UDFs): higher-order
+array ops for shingles/signatures, joins + aggregates for pair math.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators.text import char_shingles
+
+# --- MinHash parameters (fixed seed so signatures are reproducible) -------
+NUM_PERM = 128
+BANDS = 64  # rows per band r = NUM_PERM // BANDS = 2
+_MERSENNE_P = 4_294_967_311  # prime > 2^32
+_rng = random.Random(42)
+_PERM_A = [_rng.randrange(1, 1 << 30) for _ in range(NUM_PERM)]
+_PERM_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(NUM_PERM)]
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; one row per distinct content with
+    its canonical (minimum) id and copy count."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def shingle_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5) -> DataFrame:
+    """(id, shingle) inverted index — distinct character n-grams per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def _jaccard_from_index(index: DataFrame, candidates: DataFrame | None, threshold: float) -> DataFrame:
+    """Pairwise Jaccard from a shingle index; optionally restricted to a
+    candidate pair set (the LSH path). Returns (doc_id_a, doc_id_b, jaccard)."""
+    sizes = index.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = index.select(F.col("doc_id").alias("doc_id_a"), "sh")
+    b = index.select(F.col("doc_id").alias("doc_id_b"), "sh")
+    if candidates is not None:
+        # Probe only candidate pairs: restrict each side before the shingle join.
+        a = a.join(candidates.select("doc_id_a").distinct(), "doc_id_a")
+        pair_sh = candidates.join(a, "doc_id_a").join(b, ["doc_id_b", "sh"])
+    else:
+        pair_sh = a.join(b, "sh").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    inter = pair_sh.groupBy("doc_id_a", "doc_id_b").agg(F.count("*").alias("inter"))
+    sz_a = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "doc_id_a")
+        .join(sz_b, "doc_id_b")
+        .filter(jac >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, n: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact near-dup pairs: character-n-gram Jaccard >= threshold."""
+    return _jaccard_from_index(shingle_index(df, id_col, text_col, n), None, threshold)
+
+
+def minhash_signatures(index: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of (a_i*h + b_i) mod p
+    for NUM_PERM universal hash functions. One wide groupBy — map-side
+    partial min keeps the shuffle tiny regardless of corpus size."""
+    h32 = F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
+    hashed = index.select("doc_id", h32.alias("h"))
+    mins = [
+        F.min((F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i])) % F.lit(_MERSENNE_P)).alias(f"m{i}")
+        for i in range(NUM_PERM)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the signature (BANDS bands of r rows), bucket-join within bands.
+    Only docs sharing a (band, band-hash) bucket become candidate pairs —
+    the step that makes near-dup detection near-linear at 100 TB."""
+    r = NUM_PERM // BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"m{b * r + i}") for i in range(r)]).alias("band_hash"),
+        )
+        for b in range(BANDS)
+    ])
+    buckets = signatures.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_hash").alias("band_hash")
+    )
+    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
+    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, threshold: float = 0.5, n: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: LSH proposes candidates,
+    true Jaccard filters them. Output equals ngram_jaccard_pairs (up to the
+    ~1e-8 per-pair LSH miss bound) at a fraction of the comparisons."""
+    index = shingle_index(df, id_col, text_col, n)
+    candidates = lsh_candidate_pairs(minhash_signatures(index))
+    return _jaccard_from_index(index, candidates, threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _hex_chars() -> Column:
+    # Built lazily: Column literals need an active SparkSession.
+    return F.array(*[F.lit(c) for c in "0123456789abcdef"])
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as a 16-char hex string.
+
+    Each distinct token contributes +1/-1 per bit position from its md5's
+    leading 64 bits; a signature bit is 1 where the summed charge is
+    positive. Near-duplicate documents differ in few bits. md5 keeps the
+    token hash engine-portable (the DuckDB oracle reproduces it exactly).
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    hx = F.md5("t")
+    sums = []
+    for j in range(64):
+        digit = F.conv(F.substring(hx, 1 + j // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, 3 - (j % 4)) % 2
+        sums.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{j}"))
+    charged = tok.groupBy("doc_id").agg(*sums)
+    hex_chars = []
+    for pos in range(16):
+        d = sum(
+            (F.col(f"b{4 * pos + k}") > 0).cast("int") * (1 << (3 - k)) for k in range(4)
+        )
+        hex_chars.append(F.element_at(_hex_chars(), d + 1))
+    return charged.select("doc_id", F.concat(*hex_chars).alias("simhash"))
+
+
+def hamming_hex(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length hex-string signatures."""
+    idx = F.sequence(F.lit(1), F.length(a))
+    per_digit = F.transform(
+        idx,
+        lambda i: F.bit_count(
+            F.conv(a.substr(i, F.lit(1)), 16, 10).cast("long")
+            .bitwiseXOR(F.conv(b.substr(i, F.lit(1)), 16, 10).cast("long"))
+        ),
+    )
+    return F.aggregate(per_digit, F.lit(0), lambda acc, x: acc + x)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 6, **kw) -> DataFrame:
+    """SimHash near-dup pairs: bucket on each of 4 16-bit sub-signatures
+    (a pair within hamming<=6 of 64 bits shares at least one exact 16-bit
+    quarter when differing bits spread; standard simhash blocking), then
+    verify true hamming distance."""
+    sig = simhash_signatures(df, **kw)
+    quarters = F.array(*[
+        F.struct(F.lit(q).alias("q"), F.substring("simhash", 1 + q * 4, 4).alias("qh"))
+        for q in range(4)
+    ])
+    buckets = sig.select("doc_id", "simhash", F.explode(quarters).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.q").alias("q"), F.col("bk.qh").alias("qh")
+    )
+    left = buckets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sig_a"), "q", "qh"
+    )
+    right = buckets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sig_b"), "q", "qh"
+    )
+    pairs = (
+        left.join(right, ["q", "qh"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    dist = hamming_hex(F.col("sig_a"), F.col("sig_b"))
+    return pairs.select("doc_id_a", "doc_id_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- Embedding cosine near-dup ----------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, sequential-fold dot
+    products (bit-matching DuckDB's list_dot_product on the same input)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.45,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold (brute-force pairs;
+    for the sub-quadratic scale path see operators/similarity.py LSH)."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a = base.select(F.col("_id").alias("vec_id_a"), F.col("_v").alias("_va"))
+    b = base.select(F.col("_id").alias("vec_id_b"), F.col("_v").alias("_vb"))
+    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    c = cosine(F.col("_va"), F.col("_vb"))
+    return pairs.select("vec_id_a", "vec_id_b", c.alias("_c")).filter(
+        F.col("_c") >= threshold
+    ).select("vec_id_a", "vec_id_b", F.round("_c", 6).alias("cosine"))

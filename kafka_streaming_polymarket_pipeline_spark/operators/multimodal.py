@@ -1,0 +1,145 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns.
+
+The Spark-side plumbing is real and tested — schema (binary payload +
+typed metadata struct), Arrow-batched ``mapInPandas`` operators with
+bounded batch sizes, partition-friendly signatures. The actual media
+decode is STUBBED (this environment has no image/audio libraries): decode
+functions raise ``NotImplementedError`` unless ``fake=True``, in which
+case a deterministic fake derived from the bytes stands in so the
+pipeline shape is testable end-to-end.
+
+At 100 TB: binary payloads ride in parquet; decode stages are
+``mapInPandas`` so each task streams Arrow batches without materializing
+a partition; metadata-only queries never touch the payload column
+(column pruning drops it at the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata carried next to every opaque payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("byte_len", T.LongType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table with real binary payloads from the documents
+    table (text bytes standing in for media bytes) — exercises the exact
+    schema/partitioning a real ingest would produce."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.length(payload).cast("long").alias("byte_len"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for an image decode: dimensions/luma derived
+    from the bytes so tests are reproducible without media libraries."""
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    mean_luma = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
+    return width, height, 3, mean_luma
+
+
+def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched decode -> feature extraction over the payload column.
+
+    Real decode needs PIL/opencv (absent here): raises NotImplementedError
+    unless fake=True. The mapInPandas shape — batch iterator in/out,
+    payload column pruned from the output — is the production shape.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/opencv, not available in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(op, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+                  fake: bool = False) -> DataFrame:
+    """Frame sampling for video payloads: 1 row in -> N frame rows out
+    (the fan-out shape of real frame extraction). Stubbed: frames are
+    byte-slices; real impl would seek keyframes via a codec library."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires a codec library, not available here; "
+                    "pass fake=True for the deterministic stub"
+                )
+            out_ids, out_idx, out_bytes = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                for i in range(min(max_frames, max(len(raw) // every_n_bytes, 1))):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_bytes.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(op, FRAME_SAMPLE_SCHEMA)

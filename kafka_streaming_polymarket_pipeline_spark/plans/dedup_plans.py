@@ -1,1 +1,119 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over documents/embeddings (training-data ops).
+
+d2 (exact n-gram Jaccard) and d3 (MinHash-LSH, exact-verified) share one
+oracle: LSH is a candidate *filter* whose verified output equals the exact
+pair set (miss bound ~1e-8/pair at J>=0.5 with 64x2 banding), so the same
+ground-truth SQL checks both — and d3's value is doing it with near-linear
+work instead of the full shingle self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard FROM (
+  SELECT doc_id_a, doc_id_b, i / (sa.n + sb.n - i) AS j
+  FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+) WHERE j >= 0.5
+"""
+
+
+@register(
+    "d1_exact_dedup",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle on the hash, the
+    canonical id is the group minimum."""
+    return D.exact_duplicate_groups(load(spark, sf_dir, "documents"))
+
+
+@register("d2_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: character-5-gram Jaccard >= 0.5 via shingle
+    inverted-index self-join (the ground truth for d3)."""
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, n=5)
+
+
+@register("d3_minhash_lsh", oracle=_JACCARD_ORACLE)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(64 bands x 2 rows) candidate generation, then
+    exact-Jaccard verification at 0.5 — same output as d2, near-linear cost."""
+    return D.minhash_lsh_dedup(load(spark, sf_dir, "documents"), threshold=0.5, n=5)
+
+
+def _simhash_oracle() -> str:
+    return """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents)
+), bit_charge AS (
+  SELECT doc_id, CAST(j AS INT) AS j,
+         sum(CASE WHEN (CAST(strpos('0123456789abcdef',
+                                    substr(md5(t), 1 + CAST(j AS INT) // 4, 1)) - 1 AS INT)
+                        >> (3 - CAST(j AS INT) % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS charge
+  FROM tok, (SELECT unnest(range(0, 64)) AS j) js
+  GROUP BY doc_id, j
+), digits AS (
+  SELECT doc_id, j // 4 AS pos,
+         sum(CASE WHEN charge > 0 THEN 1 << (3 - j % 4) ELSE 0 END) AS d
+  FROM bit_charge GROUP BY doc_id, j // 4
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', CAST(d AS INT) + 1, 1), '' ORDER BY pos)
+         AS simhash
+FROM digits GROUP BY doc_id
+"""
+
+
+@register("d4_simhash", oracle=_simhash_oracle())
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature (hex) per document from token-md5 bit
+    charges — engine-portable (md5), verified bit-for-bit by the oracle."""
+    return D.simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "d5_embedding_neardup",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id_a, vec_id_b, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE c >= 0.45
+""",
+)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.45) — brute-force pair scan;
+    the sub-quadratic variant is s2_ann_lsh_topk's bucketing."""
+    return D.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)

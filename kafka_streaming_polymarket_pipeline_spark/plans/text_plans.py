@@ -1,1 +1,190 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the documents table (training-data ops).
+
+Every oracle mirrors the Spark formula term-by-term (same token split,
+same guards, same rounding) so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import text as T
+from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+_SQL_TOKENS = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+def _sql_votes(col: str, words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({_SQL_TOKENS.format(col=col)}, t -> t IN ({in_list}))) AS BIGINT)"
+
+
+@register(
+    "t1_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens,
+       round((CAST(len(text) AS BIGINT) - (CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) - 1))
+             / greatest(CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT), 1), 6) AS avg_token_len,
+       n_chars
+FROM documents
+""",
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + average token length (the
+    training-pipeline 'how long is this document' primitive)."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["avg_token_len"], 6).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+_LANG_CASE_SQL = None
+
+
+def _lang_case_sql() -> str:
+    votes = {lang: _sql_votes("lower(text)", words) for lang, words in T.LANG_STOPWORDS.items()}
+    order = list(T.LANG_STOPWORDS)
+    whens = []
+    for lang in order:
+        conds = [f"v_{lang} > 0"] + [f"v_{lang} >= v_{o}" for o in order if o != lang]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    vote_cols = ",\n         ".join(f"{sql} AS v_{lang}" for lang, sql in votes.items())
+    return f"""
+WITH v AS (
+  SELECT doc_id, lang,
+         {vote_cols}
+  FROM documents
+)
+SELECT lang, lang_pred, count(*) AS n FROM (
+  SELECT doc_id, lang,
+         CASE {' '.join(whens)} ELSE 'unknown' END AS lang_pred
+  FROM v
+) GROUP BY lang, lang_pred
+"""
+
+
+@register("t2_lang_id", oracle=_lang_case_sql())
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword votes, deterministic argmax) as a
+    confusion matrix against the dataset's lang labels."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "t3_quality_score",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tok,
+         CAST(len(text) AS BIGINT) AS n_char,
+         CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+         CAST(len(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS BIGINT) AS digits,
+         {_sql_votes('lower(text)', T.LANG_STOPWORDS['en'])} AS en_votes
+  FROM documents
+)
+SELECT doc_id,
+       round(alpha / greatest(n_char, 1), 6) AS alpha_ratio,
+       round(digits / greatest(n_char, 1), 6) AS digit_ratio,
+       round(en_votes / greatest(n_tok, 1), 6) AS stopword_ratio,
+       round(greatest(0.0, least(1.0,
+             0.3 * (en_votes / greatest(n_tok, 1))
+           + 0.3 * (alpha / greatest(n_char, 1))
+           + 0.4 * (least(n_tok, 100) / 100.0)
+           - 0.5 * (digits / greatest(n_char, 1)))), 6) AS quality
+FROM f
+""",
+)
+def t3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: character-class + stopword + length ratios combined
+    into a clamped [0,1] score (pure rational arithmetic, engine-portable)."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(f["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         (acc, c) -> (acc * {T.FP_BASE} + c) % {T.FP_MOD}) AS rolling_fp
+FROM documents
+""",
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5 + polynomial rolling
+    hash over character codes (the shingling/winnowing primitive)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.content_fingerprint(F.col("text")).alias("content_fp"),
+        T.rolling_hash(F.col("text")).alias("rolling_fp"),
+    )
+
+
+@register(
+    "t5_top_tokens",
+    oracle=f"""
+SELECT token, n FROM (
+  SELECT token, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+  FROM (SELECT unnest({_SQL_TOKENS.format(col='lower(text)')}) AS token FROM documents)
+  GROUP BY token
+) WHERE rn <= 20
+""",
+)
+def t5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (vocabulary head — the explode-count
+    pattern every text pipeline starts with)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "m1_binary_metadata",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+FROM documents
+""",
+)
+def m1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat content as an opaque binary column with
+    typed metadata (byte length, head bytes hex). The decode/feature UDF
+    stage over such columns is operators/multimodal.py; this query proves
+    the binary column path through scan -> expression -> result."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("byte_len"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("head_hex"),
+    )

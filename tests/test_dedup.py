@@ -1,0 +1,97 @@
+"""Positive-case tests for the dedup operators: plant known duplicates and
+near-duplicates, assert each method finds them (the oracle battery proves
+engine-vs-SQL parity; these prove the operators detect what they claim to)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the merge join "
+    "streams sorted batches of rows into the hash table for the big scan"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("quick", "rapid")),  # near-duplicate of 0
+        (3, "completely different content about window functions and watermarks"),
+        (4, "unrelated short text"),
+        (5, BASE.replace("dog", "cat").replace("rows", "tuples")),  # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(planted):
+    groups = {r["content_hash"]: r for r in D.exact_duplicate_groups(planted).collect()}
+    assert len(groups) == 5  # 6 docs, one exact pair
+    dup = [g for g in groups.values() if g["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["canonical_doc_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dups(planted):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(planted, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+    assert (0, 5) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact(planted):
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in D.ngram_jaccard_pairs(planted, 0.5).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in D.minhash_lsh_dedup(planted, 0.5).collect()
+    }
+    assert lsh == exact and exact  # finds the same non-empty pair set
+
+
+def test_simhash_near_dups_close(planted):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(planted).collect()}
+    assert all(len(s) == 16 for s in sig.values())
+    assert sig[0] == sig[1]  # identical content -> identical signature
+
+    def hamming(a: str, b: str) -> int:
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    # One-word change perturbs the signature less than unrelated content.
+    # (Short docs have many near-zero bit charges, so absolute distances
+    # are noisy; the *ordering* near-dup < unrelated is the invariant.)
+    assert hamming(sig[0], sig[2]) < hamming(sig[0], sig[3])
+    assert hamming(sig[0], sig[5]) < hamming(sig[0], sig[3])
+
+
+def test_simhash_near_pairs(planted):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(planted, max_hamming=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # exact dup at distance 0
+    assert (3, 4) not in pairs  # unrelated docs don't pair
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["vec_id_a"], r["vec_id_b"]) for r in D.embedding_near_dup_pairs(df, 0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_hamming_hex_expression(spark):
+    df = spark.createDataFrame([("f0f0", "0f0f"), ("abcd", "abcd")], "a string, b string")
+    got = [r[0] for r in df.select(D.hamming_hex(F.col("a"), F.col("b"))).collect()]
+    assert got == [16, 0]

@@ -1,0 +1,56 @@
+"""Recall/shape tests for similarity search (s2 has no SQL oracle; its
+quality bar lives here)."""
+
+from __future__ import annotations
+
+from kafka_streaming_polymarket_pipeline_spark.operators import similarity as S
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+from pyspark.sql import functions as F
+
+
+def _recall(exact_rows, approx_rows):
+    exact_sets, approx_sets = {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_smoke):
+    emb = load(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=10).collect()
+    approx = S.ivf_ann_topk(emb, queries, k=10).collect()
+    r = _recall(exact, approx)
+    assert r >= 0.5, f"IVF mean recall@10 too low: {r}"
+
+
+def test_lsh_ann_finds_planted_near_dups(spark):
+    # Sign-LSH's regime: genuinely near duplicates (cosine > 0.95).
+    base = [[1.0 if i == j else 0.02 * ((i + j) % 3) for i in range(64)] for j in range(20)]
+    rows = [(j, base[j]) for j in range(20)]
+    rows += [(100 + j, [v + (0.01 if k == 0 else 0.0) for k, v in enumerate(base[j])]) for j in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = S.lsh_ann_topk(emb, queries, k=1).collect()
+    hits = sum(1 for r in got if r["neighbor_id"] == r["query_id"] + 100)
+    assert hits >= 16, f"LSH missed planted near-dups: {hits}/20"
+
+
+def test_bruteforce_excludes_self_and_ranks(spark, sf_smoke):
+    emb = load(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    rows = S.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)

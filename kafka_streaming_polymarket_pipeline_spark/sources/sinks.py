@@ -1,0 +1,67 @@
+"""Sink builders (S5/S7/S9 in SURVEY §2.1).
+
+The reference lands every topic row-at-a-time into Postgres JSONB with
+hand-rolled retry (consumers/db_writer.py:75-109) and tails topics to the
+console (consumers/simple_consumer.py:18-20). Here:
+
+- bronze parquet/Delta-style append is the primary sink (columnar, partition
+  by ingest date — the scan-pruning the reference faked with expression
+  indexes, init.sql:15-76);
+- JDBC lands typed silver frames per micro-batch via foreachBatch (Spark
+  task retry replaces the hand-rolled backoff);
+- console sink is a one-liner passthrough.
+
+foreachBatch receives a *batch* DataFrame, so any batch writer (jdbc,
+parquet, custom) applies; exactly-once comes from checkpointed batch ids
+against an idempotent/transactional target (SURVEY T6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bronze_parquet_sink(df: DataFrame, path: str, checkpoint: str):
+    """Bronze append sink partitioned by ingest date: replayable source of
+    truth (medallion bronze, README.md:309-313) with partition pruning."""
+    out = df.withColumn("ingest_date", F.to_date("ingested_at"))
+    return (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("ingest_date")
+        .start()
+    )
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+    mode: str = "append",
+    properties: dict | None = None,
+):
+    """S7: per-micro-batch JDBC append (db_writer.py:75-109, minus the
+    hand-rolled retry — Spark retries failed batches from the checkpoint)."""
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch.write.mode(mode).jdbc(url, table, properties=properties or {})
+
+    return foreach_batch_sink(df, write_batch, checkpoint)
+
+
+def foreach_batch_sink(df: DataFrame, fn: Callable[[DataFrame, int], None], checkpoint: str | None = None):
+    """Generic foreachBatch sink; `fn(batch_df, batch_id)` runs per trigger."""
+    w = df.writeStream.foreachBatch(fn)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
+def console_sink(df: DataFrame, rows: int = 20):
+    """S9: topic tail (simple_consumer.py:18-20)."""
+    return df.writeStream.format("console").option("numRows", rows).start()

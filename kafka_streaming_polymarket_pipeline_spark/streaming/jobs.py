@@ -104,6 +104,49 @@ def enrich_stream(events: DataFrame, token_dim: DataFrame, how: str = "inner") -
     return events.join(F.broadcast(token_dim), "asset_id", how)
 
 
+# --- T4: per-market session lifecycle, declaratively ---
+
+def market_sessions(
+    events: DataFrame,
+    markets_dim: DataFrame,
+    ts_col: str = "snapshot_time",
+    value_col: str = "balance",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-market session aggregates bounded by the market's [start, end).
+
+    The reference runs a daemon thread per market that is born on a
+    market-updates message and dies at end_time (user_positions_tracker.py:
+    234-248, market_resolution.py:103-110). Declaratively that lifecycle is
+    just: events interval-joined to the market dimension, grouped by the
+    market's own 15-minute event-time window — no threads, no globals, and
+    state expires via the watermark instead of a timer thread.
+    """
+    dim = F.broadcast(markets_dim.select("market_id", "start_time", "end_time"))
+    ev = events.withWatermark(ts_col, watermark)
+    j = ev.join(
+        dim,
+        (ev["market_id"] == dim["market_id"])
+        & (ev[ts_col] >= dim["start_time"])
+        & (ev[ts_col] < dim["end_time"]),
+    ).drop(dim["market_id"])
+    return (
+        j.groupBy("market_id", F.window(ts_col, "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+            F.sum(value_col).alias(f"total_{value_col}"),
+        )
+        .select(
+            "market_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "first_event", "last_event", f"total_{value_col}",
+        )
+    )
+
+
 # --- T8: error side-channel union ---
 
 def error_side_channel(*error_streams: DataFrame) -> DataFrame:

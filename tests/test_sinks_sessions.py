@@ -1,0 +1,56 @@
+"""Sink builders (S5/S7/S9) and the T4 market-session streaming operator."""
+
+from __future__ import annotations
+
+import json
+from datetime import timedelta
+
+from kafka_streaming_polymarket_pipeline_spark import silver
+from kafka_streaming_polymarket_pipeline_spark.sources import sinks
+from kafka_streaming_polymarket_pipeline_spark.streaming import jobs
+from tests import fixtures as fx
+from tests.test_streaming import _write_bronze_jsonl
+
+
+def test_bronze_parquet_sink_partitioned_by_date(spark, tmp_path):
+    d = tmp_path / "in"
+    _write_bronze_jsonl(d / "a.jsonl", fx.asset_prices(6), "asset-prices")
+    out, ckpt = str(tmp_path / "bronze_out"), str(tmp_path / "ckpt")
+    stream = jobs.file_bronze_stream(spark, str(d))
+    q = sinks.bronze_parquet_sink(stream, out, ckpt)
+    q.awaitTermination(60)
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    assert "ingest_date" in back.columns  # physical partition column survives
+    # partition pruning works on the landed layout
+    assert back.filter("ingest_date = date'2026-01-25'").count() == 6
+
+
+def test_foreach_batch_sink_captures_batches(spark, tmp_path):
+    d = tmp_path / "in"
+    _write_bronze_jsonl(d / "a.jsonl", fx.asset_prices(4), "asset-prices")
+    seen: list[tuple[int, int]] = []
+    stream = silver.btc_prices(jobs.file_bronze_stream(spark, str(d)))
+    q = sinks.foreach_batch_sink(stream, lambda b, i: seen.append((i, b.count())))
+    q.awaitTermination(60)
+    q.stop()
+    assert sum(n for _, n in seen) == 4
+
+
+def test_market_sessions_bounded_by_window(spark, tmp_path):
+    d = tmp_path / "pos"
+    _write_bronze_jsonl(d / "a.jsonl", fx.positions(3, 5), "user-positions")
+    pos = silver.positions(jobs.file_bronze_stream(spark, str(d)))
+    mkts = silver.markets(fx.bronze_rows(spark, [fx.MARKET], "market-updates"))
+    out = jobs.run_available_now(
+        jobs.market_sessions(pos, mkts), "t_sessions", spark, mode="complete"
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.market_id == "543210"
+    assert r.n_events == 15  # 3 snapshots x 5 wallets, all inside [start, end)
+    assert r.session_start == fx.T0.replace(tzinfo=None)
+    assert r.first_event == (fx.T0 + timedelta(seconds=10)).replace(tzinfo=None)
+    assert r.last_event == (fx.T0 + timedelta(seconds=30)).replace(tzinfo=None)

@@ -204,6 +204,20 @@ def consecutive_error_alerts(attempts: DataFrame) -> DataFrame:
     )
 
 
+# --- A11: running message counters as observable metrics ---
+
+def with_counters(df: DataFrame, name: str = "counters") -> DataFrame:
+    """The reference's hand-rolled message_count/%1000 progress logging
+    (coinbase_producer.py:20,48, db_writer.py:56-64) as ``observe()``
+    metrics: per-batch row counts surface through QueryProgress /
+    observedMetrics without touching the data path."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_messages"),
+        F.max("ingested_at").alias("latest_ingest"),
+    )
+
+
 # --- harness: deterministic micro-batch execution for tests ---
 
 def run_available_now(

@@ -65,3 +65,40 @@ def foreach_batch_sink(df: DataFrame, fn: Callable[[DataFrame, int], None], chec
 def console_sink(df: DataFrame, rows: int = 20):
     """S9: topic tail (simple_consumer.py:18-20)."""
     return df.writeStream.format("console").option("numRows", rows).start()
+
+
+def upsert_parquet(spark, batch: DataFrame, path: str, keys: list[str]) -> None:
+    """MERGE-style upsert into a parquet table: batch rows replace existing
+    rows with the same key (latest wins), everything else is kept.
+
+    This is the dbt incremental ``unique_key`` semantic
+    (models/silver/btc_prices.sql:3-6) and the landing strategy for very
+    late resolutions (SURVEY T5: up to ~87 min after market end,
+    market_resolution.py:25-38 — too late for any stream-stream watermark,
+    so they upsert into the label table instead).
+
+    On a real deployment this is Delta/Iceberg ``MERGE INTO`` (transactional,
+    partition-pruned rewrite); parquet emulation reads the target, anti-joins
+    the batch keys, and rewrites — localCheckpoint cuts the lineage so the
+    overwrite does not read from the path it is truncating.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        batch.write.mode("overwrite").parquet(path)
+        return
+    merged = existing.join(
+        batch.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(batch).localCheckpoint()
+    merged.write.mode("overwrite").parquet(path)
+
+
+def upsert_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str | None = None):
+    """Streaming upsert: each micro-batch MERGEs into the parquet target."""
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        upsert_parquet(batch.sparkSession, batch, path, keys)
+
+    return foreach_batch_sink(df, write_batch, checkpoint)

@@ -54,3 +54,32 @@ def test_market_sessions_bounded_by_window(spark, tmp_path):
     assert r.session_start == fx.T0.replace(tzinfo=None)
     assert r.first_event == (fx.T0 + timedelta(seconds=10)).replace(tzinfo=None)
     assert r.last_event == (fx.T0 + timedelta(seconds=30)).replace(tzinfo=None)
+
+
+def test_upsert_parquet_latest_wins(spark, tmp_path):
+    path = str(tmp_path / "resolutions")
+    first = spark.createDataFrame(
+        [("m1", "Unknown", 0.5), ("m2", "Up", 1.0)],
+        "market_id string, winner string, final_yes_price double",
+    )
+    sinks.upsert_parquet(spark, first, path, ["market_id"])
+    late = spark.createDataFrame(
+        [("m1", "Down", 0.0), ("m3", "Up", 1.0)],
+        "market_id string, winner string, final_yes_price double",
+    )
+    sinks.upsert_parquet(spark, late, path, ["market_id"])
+    got = {r.market_id: r.winner for r in spark.read.parquet(path).collect()}
+    assert got == {"m1": "Down", "m2": "Up", "m3": "Up"}  # m1 replaced, m2 kept
+
+
+def test_upsert_sink_streaming(spark, tmp_path):
+    d = tmp_path / "in"
+    _write_bronze_jsonl(d / "a.jsonl", [fx.resolution()], "market-resolutions")
+    res = silver.resolutions(jobs.file_bronze_stream(spark, str(d)))
+    path = str(tmp_path / "out")
+    q = sinks.upsert_sink(res, path, ["market_id"], str(tmp_path / "ck"))
+    q.awaitTermination(60)
+    q.stop()
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0].winner == "Up"
+    assert rows[0].final_yes_price == 1.0  # double, not the wire's string

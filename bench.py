@@ -41,6 +41,63 @@ HEADLINE = [
 ]
 
 
+def streaming_throughput(spark, sf_dir: str, n_rows: int = 200_000) -> dict:
+    """End-to-end streaming pipeline throughput: bronze JSONL files ->
+    file-source stream -> from_json silver parse -> 15-min OHLC candle agg
+    -> noop sink, availableNow. This is the reference's whole data path
+    (Kafka JSON -> typed -> windowed analytics), which it sustains at ~235
+    events/s (BASELINE.md); the events/s here is the comparable number.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark import schemas, silver
+    from kafka_streaming_polymarket_pipeline_spark.streaming import jobs
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # Materialize n_rows bronze-envelope JSONL rows from the events table.
+        events = load(spark, sf_dir, "events").limit(n_rows)
+        payload = F.to_json(
+            F.struct(
+                F.lit("BTC").alias("symbol"),
+                F.col("value").alias("price"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("timestamp"),
+                F.col("value").alias("volume"),
+            )
+        )
+        bronze = events.select(
+            F.lit("asset-prices").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.col("event_id").alias("offset"),
+            F.col("ts").alias("kafka_timestamp"),
+            F.col("ts").alias("ingested_at"),
+            payload.alias("payload"),
+        )
+        src = os.path.join(tmp, "in")
+        bronze.repartition(8).write.json(src)
+        n = spark.read.schema(schemas.BRONZE).json(src).count()
+
+        t0 = time.perf_counter()
+        stream = jobs.file_bronze_stream(spark, src)
+        candles = jobs.ohlc_candles(silver.btc_prices(stream), ts_col="price_timestamp")
+        q = (
+            candles.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        return {"events": n, "sec": round(dt, 3), "events_per_sec": round(n / dt)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -70,6 +127,13 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        spark.catalog.clearCache()  # drop per-query persisted stages (e.g. LSH sigs)
+
+    try:
+        stream = streaming_throughput(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: streaming throughput FAILED: {exc}", file=sys.stderr)
+        stream = None
 
     # sf from the dir name (e.g. .../sf0.1 -> 0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -85,6 +149,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "streaming": stream,
                 "sf": sf,
                 "cpus": cpus,
             }

@@ -321,13 +321,20 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold (brute-force pairs;
     for the sub-quadratic scale path see operators/similarity.py LSH)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    # norm folded once per vector, not once per pair (n^2/2 pairs downstream)
     base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col).alias("_id"), v.alias("_v"), F.sqrt(dot(v, v)).alias("_n")
     )
-    a = base.select(F.col("_id").alias("vec_id_a"), F.col("_v").alias("_va"))
-    b = base.select(F.col("_id").alias("vec_id_b"), F.col("_v").alias("_vb"))
+    a = base.select(F.col("_id").alias("vec_id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("_id").alias("vec_id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-    c = cosine(F.col("_va"), F.col("_vb"))
+    c = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return pairs.select("vec_id_a", "vec_id_b", c.alias("_c")).filter(
         F.col("_c") >= threshold
     ).select("vec_id_a", "vec_id_b", F.round("_c", 6).alias("cosine"))

@@ -39,21 +39,38 @@ NUM_CENTROIDS = 16
 NPROBE = 4
 
 
+def _dot(x: Column, y: Column) -> Column:
+    """Sequential-fold dot product (bit-matches DuckDB list_dot_product)."""
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, vec_out: str) -> DataFrame:
+    """Project to (id, vector, norm): the norm is computed ONCE per vector
+    here instead of once per pair inside cosine — at top-k scale that is
+    the difference between 3 dot products per pair and 1."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(id_out),
+        v.alias(vec_out),
+        F.sqrt(_dot(v, v)).alias(f"{vec_out}_n"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for each query vector (self excluded).
     Queries are broadcast; ties break on neighbor id for determinism."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_vc")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_vq")
-    )
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_vc")
+    q = _prep(queries, id_col, vec_col, "query_id", "_vq")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("_vq"), F.col("_vc")).alias("_c"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_vq_n") * F.col("_vc_n"))).alias("_c"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("neighbor_id"))
     return (
@@ -79,19 +96,16 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, c: int) -> DataFram
     )
 
 
-def _assign(df: DataFrame, cents: DataFrame, id_out: str, vec_out: str, nprobe: int) -> DataFrame:
-    """Rank centroids per vector by cosine; keep the top nprobe assignments."""
-    scored = df.crossJoin(F.broadcast(cents)).select(
+def _cell_similarities(df: DataFrame, cents: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+    """(id, vector, norm, centroid_id, _cc): cosine to every centroid via a
+    broadcast nested-loop — the O(n x C) pass; norms folded once per vector."""
+    return df.crossJoin(F.broadcast(cents)).select(
         id_out,
         vec_out,
+        f"{vec_out}_n",
         "centroid_id",
-        cosine(F.col(vec_out), F.col("_vcent")).alias("_cc"),
-    )
-    w = Window.partitionBy(id_out).orderBy(F.desc("_cc"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_cr", F.row_number().over(w))
-        .filter(F.col("_cr") <= nprobe)
-        .select(id_out, vec_out, "centroid_id")
+        (_dot(F.col(vec_out), F.col("_vcent"))
+         / (F.col(f"{vec_out}_n") * F.sqrt(_dot(F.col("_vcent"), F.col("_vcent"))))).alias("_cc"),
     )
 
 
@@ -102,22 +116,45 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query probes its nprobe nearest cells and exact-reranks the
-    union. Work ~ (nprobe/n_centroids) of brute force; one O(n x C)
-    assignment pass that at 100 TB is a narrow broadcast-join stage."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_vc")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_vq")
-    )
+    union. Work ~ (nprobe/n_centroids) of brute force per query, after one
+    O(n x C) assignment pass amortized over the whole query set.
+
+    Physical shape: corpus cell assignment is ``max_by`` aggregation-free —
+    argmax folded in the map stage via ``max_by(centroid_id, _cc)`` grouped
+    on the vector id would shuffle; instead the crossJoin emits C rows per
+    vector and a single groupBy with max_by reduces map-side, so the shuffle
+    carries one narrow row per corpus vector. Queries (small side) rank
+    their nprobe cells with a window and broadcast to the cells."""
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_vc")
+    q = _prep(queries, id_col, vec_col, "query_id", "_vq")
     cents = _centroids(corpus, id_col, vec_col, n_centroids)
-    c_cells = _assign(c, cents, "neighbor_id", "_vc", nprobe=1)
-    q_cells = _assign(q, cents, "query_id", "_vq", nprobe=nprobe)
+
+    # Corpus side: argmax centroid per vector, narrow shuffle (id -> cell),
+    # then re-attach the vector by id (co-partitioned equi-join).
+    c_best = (
+        _cell_similarities(c, cents, "neighbor_id", "_vc")
+        .groupBy("neighbor_id")
+        .agg(F.max_by("centroid_id", F.struct(F.col("_cc"), (-F.col("centroid_id")).alias("t"))).alias("centroid_id"))
+    )
+    c_cells = c_best.join(c, "neighbor_id")
+
+    # Query side: top-nprobe cells per query (tiny; window is fine).
+    qs = _cell_similarities(q, cents, "query_id", "_vq")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
+    q_cells = (
+        qs.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= nprobe)
+        .select("query_id", "_vq", "_vq_n", "centroid_id")
+    )
+
     scored = (
         c_cells.join(F.broadcast(q_cells), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("_vq"), F.col("_vc")).alias("_c"))
-        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_vq_n") * F.col("_vc_n"))).alias("_c"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("neighbor_id"))
     return (
@@ -148,15 +185,11 @@ def lsh_ann_topk(
     (plus 1-bit-flip neighbor buckets when multiprobe), exact cosine rerank
     within. The corpus-side bucket is computed once (one narrow pass) and
     the join is an equi-join on bucket — no quadratic pair blowup."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_vc"),
-        _bucket(F.col(vec_col).cast("array<double>")).alias("bucket"),
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_vc").withColumn(
+        "bucket", _bucket(F.col("_vc"))
     )
-    q0 = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_vq"),
-        _bucket(F.col(vec_col).cast("array<double>")).alias("_qb"),
+    q0 = _prep(queries, id_col, vec_col, "query_id", "_vq").withColumn(
+        "_qb", _bucket(F.col("_vq"))
     )
     if multiprobe:
         probes = F.array(
@@ -164,12 +197,15 @@ def lsh_ann_topk(
         )
     else:
         probes = F.array(F.col("_qb"))
-    q = q0.select("query_id", "_vq", F.explode(probes).alias("bucket"))
+    q = q0.select("query_id", "_vq", "_vq_n", F.explode(probes).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("_vq"), F.col("_vc")).alias("_c"))
-        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_vq_n") * F.col("_vc_n"))).alias("_c"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("neighbor_id"))
     return (

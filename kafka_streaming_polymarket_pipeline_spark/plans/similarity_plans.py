@@ -15,7 +15,9 @@ from kafka_streaming_polymarket_pipeline_spark.operators import similarity as S
 from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
 from kafka_streaming_polymarket_pipeline_spark.tables import load
 
-N_QUERIES = 5
+# 100 queries: enough to amortize the IVF corpus-assignment pass, which is
+# the regime the operator exists for (a handful of queries should just brute).
+N_QUERIES = 100
 TOP_K = 10
 
 

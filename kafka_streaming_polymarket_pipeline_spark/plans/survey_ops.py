@@ -71,6 +71,40 @@ def p2_window_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p3_projection_parse",
+    oracle="""
+SELECT doc_id,
+       j ->> 'doc_id' AS doc_id_str,
+       j ->> 'lang'   AS language,
+       CAST(j ->> 'n_chars' AS BIGINT) AS len_chars
+FROM (
+  SELECT doc_id,
+         to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS j
+  FROM documents
+)
+""",
+)
+def p3_projection_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F3/F4: projection + rename through a JSON envelope — serialize
+    fields to a JSON string, then extract-and-cast them back out.
+
+    Mirrors the discovery projection's parse dance
+    (producers/market_discovery.py:75-112: 14 fields pulled out of raw
+    market JSON with renames and casts) — the schema-on-read round trip the
+    whole bronze layer rests on.
+    """
+    docs = load(spark, sf_dir, "documents")
+    j = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    enveloped = docs.select("doc_id", j.alias("j"))
+    return enveloped.select(
+        "doc_id",
+        F.get_json_object("j", "$.doc_id").alias("doc_id_str"),
+        F.get_json_object("j", "$.lang").alias("language"),
+        F.get_json_object("j", "$.n_chars").cast("long").alias("len_chars"),
+    )
+
+
+@register(
     "p4_type_filter",
     oracle="""
 SELECT event_id, user_id, value

@@ -107,6 +107,11 @@ def main() -> None:
 
     spark = get_spark(app_name="pmps-bench", cpus=cpus, shuffle_partitions=cpus)
 
+    # Warm the JVM/codegen paths so per-query numbers reflect steady state,
+    # not first-action classloading (a cluster amortizes this once per job).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     registry = plans.all_queries()
     names = list(registry) if os.environ.get("SPARK_GRAFT_BENCH_ALL") else [
         n for n in HEADLINE if n in registry

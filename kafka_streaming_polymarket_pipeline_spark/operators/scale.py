@@ -1,0 +1,95 @@
+"""Physical-layout operators for cluster scale: bucketing and skew salting.
+
+Neither changes query semantics — they change the *shuffle structure*:
+
+- **Bucketing** pre-partitions a table by join/agg key at write time, so a
+  join of two tables bucketed on the same key with the same bucket count
+  runs shuffle-free (SortMergeJoin reads co-located buckets). At 100 TB
+  this is the difference between re-shuffling the fact table on every run
+  and shuffling it once at landing. (The reference's Postgres expression
+  indexes on payload->>'market_id', init.sql:15-76, served the same
+  read-locality intent.)
+
+- **Salting** splits a hot key into `salt_n` synthetic sub-keys so one
+  skewed group (one market's orderbook burst, one whale wallet) spreads
+  over `salt_n` tasks: aggregate per (key, salt) first — map-side combine
+  does most of the work — then re-aggregate per key. AQE's skew-join
+  handles *join* skew at runtime; salting is for *aggregation* skew, which
+  AQE does not split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    path: str,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Land ``df`` as a bucketed parquet table (external, at ``path``).
+
+    Joins/aggregations on ``keys`` between tables bucketed identically skip
+    the exchange entirely (verified by plan assertion in tests).
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def salted(df: DataFrame, salt_n: int, salt_col: str = "_salt") -> DataFrame:
+    """Add a deterministic salt in [0, salt_n) derived from a stable row
+    hash — reproducible (no rand()) and uniform."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(salt_n)).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    salt_n: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups by (keys + salt): the hot key's rows land on salt_n
+    different reducers. Phase 2 merges the partials per key. Only
+    decomposable aggregates belong here (sum/count/min/max — the ones whose
+    partial merge is the same function); the caller passes phase-1
+    expressions and the merge is sum/min/max-of-partials by convention:
+    ``aggs`` maps output name -> phase-1 aggregate; phase 2 re-applies
+    sum() for sum/count and min()/max() for min/max based on the name
+    prefix (``sum_``/``cnt_``/``min_``/``max_``).
+    """
+    s = salted(df, salt_n)
+    phase1 = s.groupBy(*keys, "_salt").agg(*[c.alias(k) for k, c in aggs.items()])
+    merged = []
+    for name in aggs:
+        if name.startswith(("sum_", "cnt_")):
+            merged.append(F.sum(name).alias(name))
+        elif name.startswith("min_"):
+            merged.append(F.min(name).alias(name))
+        elif name.startswith("max_"):
+            merged.append(F.max(name).alias(name))
+        else:
+            raise ValueError(
+                f"salted_agg output {name!r} must be prefixed sum_/cnt_/min_/max_ "
+                "(decomposable aggregates only)"
+            )
+    return phase1.groupBy(*keys).agg(*merged)
+
+
+def has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle (Exchange) — used by
+    tests to prove bucketed joins are co-located."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" in plan

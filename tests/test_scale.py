@@ -1,0 +1,74 @@
+"""Physical-layout operators: bucketed co-located joins (no Exchange) and
+salted aggregation for skewed keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import scale
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = spark.range(0, 10_000).select(
+        F.col("id").alias("order_id"), (F.col("id") % 100).alias("cust")
+    )
+    items = spark.range(0, 50_000).select(
+        (F.col("id") % 10_000).alias("order_id"), (F.col("id") % 7).cast("double").alias("qty")
+    )
+    scale.write_bucketed(orders, "b_orders", ["order_id"], 8, str(base / "orders"))
+    scale.write_bucketed(items, "b_items", ["order_id"], 8, str(base / "items"))
+    yield spark.table("b_orders"), spark.table("b_items")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    orders, items = bucketed_pair
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(items, "order_id")
+        assert joined.count() == 50_000
+        assert not scale.has_exchange(joined), "bucketed join must be co-located"
+        # sanity: the same join on unbucketed frames DOES shuffle
+        o2 = orders.withColumn("x", F.lit(1)).drop("x")  # still bucketed lineage
+        plain_o = spark.createDataFrame(orders.collect(), orders.schema)
+        plain_i = spark.createDataFrame(items.collect(), items.schema)
+        assert scale.has_exchange(plain_o.join(plain_i, "order_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_agg_has_no_shuffle(spark, bucketed_pair):
+    _, items = bucketed_pair
+    agg = items.groupBy("order_id").agg(F.sum("qty").alias("s"))
+    assert agg.count() == 10_000
+    assert not scale.has_exchange(agg), "groupBy on the bucket key must not shuffle"
+
+
+def test_salted_agg_matches_plain(spark):
+    # one pathologically hot key (90% of rows) + a long tail
+    hot = spark.range(0, 90_000).select(F.lit("HOT").alias("k"), (F.col("id") % 13).cast("double").alias("v"))
+    tail = spark.range(0, 10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    df = hot.unionByName(tail)
+    got = scale.salted_agg(
+        df, ["k"],
+        {"sum_v": F.sum("v"), "cnt_v": F.count(F.lit(1)), "max_v": F.max("v")},
+        salt_n=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("cnt_v"), F.max("v").alias("max_v")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    df = spark.range(5).select(F.lit("a").alias("k"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        scale.salted_agg(df, ["k"], {"avg_v": F.avg("v")})

@@ -793,3 +793,102 @@ def f4_json_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(j, "$.event_type").alias("rt_type"),
         F.get_json_object(j, "$.value").cast("double").alias("rt_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational breadth (beyond the reference's own surface): distinct
+# aggregation, anti-join, cube grouping, frame-based running windows — the
+# patterns the reference's planned gold features imply (SURVEY §2.4 note).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u3_distinct_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT)                AS n_events,
+       round(sum(value), 2)                    AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def u3_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (wallet counts in the planned concentration
+    features, README.md:228-229; approx_count_distinct is the 100 TB
+    variant — exact here so the oracle can hash-match)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "u4_anti_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def u4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (the empty-group marker
+    pattern A6 generalized; Catalyst broadcasts the smaller side)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "u5_cube_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def u5_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (returnflag, linestatus): all 2^2 grouping sets in
+    one pass (partial-agg then expand — one shuffle, not four scans)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "w1_running_sum",
+    oracle="""
+SELECT user_id, ts, value,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+       CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)  AS event_seq
+FROM events
+WHERE user_id < 100
+""",
+)
+def w1_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running aggregate per user (cumulative volume — the
+    momentum-feature building block, README.md:225-229). One sort-shuffle
+    per partition key; the frame is computed in a single pass."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "ts", "value",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_value"),
+        F.row_number().over(w).cast("long").alias("event_seq"),
+    )

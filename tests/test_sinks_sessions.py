@@ -83,3 +83,36 @@ def test_upsert_sink_streaming(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1 and rows[0].winner == "Up"
     assert rows[0].final_yes_price == 1.0  # double, not the wire's string
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """T6/T7: restart from checkpoint neither loses nor duplicates rows.
+
+    Run 1 drains file A into a parquet sink; run 2 (same checkpoint) sees
+    files A+B but must append only B's rows — offsets come from the
+    checkpoint, not the source listing.
+    """
+    src, out, ck = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = jobs.file_bronze_stream(spark, str(src))
+        q = (
+            silver.btc_prices(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _write_bronze_jsonl(src / "a.jsonl", fx.asset_prices(10), "asset-prices")
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+
+    _write_bronze_jsonl(src / "b.jsonl", fx.asset_prices(25)[10:], "asset-prices")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 25  # 10 old + 15 new, no dupes
+    assert got.select("price_timestamp").distinct().count() == 25

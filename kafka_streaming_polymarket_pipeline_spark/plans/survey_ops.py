@@ -892,3 +892,39 @@ def w1_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_value"),
         F.row_number().over(w).cast("long").alias("event_seq"),
     )
+
+
+@register(
+    "j2b_bucketed_interval_join",
+    oracle="""
+WITH windows AS (
+  SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end
+  FROM generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                       TIMESTAMP '2024-01-05 23:00:00',
+                       INTERVAL 1 HOUR) t(ws)
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM windows JOIN events ON ts >= window_start AND ts < window_end
+GROUP BY window_start
+""",
+)
+def j2b_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 scale path: the same interval correlation as j2_interval_join but
+    via time-bucket equi-keys (operators/rangejoin.py) — an equi-join that
+    shuffle-partitions instead of a nested-loop, so it survives interval
+    tables far beyond broadcast size. Same oracle as j2: identical output.
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import bucketed_interval_join
+
+    events = load(spark, sf_dir, "events")
+    base = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    windows = spark.range(24).select(
+        F.timestamp_seconds(F.unix_timestamp(base) + F.col("id") * 3600).alias("window_start"),
+        F.timestamp_seconds(F.unix_timestamp(base) + (F.col("id") + 1) * 3600).alias("window_end"),
+    )
+    joined = bucketed_interval_join(
+        events, windows, "ts", "window_start", "window_end", bucket_seconds=3600
+    )
+    return joined.groupBy("window_start").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )

@@ -72,3 +72,42 @@ def test_salted_agg_rejects_non_decomposable(spark):
     df = spark.range(5).select(F.lit("a").alias("k"), F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError):
         scale.salted_agg(df, ["k"], {"avg_v": F.avg("v")})
+
+
+def test_bucketed_interval_join_is_equi_not_nested_loop(spark):
+    from pyspark.sql import functions as F2
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import (
+        bucketed_interval_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(i, f"2024-01-05 {i % 24:02d}:30:00") for i in range(100)],
+        "fact_id long, ts_s string",
+    ).select("fact_id", F2.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(h, f"2024-01-05 {h:02d}:00:00", f"2024-01-05 {h:02d}:59:59") for h in range(24)],
+        "win long, s string, e string",
+    ).select(
+        "win",
+        F2.col("s").cast("timestamp").alias("start_ts"),
+        (F2.col("e").cast("timestamp") + F2.expr("INTERVAL 1 SECOND")).alias("end_ts"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_interval_join(facts, iv, "ts", "start_ts", "end_ts", bucket_seconds=3600)
+        rows = j.collect()
+        assert len(rows) == 100  # every fact matched exactly its hour window
+        assert all(r.win == r.fact_id % 24 for r in rows)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        # boundary semantics: a fact exactly at end_ts is excluded
+        edge = spark.createDataFrame([(0, "2024-01-05 01:00:00")], "fact_id long, ts_s string").select(
+            "fact_id", F2.col("ts_s").cast("timestamp").alias("ts")
+        )
+        hit = bucketed_interval_join(
+            edge, iv.filter("win = 0"), "ts", "start_ts", "end_ts", bucket_seconds=3600
+        )
+        assert hit.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -143,3 +143,47 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             )
 
     return media.select("media_id", "payload").mapInPandas(op, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32,
+                  fake: bool = False) -> DataFrame:
+    """Resize stage: payload in -> payload out at fixed dimensions (the
+    normalization step before feature extraction in a training-data
+    pipeline). Stubbed: the fake produces a deterministic byte buffer of
+    exactly width*height*3 bytes cycled from the source; a real impl swaps
+    in PIL/opencv inside the same mapInPandas shape."""
+
+    target = width * height * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv, not available in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+            out = []
+            for p in pdf["payload"]:
+                raw = bytes(p) or b"\x00"
+                reps = (target // len(raw)) + 1
+                out.append((raw * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(op, RESIZED_SCHEMA)

@@ -27,7 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_streaming_polymarket_pipeline_spark.operators.dedup import cosine
+
 
 NUM_PLANES = 12
 _DIM = 64

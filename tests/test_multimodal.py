@@ -53,3 +53,25 @@ def test_metadata_query_prunes_payload(media):
     plan = q.queryExecution if hasattr(q, "queryExecution") else None
     explained = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in explained
+
+
+def test_resize_images_fixed_buffer(spark, sf_smoke):
+    from kafka_streaming_polymarket_pipeline_spark.operators import multimodal as M
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    media = M.media_table_from_documents(load(spark, sf_smoke, "documents").limit(10))
+    out = M.resize_images(media, width=8, height=8, fake=True).collect()
+    assert len(out) == 10
+    assert all(len(r.payload) == 8 * 8 * 3 for r in out)
+    assert all(r.width == 8 and r.height == 8 for r in out)
+
+
+def test_resize_images_real_decode_raises(spark, sf_smoke):
+    import pytest as _pytest
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import multimodal as M
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    media = M.media_table_from_documents(load(spark, sf_smoke, "documents").limit(1))
+    with _pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        M.resize_images(media, fake=False).collect()

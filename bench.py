@@ -41,7 +41,7 @@ HEADLINE = [
 ]
 
 
-def streaming_throughput(spark, sf_dir: str, n_rows: int = 200_000) -> dict:
+def streaming_throughput(spark, sf_dir: str, n_rows: int = 1_000_000) -> dict:
     """End-to-end streaming pipeline throughput: bronze JSONL files ->
     file-source stream -> from_json silver parse -> 15-min OHLC candle agg
     -> noop sink, availableNow. This is the reference's whole data path
@@ -59,8 +59,18 @@ def streaming_throughput(spark, sf_dir: str, n_rows: int = 200_000) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     try:
-        # Materialize n_rows bronze-envelope JSONL rows from the events table.
-        events = load(spark, sf_dir, "events").limit(n_rows)
+        # Materialize n_rows bronze-envelope JSONL rows from the events table
+        # (replicated with shifted timestamps when the table is smaller, so
+        # the stream carries distinct event-time traffic, not one hot window).
+        base_events = load(spark, sf_dir, "events")
+        n_base = base_events.count()
+        reps = max(n_rows // max(n_base, 1), 1)
+        events = (
+            base_events.crossJoin(spark.range(reps).select(F.col("id").alias("_rep")))
+            .withColumn("ts", F.col("ts") + F.make_interval(hours=F.col("_rep") * 24))
+            .drop("_rep")
+            .limit(n_rows)
+        )
         payload = F.to_json(
             F.struct(
                 F.lit("BTC").alias("symbol"),

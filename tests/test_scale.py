@@ -111,3 +111,23 @@ def test_bucketed_interval_join_is_equi_not_nested_loop(spark):
         assert hit.count() == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_correct):
+    """Predicate pushdown + column pruning land in the physical scan:
+    PushedFilters carries the predicate, ReadSchema only the 3 used columns."""
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    df = (
+        load(spark, sf_correct, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "user_id", "value", "event_type"}

@@ -928,3 +928,83 @@ def j2b_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("window_start").agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+@register(
+    "w2_session_windows",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 50
+), ids AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM ids GROUP BY user_id, session_id
+""",
+)
+def w2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity gap) per user via
+    ``session_window`` — the reference's per-market session lifecycle (T4)
+    generalized to data-driven sessions. The oracle reproduces the exact
+    semantics with gaps-and-islands SQL; outputs key on session_start
+    (min event ts), the convention both models share."""
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+@register(
+    "a12_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(min(value), 4)                 AS v_min,
+       round(max(value), 4)                 AS v_max
+FROM events
+GROUP BY event_type
+""",
+)
+def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (latency/price distribution
+    features). ``percentile`` is the exact (sort-based) form so the oracle
+    hash-matches; at 100 TB swap to ``percentile_approx`` (t-digest sketch,
+    one pass, mergeable) and accept the documented error bound."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+    )
+
+
+@register("a13_approx_count_distinct", oracle=None)
+def a13_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct wallets per event type — the 100 TB form
+    of u3's exact count (register-merge is commutative: one narrow shuffle,
+    no distinct expansion). No SQL oracle: DuckDB's HLL yields a different
+    estimate by construction; tests assert the estimate lands within the
+    configured 1% rsd of the exact count instead."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -204,6 +204,27 @@ def consecutive_error_alerts(attempts: DataFrame) -> DataFrame:
     )
 
 
+# --- T6/A9: redelivery dedup within watermark ---
+
+def dedup_redeliveries(
+    bronze: DataFrame,
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("topic", "partition", "offset"),
+) -> DataFrame:
+    """At-least-once -> effectively-once: drop Kafka redeliveries by their
+    (topic, partition, offset) identity inside the watermark horizon.
+
+    The reference's bronze has no dedup key at all (init.sql:8-12, SERIAL
+    id — duplicates land on redelivery, SURVEY T6). Here the offset triple
+    the bronze envelope carries anyway is the identity;
+    ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
+    window, so state is bounded no matter how long the stream runs.
+    """
+    return bronze.withWatermark("kafka_timestamp", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 # --- A11: running message counters as observable metrics ---
 
 def with_counters(df: DataFrame, name: str = "counters") -> DataFrame:

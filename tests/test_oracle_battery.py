@@ -24,3 +24,26 @@ def test_query_matches_oracle_smoke(spark, sf_smoke, name):
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle_sf001(spark, sf_correct, name):
     check_query(spark, name, sf_correct)
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_correct):
+    """a13 has no SQL oracle (HLL implementations differ); assert the
+    estimate lands within ~3x the configured 1% rsd of the exact count."""
+    from kafka_streaming_polymarket_pipeline_spark import plans
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in plans.get("a13_approx_count_distinct").builder(spark, sf_correct).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, sf_correct, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(0.03 * exact[k], 2), (k, est, exact[k])

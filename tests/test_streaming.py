@@ -162,3 +162,15 @@ def test_consecutive_error_alerts_stateful(spark, tmp_path):
     out = jobs.run_available_now(jobs.consecutive_error_alerts(stream), "t_state", spark)
     alerts = sorted((r.consecutive_errors for r in out.collect()))
     assert alerts == [5, 5]  # 5th of first run, 5th of second run
+
+
+def test_dedup_redeliveries_drops_duplicate_offsets(spark, tmp_path):
+    """T6: the same (topic, partition, offset) delivered twice lands once."""
+    d = tmp_path / "bronze"
+    msgs = fx.asset_prices(5)
+    _write_bronze_jsonl(d / "a.jsonl", msgs, "asset-prices")
+    _write_bronze_jsonl(d / "b.jsonl", msgs, "asset-prices")  # full redelivery
+    stream = jobs.dedup_redeliveries(jobs.file_bronze_stream(spark, str(d)))
+    out = jobs.run_available_now(stream, "t_dedup", spark)
+    assert out.count() == 5
+    assert out.select("offset").distinct().count() == 5

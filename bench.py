@@ -38,6 +38,12 @@ HEADLINE = [
     "t1_token_stats",         # text analysis over documents
     "s1_ann_bruteforce_topk", # brute-force cosine top-k
     "s2_ann_ivf_topk",        # IVF-bucketed ANN (the scale path)
+    "j2b_bucketed_interval_join",  # range join via time-bucket equi-keys
+    "u3_distinct_agg",        # exact distinct aggregation
+    "u5_cube_revenue",        # CUBE grouping sets
+    "w1_running_sum",         # frame-based running window
+    "w2_session_windows",     # gap-based session windows
+    "a12_percentiles",        # exact percentile distribution
 ]
 
 

@@ -1,0 +1,88 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+A 100 TB corpus can't be split with ``rand()`` — re-runs must assign every
+document to the same split (reproducible experiments, incremental re-builds),
+and the split must be computable row-locally (no shuffle, no global state).
+Both operators key on an **engine-portable content hash** (md5 of
+``stratum:id``) so any engine — the DuckDB oracle included — reproduces the
+assignment bit-for-bit. Salting the hash with the stratum decorrelates split
+assignment across strata (doc 7 being 'test' for lang=en says nothing about
+doc 7 for lang=de).
+
+- :func:`hash_split`: constant train/validation/test tagging, map-only.
+- :func:`stratified_exact_sample`: *exactly* ceil(frac * n) rows per stratum,
+  chosen by hash order (deterministic, unbiased for hash-independent
+  content). One window shuffle on the stratum key; at 100 TB strata are
+  large and few, so the per-stratum sort is the cost — acceptable for
+  sample-building jobs, and the hash-bucket filter form (``bucket(id) <
+  frac * NUM_BUCKETS``, approximate counts, zero shuffle) is the map-only
+  alternative when exactness per stratum isn't required (that form is
+  exactly :func:`hash_split` with different cut points).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_BUCKETS = 100
+
+
+def _hash_key(id_col: Column, stratum_col: Column) -> Column:
+    """md5 of 'stratum:id' — the portable per-row sampling key."""
+    return F.md5(F.concat_ws(":", stratum_col.cast("string"), id_col.cast("string")))
+
+
+def split_bucket(id_col: Column, stratum_col: Column) -> Column:
+    """Deterministic bucket in [0, NUM_BUCKETS): first 8 hex digits of the
+    sampling key, mod NUM_BUCKETS."""
+    return F.conv(F.substring(_hash_key(id_col, stratum_col), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % NUM_BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    train: int = 80,
+    validation: int = 10,
+) -> DataFrame:
+    """Tag every row train/validation/test by its deterministic hash bucket
+    (train/validation percentages; the rest is test). Map-only: scales
+    linearly, re-runs reproduce the same assignment."""
+    b = split_bucket(F.col(id_col), F.col(stratum_col))
+    return df.select(
+        id_col,
+        stratum_col,
+        F.when(b < train, "train")
+        .when(b < train + validation, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Exactly ceil(fraction * n) rows per stratum, selected in sampling-key
+    order (deterministic; unbiased when content is hash-independent).
+    One window shuffle on the stratum; ties impossible (key includes id)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash_key(F.col(id_col), F.col(stratum_col)), F.col(id_col)
+    )
+    wn = Window.partitionBy(stratum_col)
+    return (
+        df.select(
+            id_col,
+            stratum_col,
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(wn).alias("_n"),
+        )
+        .filter(F.col("_rn") <= F.ceil(fraction * F.col("_n")))
+        .select(id_col, stratum_col)
+    )

@@ -122,6 +122,79 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# BPE-ish pre-tokenization: letter runs | digit runs | single non-space
+# symbol — the coarse split BPE vocabularies train over. Kept to a regex
+# class-subset both Spark (Java regex) and DuckDB (RE2) interpret
+# identically.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (letter runs, digit runs, single symbols)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
+# Winnowing (Schleimer et al., SIGMOD 2003): from the rolling k-gram hash
+# sequence, keep the minimum hash of every w-hash window (rightmost min on
+# ties). Guarantees every match of length >= w+k-1 shares a fingerprint
+# while storing ~2/(w+1) of the hashes.
+WINNOW_POS_LIMIT = 100_000  # > max grams per doc; packs (hash, pos) into one long
+
+
+def _gram_hash(gram: Column) -> Column:
+    """Portable 32-bit k-gram hash: first 8 hex digits of md5 (the DuckDB
+    oracle reproduces it exactly; xxhash64 would be Spark-only)."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 5, w: int = 4
+):
+    """Winnowing fingerprint rows (doc_id, pos, fp) — the selected k-gram
+    hashes and their 1-based positions.
+
+    Shape: explode k-grams with position (one shuffle-free map), then a
+    per-doc window min over [current, w-1 following] with the (hash, pos)
+    pair packed into a single long — min gives the smallest hash and, on
+    ties, the rightmost position, matching the robust-winnowing rule.
+    Per-doc state is the w-row frame; scales linearly in corpus size.
+    """
+    from pyspark.sql import Window
+
+    idx = F.sequence(F.lit(1), F.length(text_col) - (k - 1))
+    grams = df.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(k)))),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("gram"))
+    packed = grams.select(
+        "doc_id",
+        "pos",
+        (_gram_hash(F.col("gram")) * WINNOW_POS_LIMIT
+         + (F.lit(WINNOW_POS_LIMIT - 1) - F.col("pos"))).alias("hp"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        packed.select(
+            "doc_id", "pos", "n_grams", F.min("hp").over(frame).alias("hp")
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))  # full windows only
+        .select("doc_id", "hp")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(WINNOW_POS_LIMIT - 1) - F.col("hp") % WINNOW_POS_LIMIT).alias("pos"),
+        F.expr(f"hp div {WINNOW_POS_LIMIT}").alias("fp"),
+    )
+
+
 def rolling_hash(text: Column) -> Column:
     """Polynomial rolling hash over character codes:
     ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) % 1_000_000_007)`` —

@@ -21,6 +21,7 @@ def _load_all() -> None:
         dedup_plans,
         gold,
         relational,
+        sampling_plans,
         similarity_plans,
         survey_ops,
         text_plans,

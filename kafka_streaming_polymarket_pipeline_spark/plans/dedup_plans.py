@@ -94,6 +94,50 @@ FROM digits GROUP BY doc_id
 """
 
 
+@register(
+    "d6_neardup_clusters",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def d6_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH verified
+    pair graph (identical to the exact pair graph — see d3) via iterative
+    min-label propagation; cluster_id = min reachable doc_id, singletons
+    included. The oracle computes the same transitive closure with a
+    recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5, n=5)
+    return D.neardup_clusters(docs, pairs)
+
+
 @register("d4_simhash", oracle=_simhash_oracle())
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature (hex) per document from token-md5 bit

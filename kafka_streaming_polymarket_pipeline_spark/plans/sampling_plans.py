@@ -1,0 +1,51 @@
+"""Deterministic split / stratified-sampling queries over documents.
+
+Training-data ops beyond the reference surface (it has no corpus tooling);
+both are keyed on an engine-portable md5 sampling key so the DuckDB oracle
+reproduces every assignment exactly — no rand(), no seed-dependent engine
+RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streaming_polymarket_pipeline_spark.operators import sampling as S
+from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+_KEY = "md5(concat_ws(':', lang, CAST(doc_id AS VARCHAR)))"
+_BUCKET = f"('0x' || substr({_KEY}, 1, 8))::BIGINT % 100"
+
+
+@register(
+    "x1_hash_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def x1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split, stratified-salted
+    (hash of lang:doc_id) — map-only, reproducible across runs and engines."""
+    return S.hash_split(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "x2_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_KEY}, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+""",
+)
+def x2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ceil(10% * n) docs per language, chosen by sampling-key order
+    — deterministic stratified sampling with exact per-stratum counts."""
+    return S.stratified_exact_sample(load(spark, sf_dir, "documents"), fraction=0.1)

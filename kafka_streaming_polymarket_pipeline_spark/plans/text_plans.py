@@ -188,3 +188,59 @@ def m1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(blob).cast("long").alias("byte_len"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("head_hex"),
     )
+
+
+@register(
+    "t6_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+)
+def t6_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens and BPE-style pre-tokens
+    (letter runs | digit runs | single symbols — the split BPE vocabularies
+    train over). Pattern kept to a regex subset Java regex and RE2 read
+    identically."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "t7_winnow_fingerprints",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substr(text, CAST(i AS INT), 5) AS gram,
+         CAST(len(text) - 4 AS BIGINT) AS n_grams
+  FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text) - 3, 1))) AS i
+        FROM documents WHERE len(text) >= 8)
+), packed AS (
+  SELECT doc_id, pos, n_grams,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT * {T.WINNOW_POS_LIMIT}
+           + ({T.WINNOW_POS_LIMIT - 1} - pos) AS hp
+  FROM grams
+), sel AS (
+  SELECT DISTINCT doc_id,
+         min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS hp
+  FROM packed
+  QUALIFY pos <= n_grams - 3
+)
+SELECT doc_id,
+       {T.WINNOW_POS_LIMIT - 1} - hp % {T.WINNOW_POS_LIMIT} AS pos,
+       hp // {T.WINNOW_POS_LIMIT} AS fp
+FROM sel
+""",
+)
+def t7_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): min 5-gram hash
+    per 4-hash window, rightmost on ties — every match of length >= 8 chars
+    shares a fingerprint while storing ~2/(w+1) of the hashes."""
+    return T.winnow_fingerprints(load(spark, sf_dir, "documents"), k=5, w=4)

@@ -80,6 +80,27 @@ def test_simhash_near_pairs(planted):
     assert (3, 4) not in pairs  # unrelated docs don't pair
 
 
+def test_neardup_clusters_components(spark):
+    # Chain 0-1-2-3 (forces multiple propagation rounds), pair {10,11},
+    # singletons 20, 21.
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_neardup_clusters_on_planted(planted):
+    pairs = D.ngram_jaccard_pairs(planted, threshold=0.5)
+    got = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters(planted, pairs).collect()}
+    # 0,1 exact dup + 2,5 near-dups of 0 -> one cluster rooted at 0;
+    # 3 and 4 are unrelated singletons.
+    assert got == {0: 0, 1: 0, 2: 0, 5: 0, 3: 3, 4: 4}
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

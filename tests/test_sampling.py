@@ -1,0 +1,52 @@
+"""Semantics tests for deterministic split/sampling operators: exact
+per-stratum counts, reproducibility, and stratum-salt decorrelation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import sampling as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_split_is_deterministic_and_total(corpus):
+    a = {r["doc_id"]: r["split"] for r in S.hash_split(corpus).collect()}
+    b = {r["doc_id"]: r["split"] for r in S.hash_split(corpus).collect()}
+    assert a == b and len(a) == 300
+    # 80/10/10 within coarse tolerance at n=300
+    n_train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 * 300 < n_train < 0.9 * 300
+
+
+def test_hash_split_stratum_salt_decorrelates(spark):
+    # Same ids, two strata: assignments must differ for some ids (the salt
+    # makes split(doc, en) independent of split(doc, de)).
+    df_en = spark.createDataFrame([(i, "en") for i in range(200)], "doc_id long, lang string")
+    df_de = spark.createDataFrame([(i, "de") for i in range(200)], "doc_id long, lang string")
+    en = {r["doc_id"]: r["split"] for r in S.hash_split(df_en).collect()}
+    de = {r["doc_id"]: r["split"] for r in S.hash_split(df_de).collect()}
+    assert any(en[i] != de[i] for i in range(200))
+
+
+def test_stratified_exact_sample_counts(corpus):
+    for frac in (0.1, 0.25):
+        got = S.stratified_exact_sample(corpus, frac).groupBy("lang").count().collect()
+        per = {r["lang"]: r["count"] for r in got}
+        assert per == {lang: math.ceil(frac * 100) for lang in ("en", "de", "fr")}
+
+
+def test_stratified_sample_is_nested(corpus):
+    # A smaller fraction's sample is a prefix (subset) of a larger one —
+    # hash-order selection gives monotone samples, which incremental
+    # dataset builds rely on.
+    small = {tuple(r) for r in S.stratified_exact_sample(corpus, 0.1).collect()}
+    big = {tuple(r) for r in S.stratified_exact_sample(corpus, 0.3).collect()}
+    assert small < big

@@ -1,0 +1,48 @@
+"""Semantic tests for tokenization and winnowing fingerprints (oracle
+parity is the battery's job; these prove the documented guarantees)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import text as T
+
+
+def test_bpe_tokens_split_classes(spark):
+    df = spark.createDataFrame([("don't add 42 tokens!",)], "text string")
+    got = df.select(T.bpe_tokens(F.col("text")).alias("t")).first()["t"]
+    assert got == ["don", "'", "t", "add", "42", "tokens", "!"]
+    ws = df.select(T.token_count(F.col("text"))).first()[0]
+    assert ws == 4
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # Winnowing guarantee: any match of length >= w + k - 1 (= 8 here)
+    # yields at least one common selected hash.
+    common = "abcdefghijklmnop"  # length 16 shared run
+    rows = [(1, "XXXX" + common + "YYYY"), (2, "QQ" + common + "ZZZZZZ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = T.winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+
+
+def test_winnow_density_and_positions(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again" * 3
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fps = T.winnow_fingerprints(df, k=5, w=4).collect()
+    n_grams = len(text) - 4
+    # Expected density ~ 2/(w+1) = 0.4; allow generous slack both ways.
+    assert 0.1 * n_grams < len(fps) < 0.7 * n_grams
+    assert all(1 <= r["pos"] <= n_grams for r in fps)
+    # Deterministic across runs
+    again = T.winnow_fingerprints(df, k=5, w=4).collect()
+    assert sorted(map(tuple, fps)) == sorted(map(tuple, again))
+
+
+def test_winnow_short_doc_excluded(spark):
+    df = spark.createDataFrame([(1, "abcdefg")], "doc_id long, text string")  # len 7 < 8
+    assert T.winnow_fingerprints(df, k=5, w=4).count() == 0

@@ -36,6 +36,7 @@ HEADLINE = [
     "d1_exact_dedup",         # exact dedup (hash groupBy)
     "d3_minhash_lsh",         # MinHash+LSH near-dup
     "t1_token_stats",         # text analysis over documents
+    "t7_winnow_fingerprints", # winnowing fingerprints (window min per doc)
     "s1_ann_bruteforce_topk", # brute-force cosine top-k
     "s2_ann_ivf_topk",        # IVF-bucketed ANN (the scale path)
     "j2b_bucketed_interval_join",  # range join via time-bucket equi-keys

@@ -200,6 +200,28 @@ def minhash_lsh_dedup(
         .drop("k")
     )
 
+    hashed = _hashed_shingle_arrays(df, id_col, text_col, n)
+    survivors = _est_filter(cand, sigs)
+    return _verify_jaccard(survivors, hashed, threshold)
+
+
+def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Persisted (doc_id, hashed-shingle array, sz) for the verify stage.
+    64-bit hashes, not strings: same intersection counts (cross-collision
+    odds ~|A||B|/2^64 ~ 5e-15 per pair) at a fraction of the comparison
+    cost, and the cached rows are ~6x smaller."""
+    from pyspark.storagelevel import StorageLevel
+
+    return doc_shingle_arrays(df, id_col, text_col, n).select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"),
+        "sz",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _est_filter(cand: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Signature-agreement estimate over candidate pairs: keep pairs whose
+    128-column agreement >= EST_MARGIN (codegen'd comparisons, no text)."""
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)]
     )
@@ -209,22 +231,16 @@ def minhash_lsh_dedup(
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM)
     )
-    survivors = (
+    return (
         cand.join(F.broadcast(sig_a), "doc_id_a")
         .join(F.broadcast(sig_b), "doc_id_b")
         .filter(est >= F.lit(int(EST_MARGIN * NUM_PERM)))
         .select("doc_id_a", "doc_id_b")
     )
 
-    # Verify on 64-bit shingle hashes, not strings: same intersection counts
-    # (cross-collision odds ~|A||B|/2^64 ~ 5e-15 per pair) at a fraction of
-    # the comparison cost; persisting the hashed (not string) arrays keeps
-    # the cached rows ~6x smaller.
-    hashed = doc_shingle_arrays(df, id_col, text_col, n).select(
-        "doc_id",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"),
-        "sz",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+def _verify_jaccard(pairs: DataFrame, hashed: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs on hashed shingle arrays."""
     sh_a = hashed.select(
         F.col("doc_id").alias("doc_id_a"), F.col("hsh").alias("sh_a"), F.col("sz").alias("sz_a")
     )
@@ -234,11 +250,63 @@ def minhash_lsh_dedup(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        survivors.join(F.broadcast(sh_a), "doc_id_a")
+        pairs.join(F.broadcast(sh_a), "doc_id_a")
         .join(F.broadcast(sh_b), "doc_id_b")
         .filter(jac >= threshold)  # unrounded, same predicate as the oracle
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame, new: DataFrame, threshold: float = 0.5, n: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs *touching a new batch*, against an already-indexed
+    corpus — the incremental form a 100 TB pipeline actually runs: the
+    corpus's signatures, band buckets, and hashed shingle arrays are
+    maintained as bucketed tables across batches (here built inline from
+    ``corpus``; at scale they are parquet reads), so per-batch work is
+    O(|new|) signature computation + bucket probes of the index, never a
+    re-scan of the corpus text.
+
+    Candidates = (new x corpus buckets) ∪ (new x new buckets); each pair
+    surfaces exactly once per matching band (corpus buckets hold no new
+    docs, and new-new pairs are ordered), so the band-count >= MIN_BANDS
+    cut has identical exactness to the batch funnel. Output pairs are
+    canonicalized doc_id_a < doc_id_b and equal the batch pair set
+    restricted to pairs with at least one new doc.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    corpus_sigs = minhash_signatures(shingle_index(corpus, id_col, text_col, n))
+    new_sigs = minhash_signatures(shingle_index(new, id_col, text_col, n))
+    sigs = corpus_sigs.union(new_sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_buckets = _band_buckets(corpus_sigs)
+    new_buckets = _band_buckets(new_sigs)
+
+    nb = new_buckets.select(F.col("doc_id").alias("nid"), "band_id", "band_hash")
+    cb = corpus_buckets.select(F.col("doc_id").alias("cid"), "band_id", "band_hash")
+    new_corpus = nb.join(cb, ["band_id", "band_hash"]).select(
+        F.least("nid", "cid").alias("doc_id_a"), F.greatest("nid", "cid").alias("doc_id_b")
+    )
+    nb2 = new_buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
+    new_new = (
+        new_buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
+        .join(nb2, ["band_id", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+    cand = (
+        new_corpus.union(new_new)
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") >= MIN_BANDS)
+        .drop("k")
+    )
+
+    all_docs = corpus.select(id_col, text_col).union(new.select(id_col, text_col))
+    hashed = _hashed_shingle_arrays(all_docs, id_col, text_col, n)
+    return _verify_jaccard(_est_filter(cand, sigs), hashed, threshold)
 
 
 # --- Near-dup clustering (connected components) -----------------------------

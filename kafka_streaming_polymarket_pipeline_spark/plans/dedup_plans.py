@@ -68,6 +68,44 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(load(spark, sf_dir, "documents"), threshold=0.5, n=5)
 
 
+@register(
+    "d7_incremental_neardup",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard FROM (
+  SELECT doc_id_a, doc_id_b, i / (sa.n + sb.n - i) AS j
+  FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+) WHERE j >= 0.5 AND (doc_id_a % 10 = 7 OR doc_id_b % 10 = 7)
+""",
+)
+def d7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: docs with doc_id % 10 = 7 play the 'new batch';
+    the rest is the indexed corpus. Pairs touching the new batch, found by
+    probing the corpus's band buckets with only the new docs' signatures —
+    per-batch cost O(|new|), the form a 100 TB pipeline runs continuously.
+    Oracle = the exact pair set restricted to pairs with a new-batch doc."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return D.minhash_lsh_incremental(corpus, new, threshold=0.5, n=5)
+
+
 def _simhash_oracle() -> str:
     return """
 WITH tok AS (

@@ -80,6 +80,23 @@ def test_simhash_near_pairs(planted):
     assert (3, 4) not in pairs  # unrelated docs don't pair
 
 
+def test_incremental_matches_batch_restriction(planted):
+    # Split planted docs: {2, 5} arrive as the new batch. Incremental pairs
+    # must equal the full batch pair set restricted to pairs touching 2 or 5.
+    new = planted.filter(F.col("doc_id").isin(2, 5))
+    corpus = planted.filter(~F.col("doc_id").isin(2, 5))
+    full = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(planted, 0.5).collect()
+    }
+    expected = {p: j for p, j in full.items() if p[0] in (2, 5) or p[1] in (2, 5)}
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_incremental(corpus, new, 0.5).collect()
+    }
+    assert got == expected and expected
+
+
 def test_neardup_clusters_components(spark):
     # Chain 0-1-2-3 (forces multiple propagation rounds), pair {10,11},
     # singletons 20, 21.

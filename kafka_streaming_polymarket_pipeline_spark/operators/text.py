@@ -157,38 +157,36 @@ def winnow_fingerprints(
     """Winnowing fingerprint rows (doc_id, pos, fp) — the selected k-gram
     hashes and their 1-based positions.
 
-    Shape: explode k-grams with position (one shuffle-free map), then a
-    per-doc window min over [current, w-1 following] with the (hash, pos)
-    pair packed into a single long — min gives the smallest hash and, on
-    ties, the rightmost position, matching the robust-winnowing rule.
-    Per-doc state is the w-row frame; scales linearly in corpus size.
+    Entirely row-local: k-gram hashes and the per-window minima are array
+    expressions over each document, with the (hash, pos) pair packed into
+    one long — min gives the smallest hash and, on ties, the rightmost
+    position (the robust-winnowing rule). The obvious alternative (explode
+    grams, per-doc window min over [current, w-1 following]) produces the
+    identical result (measured equal at sf0.1) but exchanges every gram
+    row on doc_id for the window sort — ~5 rows shuffled per input char,
+    which at corpus scale is the whole job. This form shuffles nothing
+    and parallelizes purely by input split.
     """
-    from pyspark.sql import Window
-
-    idx = F.sequence(F.lit(1), F.length(text_col) - (k - 1))
-    grams = df.filter(F.length(text_col) >= k + w - 1).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(k)))),
-    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("gram"))
-    packed = grams.select(
-        "doc_id",
-        "pos",
-        (_gram_hash(F.col("gram")) * WINNOW_POS_LIMIT
-         + (F.lit(WINNOW_POS_LIMIT - 1) - F.col("pos"))).alias("hp"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    n_grams = F.length(text_col) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.col(text_col).substr(i, F.lit(k))
     )
-    frame = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    # i is the 0-based element index -> 1-based gram position is i+1
+    hp = F.transform(
+        grams,
+        lambda g, i: _gram_hash(g) * WINNOW_POS_LIMIT
+        + (F.lit(WINNOW_POS_LIMIT - 1) - (i + 1)),
     )
-    sel = (
-        packed.select(
-            "doc_id", "pos", "n_grams", F.min("hp").over(frame).alias("hp")
+    base = df.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col).alias("doc_id"), hp.alias("hp"), n_grams.alias("n_grams")
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_grams") - (w - 1)),
+            lambda i: F.array_min(F.slice("hp", i, w)),
         )
-        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))  # full windows only
-        .select("doc_id", "hp")
-        .distinct()
     )
-    return sel.select(
+    return base.select("doc_id", F.explode(sel).alias("hp")).select(
         "doc_id",
         (F.lit(WINNOW_POS_LIMIT - 1) - F.col("hp") % WINNOW_POS_LIMIT).alias("pos"),
         F.expr(f"hp div {WINNOW_POS_LIMIT}").alias("fp"),

@@ -43,6 +43,22 @@ def test_winnow_density_and_positions(spark):
     assert sorted(map(tuple, fps)) == sorted(map(tuple, again))
 
 
+def test_winnow_plan_is_shuffle_free(spark):
+    # The scale property the implementation exists for: no Exchange anywhere
+    # — fingerprints parallelize purely by input split.
+    df = spark.createDataFrame([(1, "abcdefghij" * 5)], "doc_id long, text string")
+    plan = T.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_plan_is_shuffle_free(spark):
+    from kafka_streaming_polymarket_pipeline_spark.operators import sampling as S
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = S.hash_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_winnow_short_doc_excluded(spark):
     df = spark.createDataFrame([(1, "abcdefg")], "doc_id long, text string")  # len 7 < 8
     assert T.winnow_fingerprints(df, k=5, w=4).count() == 0

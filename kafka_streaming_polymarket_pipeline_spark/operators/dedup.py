@@ -339,9 +339,14 @@ def neardup_clusters(
     driver-side count of changed labels; the loop is driver-coordinated but
     all data stays distributed.
     """
+    # Materialize the edge list once: every propagation round (and each
+    # round's convergence count) re-reads it, and without this the entire
+    # upstream pair computation (e.g. the LSH funnel) would re-execute
+    # per action — measured minutes instead of seconds at sf0.1.
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     ).union(pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
 
     labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("lab"))
     labels = labels.localCheckpoint(eager=True)

@@ -33,7 +33,7 @@ from kafka_streaming_polymarket_pipeline_spark.operators.text import char_shingl
 
 # --- MinHash parameters (fixed seed so signatures are reproducible) -------
 NUM_PERM = 128
-BANDS = 64  # rows per band r = NUM_PERM // BANDS = 2
+BANDS = 64  # default banding: 64 bands x r=2 rows (threshold >= 0.5 regime)
 _MERSENNE_P = 4_294_967_311  # prime > 2^32
 _rng = random.Random(42)
 _PERM_A = [_rng.randrange(1, 1 << 30) for _ in range(NUM_PERM)]
@@ -113,14 +113,15 @@ def minhash_signatures(index: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
-def _band_buckets(signatures: DataFrame) -> DataFrame:
-    r = NUM_PERM // BANDS
+def _band_buckets(signatures: DataFrame, rows: int = 2) -> DataFrame:
+    r = rows
+    n_bands = NUM_PERM // r
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
             F.xxhash64(*[F.col(f"m{b * r + i}") for i in range(r)]).alias("band_hash"),
         )
-        for b in range(BANDS)
+        for b in range(n_bands)
     ])
     return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_hash").alias("band_hash")
@@ -142,20 +143,59 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-# Signature-estimate prefilter margin: a true J>=0.5 pair agrees on
-# Binomial(128, >=0.5) positions; P(agreement < 0.30*128) < 4e-6, so
-# filtering candidates at est>=0.30 keeps the verified output equal to the
-# exact pair set while discarding the background (J~0.1-0.25) mass that
-# r=2 banding lets through.
-EST_MARGIN = 0.30
+# Prefilter miss budget: each exactness-preserving cut (band-count,
+# signature-estimate) is sized so a true J>=threshold pair slips past it
+# with probability <= ~3e-6 — the same order as the banding's own inherent
+# miss. At threshold=0.5 the derivation below reproduces round-1's
+# hand-calibrated constants exactly (min_bands=3, est cutoff 38/128).
+_MISS_BUDGET = 3e-6
 
-# Band-agreement prefilter: a true J>=0.5 pair matches each of the 64 bands
-# independently with prob J^2 >= 0.25, so its band-match count k is
-# Binomial(64, >=0.25) and P(k < 3) < 2.5e-6 — the same order as the
-# EST_MARGIN miss bound. Requiring k >= MIN_BANDS keeps output exactness
-# while the count aggregation collapses candidate multiplicity *before* the
-# wide signature comparison (measured 6x fewer est rows, ~30% faster d3).
-MIN_BANDS = 3
+
+def _binom_cdf(k: int, n: int, p: float) -> float:
+    """Exact P(X <= k) for X ~ Binomial(n, p) (n <= 128 here)."""
+    import math
+
+    return sum(math.comb(n, i) * p**i * (1 - p) ** (n - i) for i in range(k + 1))
+
+
+def _lsh_params(threshold: float) -> tuple[int, int, int]:
+    """(rows-per-band, min_bands, est_cutoff) derived from the Jaccard
+    threshold so the documented 'output equals ngram_jaccard_pairs'
+    contract holds for any legal threshold, not just the 0.5 the module
+    constants were once calibrated for.
+
+    - rows r: 2 for threshold >= 0.5, where the banding miss probability
+      (1 - t^2)^64 <= 1e-8; 1 for 0.2 <= t < 0.5, where r=2 banding would
+      silently miss up to (1-t^2)^64 ~ 2e-4 of true pairs — r=1 restores
+      miss <= (1-t)^128 <= 4e-13 at the cost of fatter buckets (the
+      correct trade: exactness is the contract, speed is the knob).
+    - min_bands: the largest m with P(Binomial(bands, t^r) < m) <= 3e-6 —
+      a true pair matches each band independently with prob >= t^r.
+    - est_cutoff: 128-column agreement for a true pair is
+      Binomial(128, >=t); cutoff = floor(mean - 4.5 sd), one-sided
+      P(below) < 4e-6.
+    """
+    import math
+
+    if threshold < 0.2:
+        raise ValueError(
+            f"minhash LSH threshold {threshold} < 0.2: even r=1 banding cannot "
+            "guarantee the exact-output contract there; use ngram_jaccard_pairs "
+            "(exact, quadratic) for very-low-similarity sweeps"
+        )
+    rows = 2 if threshold >= 0.5 else 1
+    bands = NUM_PERM // rows
+    p_band = threshold**rows
+    min_bands = 1
+    for m in range(2, bands + 1):
+        if _binom_cdf(m - 1, bands, p_band) <= _MISS_BUDGET:
+            min_bands = m
+        else:
+            break
+    mean = NUM_PERM * threshold
+    sd = math.sqrt(NUM_PERM * threshold * (1 - threshold))
+    est_cutoff = max(1, math.floor(mean - 4.5 * sd))
+    return rows, min_bands, est_cutoff
 
 
 def minhash_lsh_dedup(
@@ -166,7 +206,7 @@ def minhash_lsh_dedup(
 
     Funnel: band buckets propose candidate pairs (high recall: miss
     ~1e-8/pair at J>=0.5 with 64x2 banding) -> band-match count collapses
-    multiplicity and drops pairs matching < MIN_BANDS bands (one narrow
+    multiplicity and drops pairs matching < min_bands bands (one narrow
     shuffle; a templated corpus's junk mass sits at k=1..2 while true pairs
     have k ~ 16+) -> signature-agreement estimate discards remaining
     low-similarity candidates (128 codegen'd column comparisons, no text
@@ -177,7 +217,7 @@ def minhash_lsh_dedup(
     Physical notes: the count aggregation shuffles only (doc_id_a,
     doc_id_b) pairs — measured ~4 s for 25M rows vs the ~6x it saves on
     the wide est join (whose input drops from every bucket-co-occurrence
-    row to distinct pairs with k >= MIN_BANDS). Signatures and hashed
+    row to distinct pairs with k >= min_bands). Signatures and hashed
     shingle arrays are persisted (each feeds two join sides) and broadcast
     (MBs at bench scale); on a 1000-executor corpus where they outgrow
     broadcast, drop the hint and the joins become shuffle-hash on doc_id —
@@ -185,10 +225,11 @@ def minhash_lsh_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
+    rows, min_bands, est_cutoff = _lsh_params(threshold)
     index = shingle_index(df, id_col, text_col, n)
     sigs = minhash_signatures(index).persist(StorageLevel.MEMORY_AND_DISK)
 
-    buckets = _band_buckets(sigs)
+    buckets = _band_buckets(sigs, rows)
     left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
     right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
     cand = (
@@ -196,12 +237,12 @@ def minhash_lsh_dedup(
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").alias("k"))
-        .filter(F.col("k") >= MIN_BANDS)
+        .filter(F.col("k") >= min_bands)
         .drop("k")
     )
 
     hashed = _hashed_shingle_arrays(df, id_col, text_col, n)
-    survivors = _est_filter(cand, sigs)
+    survivors = _est_filter(cand, sigs, est_cutoff)
     return _verify_jaccard(survivors, hashed, threshold)
 
 
@@ -219,9 +260,10 @@ def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) ->
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def _est_filter(cand: DataFrame, sigs: DataFrame) -> DataFrame:
+def _est_filter(cand: DataFrame, sigs: DataFrame, est_cutoff: int) -> DataFrame:
     """Signature-agreement estimate over candidate pairs: keep pairs whose
-    128-column agreement >= EST_MARGIN (codegen'd comparisons, no text)."""
+    128-column agreement >= est_cutoff (codegen'd comparisons, no text);
+    the cutoff comes from _lsh_params so it tracks the caller's threshold."""
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)]
     )
@@ -234,7 +276,7 @@ def _est_filter(cand: DataFrame, sigs: DataFrame) -> DataFrame:
     return (
         cand.join(F.broadcast(sig_a), "doc_id_a")
         .join(F.broadcast(sig_b), "doc_id_b")
-        .filter(est >= F.lit(int(EST_MARGIN * NUM_PERM)))
+        .filter(est >= F.lit(est_cutoff))
         .select("doc_id_a", "doc_id_b")
     )
 
@@ -271,18 +313,19 @@ def minhash_lsh_incremental(
 
     Candidates = (new x corpus buckets) ∪ (new x new buckets); each pair
     surfaces exactly once per matching band (corpus buckets hold no new
-    docs, and new-new pairs are ordered), so the band-count >= MIN_BANDS
+    docs, and new-new pairs are ordered), so the band-count >= min_bands
     cut has identical exactness to the batch funnel. Output pairs are
     canonicalized doc_id_a < doc_id_b and equal the batch pair set
     restricted to pairs with at least one new doc.
     """
     from pyspark.storagelevel import StorageLevel
 
+    rows, min_bands, est_cutoff = _lsh_params(threshold)
     corpus_sigs = minhash_signatures(shingle_index(corpus, id_col, text_col, n))
     new_sigs = minhash_signatures(shingle_index(new, id_col, text_col, n))
     sigs = corpus_sigs.union(new_sigs).persist(StorageLevel.MEMORY_AND_DISK)
-    corpus_buckets = _band_buckets(corpus_sigs)
-    new_buckets = _band_buckets(new_sigs)
+    corpus_buckets = _band_buckets(corpus_sigs, rows)
+    new_buckets = _band_buckets(new_sigs, rows)
 
     nb = new_buckets.select(F.col("doc_id").alias("nid"), "band_id", "band_hash")
     cb = corpus_buckets.select(F.col("doc_id").alias("cid"), "band_id", "band_hash")
@@ -300,13 +343,13 @@ def minhash_lsh_incremental(
         new_corpus.union(new_new)
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").alias("k"))
-        .filter(F.col("k") >= MIN_BANDS)
+        .filter(F.col("k") >= min_bands)
         .drop("k")
     )
 
     all_docs = corpus.select(id_col, text_col).union(new.select(id_col, text_col))
     hashed = _hashed_shingle_arrays(all_docs, id_col, text_col, n)
-    return _verify_jaccard(_est_filter(cand, sigs), hashed, threshold)
+    return _verify_jaccard(_est_filter(cand, sigs, est_cutoff), hashed, threshold)
 
 
 # --- Near-dup clustering (connected components) -----------------------------
@@ -427,16 +470,40 @@ def hamming_hex(a: Column, b: Column) -> Column:
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 6, **kw) -> DataFrame:
-    """SimHash near-dup pairs: bucket on each of 4 16-bit sub-signatures
-    (a pair within hamming<=6 of 64 bits shares at least one exact 16-bit
-    quarter when differing bits spread; standard simhash blocking), then
-    verify true hamming distance."""
-    sig = simhash_signatures(df, **kw)
-    quarters = F.array(*[
-        F.struct(F.lit(q).alias("q"), F.substring("simhash", 1 + q * 4, 4).alias("qh"))
-        for q in range(4)
+    """SimHash near-dup pairs: Manku-style blocking then exact verify.
+
+    Recall guarantee by pigeonhole: the 64 signature bits are split into
+    ``max_hamming + 1`` blocks, so any pair differing in <= max_hamming bits
+    agrees *exactly* on at least one block — however the differing bits are
+    spread (Manku, Jain, Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007). Candidates = same-(block, block-bits) bucket
+    equi-join; true hamming distance is then verified, so the output is
+    exactly the hamming <= max_hamming pair set. More blocks (higher
+    max_hamming) means shorter block keys and fatter buckets — the standard
+    recall/candidate-mass trade, but never silent misses.
+    """
+    return simhash_pairs_from_signatures(simhash_signatures(df, **kw), max_hamming)
+
+
+def simhash_pairs_from_signatures(sig: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Blocking + verify over a precomputed (doc_id, simhash-hex) frame.
+    Split out so planted-signature tests can exercise the recall guarantee
+    directly."""
+    n_blocks = min(max_hamming + 1, 64)
+    # 64-bit binary expansion (conv is unsigned-64 internally, so 16 hex
+    # chars round-trip losslessly); block q = its bit substring.
+    bits = F.lpad(F.conv(F.col("simhash"), 16, 2), 64, "0")
+    base, rem = divmod(64, n_blocks)
+    starts, pos = [], 1
+    for q in range(n_blocks):
+        width = base + (1 if q < rem else 0)
+        starts.append((pos, width))
+        pos += width
+    blocks = F.array(*[
+        F.struct(F.lit(q).alias("q"), F.substring(bits, s, w).alias("qh"))
+        for q, (s, w) in enumerate(starts)
     ])
-    buckets = sig.select("doc_id", "simhash", F.explode(quarters).alias("bk")).select(
+    buckets = sig.select("doc_id", "simhash", F.explode(blocks).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.q").alias("q"), F.col("bk.qh").alias("qh")
     )
     left = buckets.select(

@@ -56,6 +56,32 @@ def test_minhash_lsh_matches_exact(planted):
     assert lsh == exact and exact  # finds the same non-empty pair set
 
 
+def test_lsh_params_reproduce_calibrated_constants():
+    # threshold=0.5 must reproduce round-1's hand-calibrated prefilters
+    # exactly (r=2, min_bands=3, est cutoff 38/128) so registered-query
+    # hashes are unchanged by the derivation.
+    assert D._lsh_params(0.5) == (2, 3, 38)
+
+
+def test_minhash_lsh_low_threshold_matches_exact(planted):
+    # threshold=0.35 sits below the r=2 banding regime; the derived r=1
+    # params must keep the exact-output contract (this call silently
+    # dropped true pairs when the prefilters were fixed 0.5-calibrated
+    # constants).
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in D.ngram_jaccard_pairs(planted, 0.35).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in D.minhash_lsh_dedup(planted, 0.35).collect()
+    }
+    assert lsh == exact and len(exact) > 3  # wider than the 0.5 pair set
+
+
+def test_minhash_lsh_rejects_unguaranteeable_threshold(planted):
+    with pytest.raises(ValueError, match="threshold"):
+        D.minhash_lsh_dedup(planted, threshold=0.1)
+
+
 def test_simhash_near_dups_close(planted):
     sig = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(planted).collect()}
     assert all(len(s) == 16 for s in sig.values())
@@ -78,6 +104,36 @@ def test_simhash_near_pairs(planted):
     }
     assert pairs.get((0, 1)) == 0  # exact dup at distance 0
     assert (3, 4) not in pairs  # unrelated docs don't pair
+
+
+def test_simhash_blocking_finds_spread_bits(spark):
+    # 4 differing bits, one in each 16-bit quarter — the exact case naive
+    # 4-quarter blocking misses (every quarter differs). With max_hamming=6
+    # the Manku pigeonhole (7 blocks) guarantees at least one agreeing
+    # block, so the pair MUST surface.
+    sig = spark.createDataFrame(
+        [
+            (0, "0000000000000000"),
+            (1, "1000100010001000"),  # hamming 4, spread across quarters
+            (2, "ffffffffffffffff"),  # hamming 64 from doc 0
+        ],
+        "doc_id long, simhash string",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in D.simhash_pairs_from_signatures(sig, max_hamming=6).collect()
+    }
+    assert got == {(0, 1): 4}
+
+
+def test_simhash_blocking_verify_excludes_over_threshold(spark):
+    # 7 differing bits > max_hamming=6: even if blocking proposes the pair,
+    # the exact-hamming verify must drop it.
+    sig = spark.createDataFrame(
+        [(0, "0000000000000000"), (1, "000000000000007f")],
+        "doc_id long, simhash string",
+    )
+    assert D.simhash_pairs_from_signatures(sig, max_hamming=6).count() == 0
 
 
 def test_incremental_matches_batch_restriction(planted):

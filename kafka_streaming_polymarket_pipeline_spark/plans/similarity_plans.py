@@ -1,9 +1,18 @@
 """Similarity-search queries over the embeddings table.
 
-s1 is the exact brute-force baseline with a full SQL oracle. s2 is the
-LSH-bucketed approximate path — genuinely non-SQL-expressible (the fixed
-random hyperplanes live in the operator), so it has no oracle entry; its
-recall against s1 is asserted in tests/test_similarity.py instead.
+s1 is the exact brute-force baseline. s2 (IVF) and s3 (sign-LSH) are the
+approximate paths — and both are fully SQL-checkable: the centroid sample
+is an md5-ordered pick DuckDB reproduces verbatim, and the LSH hyperplanes
+are fixed literals embedded into the oracle, so the driver hash-gates the
+entire approximate pipeline (assignment, probing, rerank), not just row
+counts. s2_recall / s3_recall additionally hash-gate the QUALITY of each
+approximate method: recall@10 against s1 computed from integer hit counts
+(no float-summation ambiguity), with the oracle deriving the same number
+from scratch in SQL.
+
+The only non-oracled knob is IVF's Lloyd refinement (kmeans_iters>0):
+float-mean summation order is engine-specific, so the registered s2 pins
+kmeans_iters=0 and refinement quality is gated in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -20,49 +29,232 @@ from kafka_streaming_polymarket_pipeline_spark.tables import load
 N_QUERIES = 100
 TOP_K = 10
 
-
-@register(
-    "s1_ann_bruteforce_topk",
-    oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+_BRUTE_SQL = f"""
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id, e FROM v WHERE vec_id < {N_QUERIES}),
-scored AS (
+brute_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_dot_product(q.e, c.e)
            / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS c
   FROM q JOIN v c ON q.vec_id <> c.vec_id
-)
-SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rn AS INT) AS rank FROM (
-  SELECT query_id, neighbor_id, c,
-         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-  FROM scored
-) WHERE rn <= {TOP_K}
+),
+brute_topk AS (
+  SELECT query_id, neighbor_id, c, rn FROM (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+    FROM brute_scored
+  ) WHERE rn <= {TOP_K}
+)"""
+
+# IVF replicated in SQL: md5-ordered centroid sample, argmax-cosine corpus
+# assignment (tie -> smaller centroid id, matching Spark's max_by struct),
+# top-nprobe query cells, exact rerank within probed cells.
+_IVF_SQL = f"""
+cents AS (
+  SELECT vec_id AS centroid_id, e AS ce FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {S.NUM_CENTROIDS}
+),
+casg AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.e, c.ce)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+             c.centroid_id) AS rn
+    FROM v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT q.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.e, c.ce)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+             c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {S.NPROBE}
+),
+ivf_scored AS (
+  SELECT qp.query_id, ca.vec_id AS neighbor_id,
+         list_dot_product(q.e, cv.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cv.e, cv.e))) AS c
+  FROM qprobe qp
+  JOIN casg ca ON ca.centroid_id = qp.centroid_id
+  JOIN v cv ON cv.vec_id = ca.vec_id
+  JOIN q ON q.vec_id = qp.query_id
+  WHERE qp.query_id <> ca.vec_id
+),
+ivf_topk AS (
+  SELECT query_id, neighbor_id, c, rn FROM (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+    FROM ivf_scored
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """SQL twin of similarity._bucket: sum of sign bits of the fixed-plane
+    projections (the plane literals are embedded so DuckDB computes the
+    identical bucket — list_dot_product folds in the same sequential order
+    as Spark's zip_with/aggregate)."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_literal(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(S._PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_sql() -> str:
+    probes = ", ".join(["qb.b"] + [f"xor(qb.b, {1 << i})" for i in range(S.NUM_PLANES)])
+    return f"""
+cbuck AS (SELECT vec_id, {_bucket_sql('e')} AS b FROM v),
+qbuck AS (
+  SELECT q.vec_id AS query_id, unnest([{probes}]) AS b
+  FROM (SELECT vec_id, {_bucket_sql('e')} AS b FROM q) qb
+  JOIN q ON q.vec_id = qb.vec_id
+),
+lsh_scored AS (
+  SELECT qk.query_id, cb.vec_id AS neighbor_id,
+         list_dot_product(q.e, cv.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cv.e, cv.e))) AS c
+  FROM qbuck qk
+  JOIN cbuck cb ON cb.b = qk.b
+  JOIN v cv ON cv.vec_id = cb.vec_id
+  JOIN q ON q.vec_id = qk.query_id
+  WHERE qk.query_id <> cb.vec_id
+),
+lsh_topk AS (
+  SELECT query_id, neighbor_id, c, rn FROM (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+    FROM lsh_scored
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+@register(
+    "s1_ann_bruteforce_topk",
+    oracle=f"""
+WITH {_BRUTE_SQL}
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM brute_topk
 """,
 )
 def s1_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for 5 query vectors: broadcast queries x corpus,
+    """Exact cosine top-10 for the query set: broadcast queries x corpus,
     JVM-side fold dot products, window top-k."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.brute_force_topk(emb, queries, k=TOP_K)
 
 
-@register("s2_ann_ivf_topk", oracle=None)
+@register(
+    "s2_ann_ivf_topk",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_IVF_SQL}
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM ivf_topk
+""",
+)
 def s2_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF (16 sampled centroids, nprobe=4) + exact
-    rerank — scans ~1/4 of the corpus per query. No SQL oracle (approximate
-    by design); recall vs s1 is asserted in tests/test_similarity.py."""
+    """Approximate top-10 via IVF (16 md5-sampled centroids, nprobe=6) +
+    exact rerank — scans ~6/16 of the corpus per query. kmeans_iters=0 so
+    the DuckDB oracle replicates the pipeline exactly (see module
+    docstring); Lloyd-refined quality is gated in tests."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.ivf_ann_topk(emb, queries, k=TOP_K)
+    return S.ivf_ann_topk(emb, queries, k=TOP_K, kmeans_iters=0)
 
 
-@register("s3_ann_lsh_topk", oracle=None)
+@register(
+    "s3_ann_lsh_topk",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_lsh_sql()}
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM lsh_topk
+""",
+)
 def s3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via 12-hyperplane sign-LSH with 1-bit multiprobe +
     exact rerank. Right tool for the near-dup regime (cosine >= ~0.9);
-    included for coverage — tests document its low recall on this
-    moderate-similarity corpus vs IVF."""
+    included for coverage — s3_recall hash-gates its (documented, low)
+    recall on this moderate-similarity corpus vs IVF."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.lsh_ann_topk(emb, queries, k=TOP_K)
+
+
+def _recall_frame(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """recall@10 vs the exact brute-force top-k, from integer hit counts
+    (hits/denominator are BIGINTs, so the value is bit-identical across
+    engines — no float-summation order dependence)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.brute_force_topk(emb, queries, k=TOP_K)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("denom"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("hits")))
+        .select(
+            "n_queries", "hits", "denom",
+            F.round(F.col("hits") / F.col("denom"), 4).alias("recall_at_10"),
+        )
+    )
+
+
+_RECALL_SELECT = """
+SELECT (SELECT count(DISTINCT query_id) FROM brute_topk) AS n_queries,
+       (SELECT count(*) FROM hits) AS hits,
+       (SELECT count(*) FROM brute_topk) AS denom,
+       round((SELECT count(*) FROM hits) * 1.0 / (SELECT count(*) FROM brute_topk), 4)
+         AS recall_at_10
+"""
+
+
+@register(
+    "s2_recall",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_IVF_SQL},
+hits AS (
+  SELECT b.query_id, b.neighbor_id FROM brute_topk b
+  JOIN ivf_topk a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+{_RECALL_SELECT}
+""",
+)
+def s2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF quality gate: recall@10 of s2 against s1,
+    computed in Spark, hash-matched against DuckDB re-deriving both
+    pipelines from the raw table."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    approx = S.ivf_ann_topk(emb, queries, k=TOP_K, kmeans_iters=0)
+    return _recall_frame(spark, sf_dir, approx)
+
+
+@register(
+    "s3_recall",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_lsh_sql()},
+hits AS (
+  SELECT b.query_id, b.neighbor_id FROM brute_topk b
+  JOIN lsh_topk a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+{_RECALL_SELECT}
+""",
+)
+def s3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable LSH quality gate: recall@10 of s3 against s1 —
+    documents (and pins) the recall collapse outside the near-dup regime."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    approx = S.lsh_ann_topk(emb, queries, k=TOP_K)
+    return _recall_frame(spark, sf_dir, approx)

@@ -185,6 +185,35 @@ def test_embedding_near_dup(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_blocked_matches_bruteforce(spark):
+    # Clustered corpus (two tight clusters + stragglers): the blocked form
+    # must return exactly the brute-force pair set, and its plan must not
+    # contain a BroadcastNestedLoopJoin (candidate generation is equi-join
+    # only — the design contract the brute-force d5 form violates).
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        center = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [c + rng.gauss(0, 0.15) for c in center]))
+    for i in range(40, 50):  # isotropic stragglers
+        rows.append((i, [rng.gauss(0, 1) for _ in range(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+        for r in D.embedding_near_dup_pairs(df, 0.45).collect()
+    }
+    blocked_df = D.embedding_neardup_blocked(df, 0.45, n_centroids=8)
+    blocked = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine"]) for r in blocked_df.collect()
+    }
+    assert blocked == brute and len(brute) > 100
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_hamming_hex_expression(spark):
     df = spark.createDataFrame([("f0f0", "0f0f"), ("abcd", "abcd")], "a string, b string")
     got = [r[0] for r in df.select(D.hamming_hex(F.col("a"), F.col("b"))).collect()]

@@ -26,7 +26,10 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_smoke):
     exact = S.brute_force_topk(emb, queries, k=10).collect()
     approx = S.ivf_ann_topk(emb, queries, k=10).collect()
     r = _recall(exact, approx)
-    assert r >= 0.5, f"IVF mean recall@10 too low: {r}"
+    # Default knobs (nprobe=6/16 cells, 2 Lloyd iterations) measure ~0.66
+    # on the isotropic corpus — the worst case for IVF; clustered real
+    # embeddings do better at the same scan fraction.
+    assert r >= 0.6, f"IVF mean recall@10 too low: {r}"
 
 
 def test_lsh_ann_finds_planted_near_dups(spark):

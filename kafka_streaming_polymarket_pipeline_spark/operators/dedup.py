@@ -418,6 +418,100 @@ def neardup_clusters(
     raise RuntimeError(f"neardup_clusters did not converge in {max_iter} rounds")
 
 
+def neardup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the long-chain-safe variant of ``neardup_clusters``.
+
+    Min-label propagation needs diameter-many rounds: a 1000-doc chain is
+    1000 shuffles. Star operations instead rewire the edge list so that
+    every round roughly halves component height, converging in
+    O(log^2 n) rounds on any graph:
+
+    - large-star: every node's strictly-larger neighbors re-attach to the
+      minimum of its closed neighborhood;
+    - small-star: its smaller-or-equal neighbors (and itself) do.
+
+    After convergence the edge list IS the component labeling: each
+    component is a star rooted at its minimum id. Same output contract and
+    oracle as neardup_clusters (cluster_id = min reachable id, singletons
+    cluster to themselves).
+
+    Physical notes per round: two groupBy(min) shuffles (one per star op)
+    + a distinct on the rewired edges; each result localCheckpoint()ed to
+    cut lineage. Convergence probe = count of edges that changed — a
+    driver-side scalar, like neardup_clusters's."""
+    edges = (
+        pairs.select(
+            F.least("doc_id_a", "doc_id_b").alias("a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def nbrs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def closed_min(n: DataFrame) -> DataFrame:
+        return n.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_iter):
+        if edges.isEmpty():
+            break
+        # large-star
+        n = nbrs(edges)
+        m = closed_min(n)
+        ls = (
+            n.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star
+        n2 = nbrs(ls)
+        m2 = closed_min(n2)
+        ss = (
+            n2.join(m2, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .union(m2.filter(F.col("m") < F.col("u")).select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+        edges = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"neardup_clusters_star did not converge in {max_iter} rounds")
+
+    # converged edge list is a star forest: (root a) < (child b), one root per child
+    labels = edges.groupBy(F.col("b").alias("node")).agg(F.min("a").alias("lab"))
+    return (
+        docs.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("lab", "node").alias("cluster_id"),
+        )
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

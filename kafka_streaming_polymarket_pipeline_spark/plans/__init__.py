@@ -20,6 +20,7 @@ def _load_all() -> None:
     from kafka_streaming_polymarket_pipeline_spark.plans import (  # noqa: F401
         dedup_plans,
         gold,
+        packing_plans,
         relational,
         sampling_plans,
         similarity_plans,

@@ -176,6 +176,49 @@ def d6_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(docs, pairs)
 
 
+_D6_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register("d6b_neardup_clusters_star", oracle=_D6_ORACLE)
+def d6b_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d6's connected components via alternating large-star/small-star
+    (Kiveris et al. SoCC'14): O(log^2 n) rounds on any graph where
+    min-label propagation needs diameter-many — the form that survives
+    adversarial long chains at 100 TB. Same oracle as d6."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5, n=5)
+    return D.neardup_clusters_star(docs, pairs)
+
+
 @register("d4_simhash", oracle=_simhash_oracle())
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature (hex) per document from token-md5 bit

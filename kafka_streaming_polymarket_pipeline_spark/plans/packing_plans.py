@@ -1,0 +1,91 @@
+"""Sequence-packing and sharding queries over the documents table.
+
+The Spark side computes prefix sums in the scalable two-phase bucketed
+form (operators/packing.py); the oracles use the naive single global
+window — hash equality proves the two forms identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streaming_polymarket_pipeline_spark.operators import packing as P
+from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+_TOK = "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)"
+
+_PLACED = f"""
+tk AS (SELECT doc_id, {_TOK} AS n_tokens FROM documents),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tok_start
+  FROM tk
+)"""
+
+
+@register(
+    "pk1_pack_assignments",
+    oracle=f"""
+WITH {_PLACED}
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {P.PACK_BUDGET} AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // {P.PACK_BUDGET}
+            ELSE tok_start // {P.PACK_BUDGET} END AS seq_last
+FROM placed
+""",
+)
+def pk1_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing assignment at a {budget}-token budget:
+    where each document lands in the virtual token stream and which
+    training sequences it spans. Two-phase prefix sum (no global sort);
+    oracle is the naive global window.""".format(budget=P.PACK_BUDGET)
+    return P.packed_sequences(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pk2_sequence_fill",
+    oracle=f"""
+WITH {_PLACED},
+spans AS (
+  SELECT doc_id, n_tokens, tok_start,
+         unnest(range(tok_start // {P.PACK_BUDGET},
+                      (tok_start + n_tokens - 1) // {P.PACK_BUDGET} + 1)) AS seq_id
+  FROM placed WHERE n_tokens > 0
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(tok_start + n_tokens, (seq_id + 1) * {P.PACK_BUDGET})
+              - greatest(tok_start, seq_id * {P.PACK_BUDGET})) AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq_id
+""",
+)
+def pk2_sequence_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing view: doc count and token fill per sequence
+    (every non-final sequence is exactly full — the packing invariant)."""
+    return P.sequence_fill(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "sh1_shard_assignment",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+         AS shard_rank,
+       (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1) // 100 AS shard
+FROM documents
+""",
+)
+def sh1_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly size-bounded shuffled shard assignment (100 rows/shard):
+    md5 pseudo-random total order, two-phase rank, floor-divide. The
+    writer (operators/packing.write_shards) lands these as one parquet
+    partition per shard; determinism is asserted in tests/test_packing.py."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return P.shard_assignments(docs, rows_per_shard=100).select(
+        "doc_id", F.col("shard_rank").cast("long"), "shard"
+    )

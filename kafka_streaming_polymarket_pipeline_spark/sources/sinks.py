@@ -18,6 +18,7 @@ against an idempotent/transactional target (SURVEY T6).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -78,21 +79,55 @@ def upsert_parquet(spark, batch: DataFrame, path: str, keys: list[str]) -> None:
     so they upsert into the label table instead).
 
     On a real deployment this is Delta/Iceberg ``MERGE INTO`` (transactional,
-    partition-pruned rewrite); parquet emulation reads the target, anti-joins
-    the batch keys, and rewrites — localCheckpoint cuts the lineage so the
-    overwrite does not read from the path it is truncating.
+    partition-pruned rewrite; delta-spark is not in this environment).
+    The parquet emulation here is CRASH-SAFE by staged write + rename swap:
+    the merged result lands in a staging directory first, then two renames
+    swap it in. The live path is never overwritten in place, so a crash at
+    any point leaves either the old table or the new table intact on disk
+    (never a truncated mix); ``_recover_upsert_target`` repairs the one
+    mid-swap window by restoring the previous version, and foreachBatch's
+    checkpoint then replays the uncommitted batch — upsert is idempotent on
+    its keys, so replay converges. Local-filesystem rename semantics; on an
+    object store use Delta/Iceberg, not this.
     """
+    import shutil
+
     from pyspark.errors import AnalysisException
 
+    staged, prev = path + "__staged", path + "__prev"
+    _recover_upsert_target(path)
     try:
         existing = spark.read.parquet(path)
     except AnalysisException:
-        batch.write.mode("overwrite").parquet(path)
+        batch.write.mode("overwrite").parquet(staged)
+        os.rename(staged, path)
         return
     merged = existing.join(
         batch.select(*keys).distinct(), keys, "left_anti"
-    ).unionByName(batch).localCheckpoint()
-    merged.write.mode("overwrite").parquet(path)
+    ).unionByName(batch)
+    merged.write.mode("overwrite").parquet(staged)
+    os.rename(path, prev)
+    os.rename(staged, path)
+    shutil.rmtree(prev)
+
+
+def _recover_upsert_target(path: str) -> None:
+    """Repair interrupted upsert swaps. States (staged=S, prev=P, live=L):
+    - L only / nothing: clean.
+    - L + S (crash before first rename, or stale staging): drop S.
+    - P + S, no L (crash between the two renames): restore P -> L, drop S —
+      conservative: the in-flight batch was not committed to the streaming
+      checkpoint, so it replays.
+    - L + P (crash after swap, before cleanup): drop P (new version won).
+    """
+    import shutil
+
+    staged, prev = path + "__staged", path + "__prev"
+    if not os.path.exists(path) and os.path.exists(prev):
+        os.rename(prev, path)
+    for leftover in (staged, prev):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
 
 
 def upsert_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str | None = None):

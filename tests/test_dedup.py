@@ -166,6 +166,42 @@ def test_neardup_clusters_components(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 21}
 
 
+def test_star_clusters_adversarial_chain(spark):
+    # A 120-node path graph: diameter 119, so min-label propagation needs
+    # ~119 rounds (>10 by far) — the regime large-star/small-star exists
+    # for. It must converge well inside 30 star rounds and label every
+    # node with the chain head.
+    n = 120
+    docs = spark.createDataFrame([(i,) for i in range(n + 2)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters_star(docs, pairs).collect()}
+    expect = {i: 0 for i in range(n)}
+    expect[n] = n  # singletons
+    expect[n + 1] = n + 1
+    assert got == expect
+
+
+def test_star_clusters_match_propagation(planted):
+    pairs = D.ngram_jaccard_pairs(planted, threshold=0.5)
+    star = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters_star(planted, pairs).collect()}
+    prop = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters(planted, pairs).collect()}
+    assert star == prop
+
+
+def test_star_clusters_random_graph_matches(spark):
+    import random
+
+    rng = random.Random(11)
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    es = {tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)}
+    pairs = spark.createDataFrame(sorted(es), "doc_id_a long, doc_id_b long")
+    star = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters_star(docs, pairs).collect()}
+    prop = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters(docs, pairs).collect()}
+    assert star == prop
+
+
 def test_neardup_clusters_on_planted(planted):
     pairs = D.ngram_jaccard_pairs(planted, threshold=0.5)
     got = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters(planted, pairs).collect()}

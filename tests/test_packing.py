@@ -1,0 +1,93 @@
+"""Sequence packing + shard writer: invariants, two-phase-vs-naive
+equivalence, size bounds, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import packing as P
+from kafka_streaming_polymarket_pipeline_spark.operators.text import token_count
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+
+def test_two_phase_prefix_equals_global_window(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_start"], r["seq_first"], r["seq_last"])
+        for r in P.packed_sequences(docs, bucket_width=7).collect()  # awkward width on purpose
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n"),
+    ).withColumn("start", F.sum("n").over(w) - F.col("n"))
+    for r in naive.collect():
+        n, start = r["n"], r["start"]
+        exp_last = (start + n - 1) // P.PACK_BUDGET if n > 0 else start // P.PACK_BUDGET
+        assert got[r["doc_id"]] == (n, start, start // P.PACK_BUDGET, exp_last)
+
+
+def test_every_full_sequence_holds_exactly_budget(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents")
+    fill = P.sequence_fill(docs).collect()
+    last_seq = max(r["seq_id"] for r in fill)
+    for r in fill:
+        if r["seq_id"] != last_seq:
+            assert r["n_tokens"] == P.PACK_BUDGET, r
+        else:
+            assert 0 < r["n_tokens"] <= P.PACK_BUDGET
+    # sequences are contiguous from 0
+    assert sorted(r["seq_id"] for r in fill) == list(range(last_seq + 1))
+
+
+def test_doc_spanning_multiple_sequences(spark):
+    # one 1200-token doc at budget 512 must span sequences 0..2
+    rows = [(0, "x " * 100), (1, "y " * 1200), (2, "z " * 10)]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in P.packed_sequences(df).collect()}
+    assert (got[1]["seq_first"], got[1]["seq_last"]) == (0, 2)
+    assert got[2]["tok_start"] == 1300
+    fill = {r["seq_id"]: r for r in P.sequence_fill(df).collect()}
+    assert fill[0]["n_tokens"] == 512 and fill[1]["n_tokens"] == 512
+    assert fill[2]["n_tokens"] == 1310 - 1024
+    assert fill[0]["n_docs"] == 2  # doc 0 and the head of doc 1
+
+
+def test_shard_sizes_strictly_bounded_and_deterministic(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents")
+    a = P.shard_assignments(docs, rows_per_shard=64)
+    sizes = {r["shard"]: r["n"] for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    n_docs = docs.count()
+    last = max(sizes)
+    for s, n in sizes.items():
+        assert n == 64 if s != last else 0 < n <= 64
+    assert sum(sizes.values()) == n_docs
+    # deterministic: a second computation yields the identical assignment
+    b = P.shard_assignments(docs, rows_per_shard=64)
+    assert a.select("doc_id", "shard_rank", "shard").exceptAll(
+        b.select("doc_id", "shard_rank", "shard")
+    ).count() == 0
+    # ranks are a permutation of 0..n-1
+    ranks = sorted(r["shard_rank"] for r in a.select("shard_rank").collect())
+    assert ranks == list(range(n_docs))
+
+
+def test_write_shards_layout_and_determinism(spark, sf_smoke, tmp_path):
+    docs = load(spark, sf_smoke, "documents")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    n1 = P.write_shards(docs, out1, rows_per_shard=128)
+    n2 = P.write_shards(docs, out2, rows_per_shard=128)
+    assert n1 == n2
+    back1 = spark.read.parquet(out1)
+    sizes = {
+        r["shard"]: r["n"]
+        for r in back1.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    last = max(sizes)
+    for s, n in sizes.items():
+        assert n == 128 if s != last else 0 < n <= 128
+    # same doc-id sets per shard across independent writes
+    back2 = spark.read.parquet(out2)
+    s1 = {(r["shard"], r["doc_id"]) for r in back1.select("shard", "doc_id").collect()}
+    s2 = {(r["shard"], r["doc_id"]) for r in back2.select("shard", "doc_id").collect()}
+    assert s1 == s2

@@ -72,6 +72,50 @@ def test_upsert_parquet_latest_wins(spark, tmp_path):
     assert got == {"m1": "Down", "m2": "Up", "m3": "Up"}  # m1 replaced, m2 kept
 
 
+def test_upsert_crash_recovery_states(spark, tmp_path):
+    """A crash at any point of the staged-write + rename swap must leave a
+    readable table: simulate each interrupted state and assert the next
+    upsert call repairs it and lands correctly."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("m1", "Up")], "market_id string, winner string"
+    )
+    sinks.upsert_parquet(spark, base, path, ["market_id"])
+
+    # crash before the first rename: stale __staged next to a live table
+    shutil.copytree(path, path + "__staged")
+    sinks.upsert_parquet(
+        spark,
+        spark.createDataFrame([("m2", "Down")], "market_id string, winner string"),
+        path, ["market_id"],
+    )
+    assert not os.path.exists(path + "__staged")
+
+    # crash between the two renames: live missing, __prev holds the old table
+    os.rename(path, path + "__prev")
+    sinks.upsert_parquet(
+        spark,
+        spark.createDataFrame([("m3", "Up")], "market_id string, winner string"),
+        path, ["market_id"],
+    )
+    assert not os.path.exists(path + "__prev")
+
+    # crash after the swap, before cleanup: both live and __prev present
+    shutil.copytree(path, path + "__prev")
+    sinks.upsert_parquet(
+        spark,
+        spark.createDataFrame([("m1", "Down")], "market_id string, winner string"),
+        path, ["market_id"],
+    )
+    assert not os.path.exists(path + "__prev")
+
+    got = {r.market_id: r.winner for r in spark.read.parquet(path).collect()}
+    assert got == {"m1": "Down", "m2": "Down", "m3": "Up"}
+
+
 def test_upsert_sink_streaming(spark, tmp_path):
     d = tmp_path / "in"
     _write_bronze_jsonl(d / "a.jsonl", [fx.resolution()], "market-resolutions")

@@ -135,7 +135,10 @@ def _centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("_vcent"))
         )
-    return cents
+    # C rows; materialize once — downstream uses this table 2x (corpus
+    # assignment + query probing) and would otherwise re-execute the whole
+    # Lloyd lineage per use.
+    return cents.localCheckpoint(eager=True)
 
 
 def _cell_similarities(df: DataFrame, cents: DataFrame, id_out: str, vec_out: str) -> DataFrame:

@@ -72,6 +72,26 @@ def test_upsert_parquet_latest_wins(spark, tmp_path):
     assert got == {"m1": "Down", "m2": "Up", "m3": "Up"}  # m1 replaced, m2 kept
 
 
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """S7 against a REAL database: Apache Derby (embedded, ships in
+    Spark's jars) — streaming frame -> foreachBatch JDBC append -> read
+    back via spark.read.jdbc. The path a deployment points at Postgres."""
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    d = tmp_path / "in"
+    _write_bronze_jsonl(d / "a.jsonl", fx.asset_prices(5), "asset-prices")
+    stream = silver.btc_prices(jobs.file_bronze_stream(spark, str(d)))
+    q = sinks.jdbc_sink(stream, url, "btc_prices", str(tmp_path / "ck"), properties=props)
+    q.awaitTermination(60)
+    q.stop()
+    back = spark.read.jdbc(url, "btc_prices", properties=props)
+    assert back.count() == 5
+    assert {r.ticker for r in back.select("ticker").distinct().collect()} == {"BTC"}
+    # typed columns survived the JDBC round trip
+    kinds = dict(back.dtypes)
+    assert kinds["price"].startswith("decimal")
+
+
 def test_upsert_crash_recovery_states(spark, tmp_path):
     """A crash at any point of the staged-write + rename swap must leave a
     readable table: simulate each interrupted state and assert the next

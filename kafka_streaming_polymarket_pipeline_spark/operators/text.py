@@ -42,6 +42,17 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def token_ngrams(text: Column, n: int = 8) -> Column:
+    """Distinct space-joined token n-grams — the unit of benchmark
+    decontamination checks (GPT-3-style n-gram collision scanning)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct overlapping character n-grams of ``text``."""
     idx = F.sequence(F.lit(1), F.length(text) - (n - 1))

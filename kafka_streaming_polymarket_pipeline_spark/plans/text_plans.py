@@ -244,3 +244,66 @@ def t7_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per 4-hash window, rightmost on ties — every match of length >= 8 chars
     shares a fingerprint while storing ~2/(w+1) of the hashes."""
     return T.winnow_fingerprints(load(spark, sf_dir, "documents"), k=5, w=4)
+
+
+_NGRAM_SQL = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+                                 i -> array_to_string(tk[i:i+7], ' '))) AS g
+    FROM toks)
+)"""
+
+
+@register(
+    "t8_decontamination",
+    oracle=f"""
+WITH {_NGRAM_SQL},
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3),
+hits AS (
+  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 17 <> 3
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       coalesce(h.n_shared_ngrams, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 17 <> 3
+""",
+)
+def t8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag training
+    docs sharing any distinct token 8-gram with the held-out benchmark set
+    (docs with doc_id % 17 = 3 play the benchmark, as d7's split plays the
+    new batch). Scale shape: the benchmark gram set is small and broadcast;
+    the scan side is one explode + equi-join + count — no pairwise doc
+    comparison ever forms. The n-gram unit means only verbatim 8-token
+    collisions flag, which is the published decontamination semantic."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 17 == 3
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(T.token_ngrams(F.col("text"), 8)).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(~is_bench)
+    train_grams = train.select(
+        "doc_id", F.explode(T.token_ngrams(F.col("text"), 8)).alias("g")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) >= 1).alias("contaminated"),
+    )

@@ -62,3 +62,33 @@ def test_hash_split_plan_is_shuffle_free(spark):
 def test_winnow_short_doc_excluded(spark):
     df = spark.createDataFrame([(1, "abcdefg")], "doc_id long, text string")  # len 7 < 8
     assert T.winnow_fingerprints(df, k=5, w=4).count() == 0
+
+
+def test_token_ngrams_and_decontamination_semantics(spark):
+    from kafka_streaming_polymarket_pipeline_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (3, f"benchmark content {span} more words here"),       # benchmark (3 % 17 == 3)
+        (1, f"training doc copying {span} verbatim"),           # contaminated
+        (2, "completely different training text with no overlap at all ok"),
+        (7, "short text"),                                      # < 8 tokens -> no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = df.select("doc_id", T.token_ngrams(F.col("text"), 8).alias("g")).collect()
+    by_id = {r["doc_id"]: r["g"] for r in grams}
+    assert by_id[7] == []
+    assert span in by_id[1] and span in by_id[3]
+
+    from kafka_streaming_polymarket_pipeline_spark.plans.registry import get
+    import tempfile, os
+    # run the registered builder against a temp parquet dir shaped like testdata
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: (r["n_shared_ngrams"], r["contaminated"])
+               for r in get("t8_decontamination").builder(spark, d).collect()}
+    assert out[1][0] >= 1 and out[1][1] is True
+    assert out[2] == (0, False)
+    assert out[7] == (0, False)
+    assert 3 not in out  # benchmark docs are not scored

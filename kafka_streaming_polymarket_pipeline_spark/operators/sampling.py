@@ -63,6 +63,42 @@ def hash_split(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: per-stratum sampling rates (the
+    multilingual/domain up-/down-weighting step of an LLM data pipeline —
+    e.g. keep all en, half es, a tenth of everything else). Exactly
+    ceil(rate_s * n_s) rows per stratum s, selected in sampling-key order;
+    strata not in ``rates`` use ``default_rate``. Same shape and
+    determinism argument as :func:`stratified_exact_sample`, with the rate
+    a per-stratum CASE instead of a constant."""
+    rate = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == s
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash_key(F.col(id_col), F.col(stratum_col)), F.col(id_col)
+    )
+    wn = Window.partitionBy(stratum_col)
+    return (
+        df.select(
+            id_col,
+            stratum_col,
+            rate.alias("_rate"),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(wn).alias("_n"),
+        )
+        .filter(F.col("_rn") <= F.ceil(F.col("_rate") * F.col("_n")))
+        .select(id_col, stratum_col)
+    )
+
+
 def stratified_exact_sample(
     df: DataFrame,
     fraction: float,

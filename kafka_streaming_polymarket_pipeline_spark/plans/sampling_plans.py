@@ -49,3 +49,31 @@ def x2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly ceil(10% * n) docs per language, chosen by sampling-key order
     — deterministic stratified sampling with exact per-stratum counts."""
     return S.stratified_exact_sample(load(spark, sf_dir, "documents"), fraction=0.1)
+
+
+# Data-mixture weights: the multilingual up/down-weighting step (keep all
+# en, half es/fr, a quarter de, a tenth of anything else).
+MIX_RATES = {"en": 1.0, "es": 0.5, "fr": 0.5, "de": 0.25}
+MIX_DEFAULT = 0.1
+
+
+@register(
+    "x3_mixture_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
+                   WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.25
+                   ELSE 0.1 END AS r,
+         row_number() OVER (PARTITION BY lang ORDER BY {_KEY}, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) WHERE rn <= CAST(ceil(r * n) AS BIGINT)
+""",
+)
+def x3_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-language keep rates (LLM data
+    mixing), exact per-stratum counts, engine-portable hash order."""
+    return S.mixture_sample(
+        load(spark, sf_dir, "documents"), rates=MIX_RATES, default_rate=MIX_DEFAULT
+    )

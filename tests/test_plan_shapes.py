@@ -1,0 +1,45 @@
+"""Engine-wide plan-shape guard: no registered query may plan a
+CartesianProduct or BroadcastNestedLoopJoin unless it is on the explicit
+allowlist below — the structural property that keeps every operator
+shuffle-join-shaped (distributable) at 100 TB. A new query that
+accidentally introduces a non-equi join fails here before it ever ships.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streaming_polymarket_pipeline_spark import plans
+
+# Queries whose nested-loop is a deliberate, documented design choice, with
+# the reason. Everything else must be equi-join only.
+ALLOWED_NESTED = {
+    "d5_embedding_neardup": "brute-force oracle-contrast form by design "
+                            "(first-class path is d5b, which is BNLJ-free)",
+    "s1_ann_bruteforce_topk": "exact rerank baseline: tiny query set "
+                              "broadcast against the corpus on a non-equi "
+                              "self-exclusion predicate",
+    "s2_ann_ivf_topk": "O(n x C) centroid assignment: crossJoin against a "
+                       "broadcast C-row (C=16) centroid table",
+    "s2_recall": "embeds s1 (exact baseline) and s2 (centroid crossJoin)",
+    "s3_recall": "embeds s1 (exact baseline)",
+    "a6_count_empty_marker": "crossJoin against the distinct event-type "
+                             "dimension — broadcast-tiny by construction",
+    "j2_interval_join": "the non-equi interval join IS the operator's "
+                        "semantic reference form; j2b is the bucketed "
+                        "equi-join scale path (and must stay BNLJ-free)",
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(plans.all_queries()))
+def test_no_unapproved_quadratic_join(spark, sf_smoke, name):
+    df = plans.all_queries()[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in ALLOWED_NESTED:
+        return  # documented exception
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} plans a BroadcastNestedLoopJoin — candidate generation must "
+        "be an equi-join (add to ALLOWED_NESTED only with a scale rationale)"
+    )

@@ -50,3 +50,22 @@ def test_stratified_sample_is_nested(corpus):
     small = {tuple(r) for r in S.stratified_exact_sample(corpus, 0.1).collect()}
     big = {tuple(r) for r in S.stratified_exact_sample(corpus, 0.3).collect()}
     assert small < big
+
+
+def test_mixture_sample_exact_per_stratum_rates(corpus):
+    # 100 docs per lang: en keeps all 100, de ceil(25), fr default-rate 10.
+    got = S.mixture_sample(
+        corpus, rates={"en": 1.0, "de": 0.25}, default_rate=0.1
+    )
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 100, "de": 25, "fr": 10}
+    # deterministic: same rows both runs
+    again = S.mixture_sample(corpus, rates={"en": 1.0, "de": 0.25}, default_rate=0.1)
+    assert got.exceptAll(again).count() == 0
+
+
+def test_mixture_sample_zero_default_drops_unlisted(corpus):
+    got = S.mixture_sample(corpus, rates={"en": 0.5})
+    langs = {r["lang"] for r in got.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert got.count() == 50

@@ -21,6 +21,7 @@ def _load_all() -> None:
         dedup_plans,
         gold,
         packing_plans,
+        pipeline_plans,
         relational,
         sampling_plans,
         similarity_plans,

@@ -1,0 +1,87 @@
+"""Streaming incremental dedup: persistent index, per-batch O(new) probes,
+retry-idempotent layout. The union of per-batch pair emissions must equal
+the batch ground truth over the full corpus."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+from kafka_streaming_polymarket_pipeline_spark.streaming import dedup_stream as DS
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the merge join "
+    "streams sorted batches of rows into the hash table for the big scan"
+)
+
+BATCH_A = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, "completely different content about window functions and watermarks"),
+]
+BATCH_B = [
+    (3, BASE.replace("quick", "rapid")),  # near-dup of 0/1, arrives later
+    (4, "unrelated short text"),
+    (5, BASE.replace("dog", "cat").replace("rows", "tuples")),  # near-dup of 0/1
+]
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    os.makedirs(src)
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    index_path, pairs_path = str(tmp_path / "index"), str(tmp_path / "pairs")
+    q = DS.incremental_dedup_sink(
+        stream, index_path, pairs_path, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    # union of per-batch emissions == batch ground truth over all docs
+    full = a.unionByName(b)
+    expected = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(full, 0.5).collect()
+    }
+    got_df = spark.read.option("basePath", pairs_path).parquet(f"{pairs_path}/batch=*")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"]) for r in got_df.collect()
+    }
+    assert got == expected and expected
+    # no pair emitted twice across batches
+    assert got_df.count() == len(expected)
+
+    # index covers every doc after the run
+    sigs = spark.read.option("basePath", f"{index_path}/sigs").parquet(
+        f"{index_path}/sigs/batch=*"
+    )
+    assert sigs.select("doc_id").distinct().count() == 6
+
+    # late-arriving near-dups paired against the INDEX, not re-read text:
+    # batch1's emissions include cross-batch pairs (0,3) and (0,5)
+    b1 = spark.read.parquet(f"{pairs_path}/batch=1")
+    b1_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in b1.collect()}
+    assert (0, 3) in b1_pairs and (0, 5) in b1_pairs
+
+
+def test_write_index_batch_is_retry_idempotent(spark, tmp_path):
+    docs = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    p = str(tmp_path / "idx")
+    DS.write_index_batch(docs, p, batch_id=7)
+    n1 = spark.read.parquet(f"{p}/sigs/batch=7").count()
+    DS.write_index_batch(docs, p, batch_id=7)  # simulated retry
+    n2 = spark.read.parquet(f"{p}/sigs/batch=7").count()
+    assert n1 == n2 == 3  # overwrite, not append

@@ -143,22 +143,34 @@ def main() -> None:
         n for n in HEADLINE if n in registry
     ]
 
+    # Min over N runs per query: this box's background load comes in waves
+    # (SCALE.md "machine drift" measurement — identical code varies 1-10x
+    # between windows), and min-over-repetitions is the standard estimator
+    # for the noise-free time under additive interference (what hyperfine's
+    # `min` reports). Cache is cleared between runs, so repeats re-execute
+    # the full pipeline; only JVM/codegen warmth carries over, which the
+    # explicit warmup above already grants run 1.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
         builder = registry[name]
-        t0 = time.perf_counter()
-        try:
-            df = builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # record failures as negative sentinel, keep going
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        spark.catalog.clearCache()  # drop per-query persisted stages (e.g. LSH sigs)
+        best = None
+        for _ in range(max(runs, 1)):
+            t0 = time.perf_counter()
+            try:
+                df = builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # record failures as negative sentinel, keep going
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()  # drop per-query persisted stages (e.g. LSH sigs)
+        timings[name] = round(best, 3)
+        if best > 0:
+            total += best
 
     # Streaming throughput runs in its own fresh *process* (a streaming job
     # is its own long-lived app in production; measuring it inside the JVM
@@ -196,6 +208,7 @@ def main() -> None:
                 "streaming": stream,
                 "sf": sf,
                 "cpus": cpus,
+                "runs_per_query": runs,
             }
         )
     )

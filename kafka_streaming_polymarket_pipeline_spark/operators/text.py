@@ -214,3 +214,79 @@ def rolling_hash(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
     )
+
+
+# PII redaction: regex surface scrubbing (emails, SSNs, phones, IPv4),
+# the pre-training privacy pass every public-web corpus gets. Patterns
+# are kept to the syntax subset Java regex (Spark) and RE2 (DuckDB)
+# interpret identically — no lookaround, no backreferences — so the
+# redacted output is bit-identical across engines. Applied in a fixed
+# order (email, ssn, phone, ip) because order changes what a later
+# pattern can still see.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts over the ORIGINAL text (counted
+    before any replacement so categories don't mask each other)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder, fixed order."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# Repetition statistics (the Gopher/MassiveText repetition filters,
+# Rae et al. 2021 §A1.1): excessive word / n-gram repetition marks
+# low-quality machine-generated or boilerplate text. All row-local
+# rational arithmetic — zero shuffle at any scale.
+def token_ngrams_all(text: Column, n: int) -> Column:
+    """ALL overlapping token n-grams (duplicates kept — repetition
+    analysis needs multiplicity, unlike decontamination's distinct set)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """dup_word_frac, top_word_frac, dup_{2,3}gram_frac — each a ratio of
+    duplicate mass to total (0 = no repetition)."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("long")
+    safe_tok = F.greatest(n_tok, F.lit(1).cast("long"))
+    top_freq = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda x: x == w)),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+
+    def dup_frac(grams: Column) -> Column:
+        total = F.size(grams).cast("long")
+        return (total - F.size(F.array_distinct(grams)).cast("long")) / F.greatest(
+            total, F.lit(1).cast("long")
+        )
+
+    return {
+        "n_tokens": n_tok,
+        "dup_word_frac": dup_frac(toks),
+        "top_word_frac": top_freq / safe_tok,
+        "dup_2gram_frac": dup_frac(token_ngrams_all(text, 2)),
+        "dup_3gram_frac": dup_frac(token_ngrams_all(text, 3)),
+    }

@@ -307,3 +307,131 @@ def t8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
         (F.coalesce("n_shared_ngrams", F.lit(0)) >= 1).alias("contaminated"),
     )
+
+
+def _pii_count_sql(col: str) -> str:
+    return ",\n       ".join(
+        f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in T.PII_PATTERNS
+    )
+
+
+def _pii_redact_sql(col: str) -> str:
+    out = col
+    for _, pat, repl in T.PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+@register(
+    "t9_pii_redaction",
+    oracle=f"""
+SELECT doc_id,
+       {_pii_count_sql('text')},
+       md5({_pii_redact_sql('text')}) AS redacted_md5
+FROM documents
+""",
+)
+def t9_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/SSNs/phones/IPv4 -> typed placeholders) with
+    per-category counts over the original text. Patterns restricted to the
+    Java-regex/RE2 common subset so Spark and the oracle produce identical
+    redacted bytes (compared via md5). Row-local; zero shuffle at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    counts = T.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        F.md5(T.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _sql_ngrams_all(n: int) -> str:
+    return f"""CASE WHEN len(toks) >= {n}
+        THEN list_transform(generate_series(1, len(toks) - {n - 1}),
+                            i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+        ELSE [] END"""
+
+
+def _sql_dup_frac(grams: str) -> str:
+    return (
+        f"(CAST(len({grams}) AS BIGINT) - CAST(len(list_distinct({grams})) AS BIGINT))"
+        f" / greatest(CAST(len({grams}) AS BIGINT), 1)"
+    )
+
+
+@register(
+    "t10_repetition_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         {_sql_ngrams_all(2)} AS g2,
+         {_sql_ngrams_all(3)} AS g3
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round({_sql_dup_frac('toks')}, 6) AS dup_word_frac,
+       round(CAST(coalesce(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w)))), 0) AS BIGINT)
+             / greatest(CAST(len(toks) AS BIGINT), 1), 6) AS top_word_frac,
+       round({_sql_dup_frac('g2')}, 6) AS dup_2gram_frac,
+       round({_sql_dup_frac('g3')}, 6) AS dup_3gram_frac
+FROM g
+""",
+)
+def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021 A1.1):
+    duplicate-word fraction, top-word fraction, duplicate 2-/3-gram
+    fractions. The quality gate that catches looping machine-generated
+    text. All row-local higher-order-function arithmetic — at 100 TB this
+    is a map-only pass."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        *[
+            F.round(f[k], 6).alias(k)
+            for k in ("dup_word_frac", "top_word_frac", "dup_2gram_frac", "dup_3gram_frac")
+        ],
+    )
+
+
+@register(
+    "m2_image_decode_features",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(16 + n % 64 AS INTEGER) AS width,
+       CAST(16 + (n // 64) % 64 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       round(list_sum(list_transform(generate_series(1, CAST(least(n, 256) AS INTEGER)),
+                                     i -> ord(substr(text, i, 1))))
+             / greatest(least(n, 256), 1) / 255.0, 6) AS mean_luma
+FROM base
+""",
+)
+def m2_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode path end-to-end under the correctness gate:
+    documents -> binary media table -> Arrow-batched mapInPandas decode
+    (deterministic fake codec — its math is SQL-replicable, so the oracle
+    checks the full plumbing: payload bytes, batch iteration, schema).
+    The real PNG codec path is exercised on genuine image bytes in
+    tests/test_multimodal.py; this query gates the distributed plumbing."""
+    from kafka_streaming_polymarket_pipeline_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents")
+    media = M.media_table_from_documents(docs)
+    feats = M.decode_image_features(media, fake=True)
+    return feats.select(
+        "media_id", "width", "height", "n_channels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )

@@ -92,3 +92,59 @@ def test_token_ngrams_and_decontamination_semantics(spark):
     assert out[2] == (0, False)
     assert out[7] == (0, False)
     assert 3 not in out  # benchmark docs are not scored
+
+
+def test_pii_redaction_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now or call 555-123-4567 ok"),
+            (2, "ssn 123-45-6789 from host 192.168.1.254 end"),
+            (3, "dotted phone 555.123.4567 and plain text"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = T.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+            T.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["red"] == "mail <EMAIL> now or call <PHONE> ok"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["red"] == "ssn <SSN> from host <IP> end"
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["red"]
+    assert out[4]["red"] == "no pii here at all"
+    assert all(out[4][f"n_{k}"] == 0 for k in ("email", "ssn", "phone", "ipv4"))
+
+
+def test_pii_ssn_not_double_counted_as_phone(spark):
+    # SSN (3-2-4) must not match the phone pattern (3-3-4); a full phone
+    # must not be eaten by the IP pattern.
+    df = spark.createDataFrame([(1, "123-45-6789 and 123-456-7890")], "doc_id long, text string")
+    counts = T.pii_counts(F.col("text"))
+    r = df.select(*[c.alias(f"n_{k}") for k, c in counts.items()],
+                  T.redact_pii(F.col("text")).alias("red")).first()
+    assert r["n_ssn"] == 1 and r["n_phone"] == 1 and r["n_ipv4"] == 0
+    assert r["red"] == "<SSN> and <PHONE>"
+
+
+def test_repetition_features_detect_loops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 20 + "spam ham"),   # heavy 2-gram loop
+            (2, "one two three four five six seven eight"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    f = T.repetition_features(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select("doc_id", *[v.alias(k) for k, v in f.items()]).collect()}
+    loop, clean = out[1], out[2]
+    assert loop["dup_word_frac"] > 0.9 and loop["dup_2gram_frac"] > 0.9
+    assert loop["top_word_frac"] == pytest.approx(21 / 42)
+    assert clean["dup_word_frac"] == 0.0 and clean["dup_2gram_frac"] == 0.0
+    assert clean["top_word_frac"] == pytest.approx(1 / 8)

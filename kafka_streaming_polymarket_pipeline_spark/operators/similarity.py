@@ -259,3 +259,29 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_c", 6).alias("cosine"), "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the compression
+    an ANN serving layer applies before the index (4x smaller than f32,
+    SIMD-dot-friendly). Returns (id, scale, q, mse_ppm): q_i =
+    round(x_i * 127 / amax), reconstruction MSE reported in parts-per-
+    million. Map-only at any scale; all arithmetic in double so any
+    engine reproduces it bit-for-bit."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    dq = F.when(
+        scale > 0, F.transform(q, lambda c: c.cast("double") / scale)
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+    sq_err = F.zip_with(v, dq, lambda x, y: (x - y) * (x - y))
+    mse = F.aggregate(sq_err, F.lit(0.0), lambda acc, e: acc + e) / F.size(sq_err)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q"),
+        F.round(mse * 1e6, 3).alias("mse_ppm"),
+    )

@@ -258,3 +258,40 @@ def s3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     approx = S.lsh_ann_topk(emb, queries, k=TOP_K)
     return _recall_frame(spark, sf_dir, approx)
+
+
+@register(
+    "q1_embedding_quantize",
+    oracle="""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 0.0 END AS scale
+  FROM b
+), qd AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS q
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       q,
+       round(list_sum(list_transform(generate_series(1, len(v)),
+                 i -> pow(v[i] - (CASE WHEN scale > 0
+                                       THEN CAST(q[i] AS DOUBLE) / scale
+                                       ELSE 0.0 END), 2)))
+             / len(v) * 1e6, 3) AS mse_ppm
+FROM qd
+""",
+)
+def q1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table with per-vector
+    scale and reconstruction-MSE accounting — the storage/serving
+    compression step of a 100 TB similarity stack. Map-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)

@@ -280,7 +280,8 @@ WITH b AS (
 )
 SELECT vec_id,
        round(scale, 6) AS scale,
-       q,
+       md5(array_to_string(q, ',')) AS q_md5,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
        round(list_sum(list_transform(generate_series(1, len(v)),
                  i -> pow(v[i] - (CASE WHEN scale > 0
                                        THEN CAST(q[i] AS DOUBLE) / scale
@@ -292,6 +293,18 @@ FROM qd
 def q1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table with per-vector
     scale and reconstruction-MSE accounting — the storage/serving
-    compression step of a 100 TB similarity stack. Map-only."""
+    compression step of a 100 TB similarity stack. Map-only.
+
+    The code vector is surfaced as (md5 digest, sum) rather than the raw
+    array: the driver's canonicalizer sorts result columns in pandas,
+    which cannot hash list cells — and the digest pins the full code
+    sequence just as strictly."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.quantize_int8(emb)
+    q = S.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(F.concat_ws(",", F.col("q").cast("array<string>"))).alias("q_md5"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        "mse_ppm",
+    )

@@ -125,10 +125,19 @@ def main() -> None:
     if "--streaming-only" in sys.argv:
         # Subprocess mode: fresh JVM; warm one small batch (every micro-batch
         # after a streaming job's first is warm — steady state is the honest
-        # number), then measure, printing one JSON line.
+        # number), then measure best-of-N, printing one JSON line. Best-of-N
+        # for the same reason as the batch min-of-N: this box's background
+        # load comes in waves (round-2 recorded 21.5k events/s in a
+        # contention window vs 200-250k healthy, same code).
         spark = get_spark(app_name="pmps-bench-stream", cpus=cpus, shuffle_partitions=cpus)
         streaming_throughput(spark, sf_dir, n_rows=100_000)
-        print(json.dumps(streaming_throughput(spark, sf_dir)))
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        best = None
+        for _ in range(max(runs, 1)):
+            r = streaming_throughput(spark, sf_dir)
+            if best is None or r["events_per_sec"] > best["events_per_sec"]:
+                best = r
+        print(json.dumps(best))
         return
 
     spark = get_spark(app_name="pmps-bench", cpus=cpus, shuffle_partitions=cpus)

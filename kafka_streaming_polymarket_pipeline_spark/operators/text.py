@@ -290,3 +290,144 @@ def repetition_features(text: Column) -> dict[str, Column]:
         "dup_2gram_frac": dup_frac(token_ngrams_all(text, 2)),
         "dup_3gram_frac": dup_frac(token_ngrams_all(text, 3)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level text statistics (TF-IDF, n-gram LM scoring, boilerplate
+# coverage). Unlike the row-local features above, these join each document
+# against corpus aggregates — the joins are all equi-joins on token/gram
+# keys (shuffle on the key, map-side partial counts), never doc×doc.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df, id_col: str = "doc_id", text_col: str = "text", n_top: int = 5
+):
+    """Top-``n_top`` TF-IDF terms per document (sklearn smooth-idf formula:
+    ``idf = ln((1+N)/(1+df)) + 1``), ties broken by token ascending.
+
+    Scale shape: one explode → (doc, token) count shuffle for tf; one
+    token-key shuffle for df; N rides along as a 1-row frame (crossJoin of
+    an aggregate — broadcast by construction, never a driver collect).
+    The df side is O(vocab) and joins tf on token — at 100 TB the vocab
+    frame is still small enough to broadcast; the hint stays advisory so
+    AQE may pick shuffle-hash when it is not.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_top)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def bigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document average bigram log-probability under an add-one-smoothed
+    corpus bigram LM: ``lp(w1 w2) = ln((c(w1,w2)+1) / (c(w1)+V))`` — the
+    CCNet/KenLM-style perplexity quality gate, with the LM learned from the
+    corpus itself in the same job.
+
+    Scale shape: bigrams are built row-locally (array slide, no
+    positional self-join); the LM tables are groupBy counts on token /
+    (w1,w2) keys; scoring joins each doc's bigram instances against the
+    two count tables on those keys. No stage is ever doc×doc.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+
+    unigrams = df.select(F.explode(toks).alias("token"))
+    c1 = unigrams.groupBy("token").agg(F.count("*").alias("c1"))
+    vocab = unigrams.agg(F.countDistinct("token").alias("v"))
+    c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+
+    scored = (
+        grams.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), F.col("w1") == F.col("token"))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+def boilerplate_ngram_coverage(
+    df, id_col: str = "doc_id", text_col: str = "text", n: int = 8, min_df: int = 3
+):
+    """Fraction of each document's distinct token ``n``-grams that are
+    corpus-boilerplate (appearing in >= ``min_df`` documents) — the
+    CCNet-style shared-span detector for template/boilerplate text when
+    documents carry no line structure.
+
+    Scale shape: distinct grams per doc are row-local; the document
+    frequency is one groupBy on the gram key (grams are distinct within a
+    doc, so count(*) IS the doc-frequency); coverage joins each doc's
+    grams back on the same key. Gram-key equi-joins only.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_ngrams(F.lower(F.col(text_col)), n)).alias("g"),
+    )
+    gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    per_doc = (
+        grams.join(gram_df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("gdf") >= min_df).cast("long")).alias("n_boilerplate"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_boilerplate", F.lit(0).cast("long")).alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_boilerplate", F.lit(0).cast("long"))
+                / F.greatest(F.coalesce("n_grams", F.lit(0).cast("long")), F.lit(1).cast("long")),
+                6,
+            ).alias("boilerplate_frac"),
+        )
+    )

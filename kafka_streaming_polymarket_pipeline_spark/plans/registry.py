@@ -36,6 +36,81 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# The driver's correctness gate checks the first 50 registry entries per
+# round (CORRECTNESS_r01/r02 are each exactly the registry's 50-entry
+# prefix). With >50 registered queries, iteration order decides which get
+# an official audited row, so the order rotates per round: queries with no
+# green row in any prior CORRECTNESS_r*.json come first, then this round's
+# new/changed queries, then re-checks of the highest-scrutiny entries.
+# Union coverage across rounds is tracked in COVERAGE.md. Names absent
+# from this list keep registration order after the prioritized prefix.
+_DRIVER_PRIORITY: list[str] = [
+    # never driver-checked (no row in r01 or r02)
+    "a13_approx_count_distinct",
+    "a13b_approx_distinct_gate",
+    "t8_decontamination",
+    "t9_pii_redaction",
+    "t10_repetition_stats",
+    "m2_image_decode_features",
+    # errored in r02 (canonicalizer could not hash list cells; fixed since)
+    "q1_embedding_quantize",
+    # no row in r02 (checked in r01 only)
+    "a4_ratio_guarded",
+    "a5_topk_per_group",
+    "a6_count_empty_marker",
+    "a7_downsample_last",
+    "a8_incremental_watermark_max",
+    "a9_change_detect_dedup",
+    "a10_consecutive_runs",
+    "u1_union_by_name",
+    "u2_rollup_revenue",
+    "f_scalar_battery",
+    "f7_iso8601_parse",
+    "f4_json_serialize_roundtrip",
+    "u3_distinct_agg",
+    "u4_anti_join",
+    "u5_cube_revenue",
+    "w1_running_sum",
+    "j2b_bucketed_interval_join",
+    "w2_session_windows",
+    "a12_percentiles",
+    "t1_token_stats",
+    "t2_lang_id",
+    "t3_quality_score",
+    "t4_fingerprint",
+    "t5_top_tokens",
+    "t6_bpe_token_count",
+    "t7_winnow_fingerprints",
+    "m1_binary_metadata",
+    # new this round
+    "t11_tfidf_top_terms",
+    "t12_bigram_lm_score",
+    "t13_boilerplate_coverage",
+    # re-checks: highest-scrutiny previously-green entries
+    "d3_minhash_lsh",
+    "d5b_embedding_neardup_blocked",
+    "d6b_neardup_clusters_star",
+    "d7_incremental_neardup",
+    "s2_recall",
+    "s3_recall",
+    "e2e_corpus_build",
+    "v1_bpe_learn_vocab",
+    "v2_bpe_tokenize_corpus",
+    "pk1_pack_assignments",
+    "pk2_sequence_fill",
+    "sh1_shard_assignment",
+    "x3_mixture_sample",
+]
+
+
+def _ordered() -> list[Query]:
+    rank = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    names = list(_REGISTRY)
+    return [
+        _REGISTRY[n]
+        for n in sorted(names, key=lambda n: (rank.get(n, len(rank) + names.index(n)),))
+    ]
+
 
 def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Builder], Builder]:
     """Decorator: register a query builder under ``name`` with its oracle SQL."""
@@ -54,8 +129,8 @@ def get(name: str) -> Query:
 
 
 def all_queries() -> dict[str, Builder]:
-    return {q.name: q.builder for q in _REGISTRY.values()}
+    return {q.name: q.builder for q in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}

@@ -1008,3 +1008,33 @@ def a13_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+@register(
+    "a13b_approx_distinct_gate",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
+def a13b_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable gate for a13: HLL estimates differ by engine, so
+    the hashable contract is the *quality bound* — per event type, emit the
+    exact distinct count plus a flag that the rsd=1% HLL++ estimate landed
+    within 3x its configured rsd (the derived-oracle pattern s2_recall
+    uses). The oracle asserts the flag is TRUE for every group, so a
+    regression in the sketch path flips the hash."""
+    events = load(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.round(0.03 * F.col("exact_users")), F.lit(2))
+        ).alias("approx_ok"),
+    )

@@ -435,3 +435,111 @@ def m2_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "n_channels",
         F.round("mean_luma", 6).alias("mean_luma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level statistics (t11-t13): each document scored against corpus
+# aggregates via token/gram-key equi-joins — never doc×doc. These are the
+# CCNet/Gopher-style quality gates a training pipeline runs corpus-wide.
+# ---------------------------------------------------------------------------
+
+_LTOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@register(
+    "t11_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) DESC,
+                    tf.token ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+) WHERE rank <= 5
+""",
+)
+def t11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (sklearn smooth-idf formula).
+    Rank is taken over the 6-dp-rounded score on BOTH sides so a sub-1e-6
+    libm difference between JVM and DuckDB cannot flip the ordering."""
+    docs = load(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, n_top=5)
+
+
+@register(
+    "t12_bigram_lm_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_LTOKS} AS ts FROM documents
+),
+g AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+),
+c1 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ts) AS token FROM t) GROUP BY token
+),
+v AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+  FROM (SELECT unnest(ts) AS token FROM t)
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY w1, w2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS avg_logprob
+FROM g JOIN c2 USING (w1, w2) JOIN c1 ON g.w1 = c1.token CROSS JOIN v
+GROUP BY doc_id
+""",
+)
+def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one-smoothed
+    corpus bigram LM (KenLM/CCNet-style perplexity quality gate, with the
+    LM learned from the corpus in the same job)."""
+    docs = load(spark, sf_dir, "documents")
+    return T.bigram_lm_scores(docs)
+
+
+@register(
+    "t13_boilerplate_coverage",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_LTOKS} AS ts FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+                                 i -> array_to_string(ts[i:i+7], ' '))) AS g
+    FROM t)
+),
+gdf AS (SELECT g, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY g),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN gdf.gdf >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+  FROM g JOIN gdf USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_boilerplate, 0) AS n_boilerplate,
+       round(coalesce(p.n_boilerplate, 0) / greatest(coalesce(p.n_grams, 0), 1), 6)
+         AS boilerplate_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+)
+def t13_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's distinct token 8-grams that are corpus
+    boilerplate (shared by >= 3 documents) — the template/shared-span
+    detector for documents without line structure."""
+    docs = load(spark, sf_dir, "documents")
+    return T.boilerplate_ngram_coverage(docs, n=8, min_df=3)

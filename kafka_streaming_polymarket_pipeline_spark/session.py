@@ -56,4 +56,37 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # conf may be static in some deployments; AQE is an optimization only
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver process's cwd/PYTHONPATH (an external driver may launch from
+    anywhere; mapInPandas closures are pickled by reference and the worker
+    must import the module). addPyFile distributes a zip of the package —
+    the runtime equivalent of ``--py-files`` on a real cluster submit."""
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_pmps_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added under this name, or a deployment that forbids it
+    sc._pmps_shipped = True

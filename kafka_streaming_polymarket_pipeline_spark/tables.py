@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -25,10 +26,13 @@ TABLE_NAMES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects. We read them as raw nanos (legacy conf) and truncate to
-# microseconds — exactly what DuckDB/pandas do when reading the same file,
-# so oracle comparisons stay bit-identical.
+# Timestamp columns whose physical parquet type varies by testdata
+# generation: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+# read as raw nanos via the legacy conf and truncate to microseconds,
+# exactly what DuckDB/pandas do with the same file) or timestamp[us]
+# (arrives as TIMESTAMP_NTZ — reinterpret as session-local TIMESTAMP;
+# sessions are UTC-pinned, so the value is unchanged and matches DuckDB).
+# Either way downstream code sees a plain TIMESTAMP column.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -40,7 +44,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, TimestampNTZType):
+            df = df.withColumn(c, F.to_timestamp(c))
     return df
 
 

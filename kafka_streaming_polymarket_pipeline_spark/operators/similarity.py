@@ -285,3 +285,186 @@ def quantize_int8(
         q.alias("q"),
         F.round(mse * 1e6, 3).alias("mse_ppm"),
     )
+
+
+# --- Product quantization (PQ) + asymmetric-distance (ADC) search ---------
+#
+# The memory-bound ANN tier: corpus vectors are stored as PQ_M 5-bit codes
+# (PQ_K=32 codewords per subspace) instead of 64 floats — 16x smaller —
+# and queries score candidates against codes via per-subspace lookup
+# tables (Jegou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). ADC picks a candidate pool; an exact-cosine
+# rerank over the pool restores precision. No reference counterpart
+# (builder's-brief extension, like s1-s3).
+
+PQ_M = 8   # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+PQ_K = 32  # codewords per subspace (5-bit codes)
+PQ_POOL = 100  # ADC candidate pool per query before exact rerank
+# (measured at sf0.01, seed codebook: recall@10 0.64 at pool=50, 0.83 at
+# 100, 0.96 at 200 — the pool is a constant, so at 1B vectors it is a
+# vanishing rerank fraction)
+
+
+def _pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, k: int, dim: int
+) -> DataFrame:
+    """One-row codebook frame (cb: m x k x ds codewords, cn2: m x k squared
+    codeword norms). Codewords are the subvectors of the k corpus vectors
+    with smallest (md5(id), id) — the same deterministic sample pattern as
+    IVF's _centroids, so DuckDB reproduces the codebook verbatim and the
+    whole PQ pipeline is SQL-checkable. Production would Lloyd-refine each
+    subspace codebook exactly like _centroids does (same float-mean
+    caveat); the registered query pins the seed codebook.
+
+    Built without any driver collect: k rows -> explode m subspaces ->
+    two nested sort-collects into one broadcastable row, localCheckpointed
+    because both the corpus encode and the query LUT reuse it."""
+    ds = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    w = Window.orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
+    seeds = (
+        corpus.select(F.col(id_col).alias("_sid"), v.alias("_sv"))
+        .withColumn("_j", F.row_number().over(w) - 1)
+        .filter(F.col("_j") < k)
+    )
+    subs = seeds.crossJoin(F.broadcast(
+        seeds.sparkSession.range(m).select(F.col("id").cast("int").alias("_m"))
+    )).select(
+        "_j", "_m", F.slice(F.col("_sv"), F.col("_m") * ds + 1, F.lit(ds)).alias("_cw")
+    ).withColumn("_cn2", _dot(F.col("_cw"), F.col("_cw")))
+    per_m = (
+        subs.groupBy("_m")
+        .agg(F.array_sort(F.collect_list(F.struct("_j", "_cw", "_cn2"))).alias("_row"))
+        .select(
+            "_m",
+            F.transform("_row", lambda s: s["_cw"]).alias("_cws"),
+            F.transform("_row", lambda s: s["_cn2"]).alias("_cn2s"),
+        )
+    )
+    cb = (
+        per_m.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("_m", "_cws", "_cn2s"))).alias("_all"))
+        .select(
+            F.transform("_all", lambda s: s["_cws"]).alias("cb"),
+            F.transform("_all", lambda s: s["_cn2s"]).alias("cn2"),
+        )
+    )
+    return cb.localCheckpoint(eager=True)
+
+
+def _sq_l2(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, d: acc + d
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    m: int = PQ_M, n_codewords: int = PQ_K, pool: int = PQ_POOL, dim: int = _DIM,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rerank.
+
+    Physical shape (the 100 TB story): the codebook is one broadcast row;
+    corpus encoding is MAP-ONLY — codes and reconstructed norms are
+    computed row-locally (argmin folded inside whole-stage codegen), so a
+    100 TB corpus encodes in one pass with zero shuffle and persists 16x
+    smaller. ADC scoring is corpus-codes x broadcast(query LUTs): each
+    pair costs m=8 table lookups instead of a 64-dim dot product. Only
+    the pool survivors (|Q| x pool rows) touch full vectors again, via an
+    id equi-join for the exact rerank. Ranks are taken over 6-dp-rounded
+    scores on both engine sides so group-sum ordering can't flip them."""
+    ds = dim // m
+    cbrow = _pq_codebook(corpus, id_col, vec_col, m, n_codewords, dim)
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_vc")
+    q = _prep(queries, id_col, vec_col, "query_id", "_vq")
+
+    # Row-local encode: for each subspace, fold an argmin over the k
+    # codewords; then the reconstructed norm is a zip_with lookup fold.
+    def _argmin_code(mm: Column) -> Column:
+        sub = F.slice(F.col("_vc"), mm * ds + 1, F.lit(ds))
+        cws = F.element_at(F.col("cb"), (mm + 1).cast("int"))
+        best = F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_codewords - 1)),
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("j")),
+            lambda acc, j: F.when(
+                _sq_l2(sub, F.element_at(cws, (j + 1).cast("int"))) < acc["d"],
+                F.struct(
+                    _sq_l2(sub, F.element_at(cws, (j + 1).cast("int"))).alias("d"),
+                    j.cast("int").alias("j"),
+                ),
+            ).otherwise(acc),
+        )
+        return best["j"]
+
+    codes_col = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _argmin_code)
+    c_codes = (
+        c.crossJoin(F.broadcast(cbrow))
+        .withColumn("codes", codes_col)
+        .withColumn(
+            "_rn2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("cn2"),
+                    lambda code, arr: F.element_at(arr, (code + 1).cast("int")),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+        .select("neighbor_id", "codes", F.sqrt("_rn2").alias("_recon_n"))
+    )
+
+    # Query LUTs: lut[m][j] = dot(query subvector m, codeword j).
+    lut_col = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mm: F.transform(
+            F.element_at(F.col("cb"), (mm + 1).cast("int")),
+            lambda cw: _dot(F.slice(F.col("_vq"), mm * ds + 1, F.lit(ds)), cw),
+        ),
+    )
+    q_lut = q.crossJoin(F.broadcast(cbrow)).select(
+        "query_id", "_vq", "_vq_n", lut_col.alias("lut")
+    )
+
+    adc = (
+        c_codes.crossJoin(F.broadcast(q_lut.drop("_vq")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_adc",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"), F.col("lut"),
+                        lambda code, row: F.element_at(row, (code + 1).cast("int")),
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                / (F.col("_vq_n") * F.col("_recon_n")),
+                6,
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= pool)
+        .select("query_id", "neighbor_id")
+    )
+
+    rerank = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_vq"), F.col("_vc")) / (F.col("_vq_n") * F.col("_vc_n")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

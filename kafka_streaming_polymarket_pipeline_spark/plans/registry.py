@@ -86,6 +86,8 @@ _DRIVER_PRIORITY: list[str] = [
     "t11_tfidf_top_terms",
     "t12_bigram_lm_score",
     "t13_boilerplate_coverage",
+    "q2_pq_adc_topk",
+    "q2_recall",
     # re-checks: highest-scrutiny previously-green entries
     "d3_minhash_lsh",
     "d5b_embedding_neardup_blocked",
@@ -98,8 +100,6 @@ _DRIVER_PRIORITY: list[str] = [
     "v2_bpe_tokenize_corpus",
     "pk1_pack_assignments",
     "pk2_sequence_fill",
-    "sh1_shard_assignment",
-    "x3_mixture_sample",
 ]
 
 

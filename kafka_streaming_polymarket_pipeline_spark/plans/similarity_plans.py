@@ -308,3 +308,115 @@ def q1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         "mse_ppm",
     )
+
+
+# PQ-ADC replicated in SQL: md5-ordered seed codebook, per-subspace argmin
+# encode (tie -> smaller codeword index, matching Spark's first-minimum
+# fold), lookup-table scoring rounded to 6 dp BEFORE ranking on both
+# sides (group-sum order is engine-specific), exact rerank of the pool.
+_PQ_DS = 64 // S.PQ_M
+
+
+def _pq_sql() -> str:
+    m, k, ds, pool = S.PQ_M, S.PQ_K, _PQ_DS, S.PQ_POOL
+    return f"""
+pq_seeds AS (
+  SELECT e, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM v QUALIFY j < {k}
+),
+pq_cw AS (
+  SELECT mm.m, s.j, s.e[mm.m * {ds} + 1 : (mm.m + 1) * {ds}] AS cw,
+         list_dot_product(s.e[mm.m * {ds} + 1 : (mm.m + 1) * {ds}],
+                          s.e[mm.m * {ds} + 1 : (mm.m + 1) * {ds}]) AS cn2
+  FROM pq_seeds s, (SELECT unnest(range(0, {m})) AS m) mm
+),
+pq_codes AS (
+  SELECT vec_id, m, j AS code, cn2 FROM (
+    SELECT v.vec_id, c.m, c.j, c.cn2,
+           row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
+             list_sum(list_transform(range(1, {ds} + 1),
+               i -> (v.e[c.m * {ds} + i] - c.cw[i]) * (v.e[c.m * {ds} + i] - c.cw[i]))),
+             c.j) AS rn
+    FROM v CROSS JOIN pq_cw c
+  ) WHERE rn = 1
+),
+pq_qn AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS n FROM q),
+pq_rn AS (SELECT vec_id, sqrt(sum(cn2)) AS rn FROM pq_codes GROUP BY vec_id),
+pq_contrib AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         list_dot_product(q.e[cd.m * {ds} + 1 : (cd.m + 1) * {ds}], cw.cw) AS x
+  FROM pq_codes cd
+  JOIN pq_cw cw ON cw.m = cd.m AND cw.j = cd.code
+  CROSS JOIN q
+  WHERE q.vec_id <> cd.vec_id
+),
+pq_adc AS (
+  SELECT c.query_id, c.neighbor_id, round(sum(c.x) / (qn.n * rn.rn), 6) AS adc
+  FROM pq_contrib c
+  JOIN pq_qn qn ON qn.vec_id = c.query_id
+  JOIN pq_rn rn ON rn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, qn.n, rn.rn
+),
+pq_pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+    FROM pq_adc
+  ) WHERE rn <= {pool}
+),
+pq_rerank AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_dot_product(q.e, cv.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cv.e, cv.e))), 6) AS c
+  FROM pq_pool p
+  JOIN q ON q.vec_id = p.query_id
+  JOIN v cv ON cv.vec_id = p.neighbor_id
+),
+pq_topk AS (
+  SELECT query_id, neighbor_id, c, rn FROM (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+    FROM pq_rerank
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+@register(
+    "q2_pq_adc_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < {N_QUERIES}),
+{_pq_sql()}
+SELECT query_id, neighbor_id, c AS cosine, CAST(rn AS INT) AS rank
+FROM pq_topk
+""",
+)
+def q2_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via product quantization + asymmetric-distance
+    scoring (8 subspaces x 32 codewords, pool=100 exact rerank) — the
+    memory-bound ANN tier where the corpus lives as 16x-compressed codes.
+    The md5-seeded codebook makes the whole pipeline SQL-reproducible;
+    Lloyd-refined codebooks are the production knob (same caveat as s2)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.pq_adc_topk(emb, queries, k=TOP_K)
+
+
+@register(
+    "q2_recall",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_pq_sql()},
+hits AS (
+  SELECT b.query_id, b.neighbor_id FROM brute_topk b
+  JOIN pq_topk a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+{_RECALL_SELECT}
+""",
+)
+def q2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable PQ-ADC quality gate: recall@10 of q2 against s1
+    (measured 0.83 at sf0.01 with the seed codebook and pool=100)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    approx = S.pq_adc_topk(emb, queries, k=TOP_K)
+    return _recall_frame(spark, sf_dir, approx)

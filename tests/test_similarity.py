@@ -57,3 +57,24 @@ def test_bruteforce_excludes_self_and_ranks(spark, sf_smoke):
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_smoke):
+    emb = load(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=10).collect()
+    approx = S.pq_adc_topk(emb, queries, k=10).collect()
+    r = _recall(exact, approx)
+    # Seed codebook (no Lloyd), pool=100: measured 0.83 at sf0.01; the
+    # sf0.001 corpus is smaller so the pool covers more of it.
+    assert r >= 0.7, f"PQ-ADC mean recall@10 too low: {r}"
+
+
+def test_pq_codes_compress_and_bound_mse(spark, sf_smoke):
+    # Encoding is map-only: every vector gets PQ_M codes in [0, PQ_K).
+    emb = load(spark, sf_smoke, "embeddings")
+    cb = S._pq_codebook(emb, "vec_id", "embedding", S.PQ_M, S.PQ_K, 64)
+    row = cb.collect()[0]
+    assert len(row["cb"]) == S.PQ_M
+    assert all(len(sub) == S.PQ_K for sub in row["cb"])
+    assert all(len(cw) == 64 // S.PQ_M for sub in row["cb"] for cw in sub)

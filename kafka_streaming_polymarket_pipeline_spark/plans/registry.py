@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "t13_boilerplate_coverage",
     "q2_pq_adc_topk",
     "q2_recall",
+    "x4_temperature_weights",
     # re-checks: highest-scrutiny previously-green entries
     "d3_minhash_lsh",
     "d5b_embedding_neardup_blocked",
@@ -99,7 +100,6 @@ _DRIVER_PRIORITY: list[str] = [
     "v1_bpe_learn_vocab",
     "v2_bpe_tokenize_corpus",
     "pk1_pack_assignments",
-    "pk2_sequence_fill",
 ]
 
 

@@ -9,6 +9,7 @@ RNG.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_streaming_polymarket_pipeline_spark.operators import sampling as S
 from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
@@ -76,4 +77,45 @@ def x3_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixing), exact per-stratum counts, engine-portable hash order."""
     return S.mixture_sample(
         load(spark, sf_dir, "documents"), rates=MIX_RATES, default_rate=MIX_DEFAULT
+    )
+
+
+@register(
+    "x4_temperature_weights",
+    oracle="""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+z AS (SELECT sum(pow(n_docs * 1.0 / total, 0.3)) AS z FROM c CROSS JOIN t)
+SELECT lang, n_docs,
+       round(n_docs * 1.0 / total, 6) AS p,
+       round(pow(n_docs * 1.0 / total, 0.3) / z, 6) AS weight,
+       round((pow(n_docs * 1.0 / total, 0.3) / z) / (n_docs * 1.0 / total), 6) AS boost
+FROM c CROSS JOIN t CROSS JOIN z
+""",
+)
+def x4_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (alpha=0.3, the
+    mT5/XLM-R exponent): w_d = p_d^alpha / sum(p^alpha). Upweights tail
+    languages, downweights the head; `boost` = w/p is the per-language
+    repetition factor a sampler applies. Scale shape: one groupBy(lang)
+    count, then two single-row aggregates broadcast back — no per-doc
+    work beyond the count, so it costs one narrow shuffle at any corpus
+    size."""
+    alpha = 0.3
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    with_p = counts.crossJoin(F.broadcast(total)).withColumn(
+        "p_raw", F.col("n_docs") / F.col("total")
+    ).withColumn("pa", F.pow("p_raw", F.lit(alpha)))
+    zf = with_p.agg(F.sum("pa").alias("z"))
+    return (
+        with_p.crossJoin(F.broadcast(zf))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("p_raw", 6).alias("p"),
+            F.round(F.col("pa") / F.col("z"), 6).alias("weight"),
+            F.round((F.col("pa") / F.col("z")) / F.col("p_raw"), 6).alias("boost"),
+        )
     )

@@ -305,35 +305,12 @@ PQ_POOL = 100  # ADC candidate pool per query before exact rerank
 # vanishing rerank fraction)
 
 
-def _pq_codebook(
-    corpus: DataFrame, id_col: str, vec_col: str, m: int, k: int, dim: int
-) -> DataFrame:
-    """One-row codebook frame (cb: m x k x ds codewords, cn2: m x k squared
-    codeword norms). Codewords are the subvectors of the k corpus vectors
-    with smallest (md5(id), id) — the same deterministic sample pattern as
-    IVF's _centroids, so DuckDB reproduces the codebook verbatim and the
-    whole PQ pipeline is SQL-checkable. Production would Lloyd-refine each
-    subspace codebook exactly like _centroids does (same float-mean
-    caveat); the registered query pins the seed codebook.
-
-    Built without any driver collect: k rows -> explode m subspaces ->
-    two nested sort-collects into one broadcastable row, localCheckpointed
-    because both the corpus encode and the query LUT reuse it."""
-    ds = dim // m
-    v = F.col(vec_col).cast("array<double>")
-    w = Window.orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
-    seeds = (
-        corpus.select(F.col(id_col).alias("_sid"), v.alias("_sv"))
-        .withColumn("_j", F.row_number().over(w) - 1)
-        .filter(F.col("_j") < k)
-    )
-    subs = seeds.crossJoin(F.broadcast(
-        seeds.sparkSession.range(m).select(F.col("id").cast("int").alias("_m"))
-    )).select(
-        "_j", "_m", F.slice(F.col("_sv"), F.col("_m") * ds + 1, F.lit(ds)).alias("_cw")
-    ).withColumn("_cn2", _dot(F.col("_cw"), F.col("_cw")))
+def _cb_row_from_codewords(cw_table: DataFrame) -> DataFrame:
+    """(_m, _j, _cw) rows -> one broadcastable codebook row (cb, cn2),
+    localCheckpointed because corpus encode and query LUT both reuse it."""
     per_m = (
-        subs.groupBy("_m")
+        cw_table.withColumn("_cn2", _dot(F.col("_cw"), F.col("_cw")))
+        .groupBy("_m")
         .agg(F.array_sort(F.collect_list(F.struct("_j", "_cw", "_cn2"))).alias("_row"))
         .select(
             "_m",
@@ -352,37 +329,14 @@ def _pq_codebook(
     return cb.localCheckpoint(eager=True)
 
 
-def _sq_l2(x: Column, y: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, d: acc + d
-    )
+def _pq_codes_col(vec_name: str, m: int, ds: int, n_codewords: int) -> Column:
+    """Row-local PQ encode of column ``vec_name`` against the attached
+    codebook column ``cb``: for each subspace, an argmin fold over the k
+    codewords (first minimum wins -> lowest codeword index on ties),
+    entirely inside whole-stage codegen."""
 
-
-def pq_adc_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10,
-    m: int = PQ_M, n_codewords: int = PQ_K, pool: int = PQ_POOL, dim: int = _DIM,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """PQ-ADC approximate top-k with exact rerank.
-
-    Physical shape (the 100 TB story): the codebook is one broadcast row;
-    corpus encoding is MAP-ONLY — codes and reconstructed norms are
-    computed row-locally (argmin folded inside whole-stage codegen), so a
-    100 TB corpus encodes in one pass with zero shuffle and persists 16x
-    smaller. ADC scoring is corpus-codes x broadcast(query LUTs): each
-    pair costs m=8 table lookups instead of a 64-dim dot product. Only
-    the pool survivors (|Q| x pool rows) touch full vectors again, via an
-    id equi-join for the exact rerank. Ranks are taken over 6-dp-rounded
-    scores on both engine sides so group-sum ordering can't flip them."""
-    ds = dim // m
-    cbrow = _pq_codebook(corpus, id_col, vec_col, m, n_codewords, dim)
-    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_vc")
-    q = _prep(queries, id_col, vec_col, "query_id", "_vq")
-
-    # Row-local encode: for each subspace, fold an argmin over the k
-    # codewords; then the reconstructed norm is a zip_with lookup fold.
     def _argmin_code(mm: Column) -> Column:
-        sub = F.slice(F.col("_vc"), mm * ds + 1, F.lit(ds))
+        sub = F.slice(F.col(vec_name), mm * ds + 1, F.lit(ds))
         cws = F.element_at(F.col("cb"), (mm + 1).cast("int"))
         best = F.aggregate(
             F.sequence(F.lit(0), F.lit(n_codewords - 1)),
@@ -397,7 +351,110 @@ def pq_adc_topk(
         )
         return best["j"]
 
-    codes_col = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _argmin_code)
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _argmin_code)
+
+
+def _pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, k: int, dim: int,
+    pq_iters: int = 0,
+) -> DataFrame:
+    """One-row codebook frame (cb: m x k x ds codewords, cn2: m x k squared
+    codeword norms). Seed codewords are the subvectors of the k corpus
+    vectors with smallest (md5(id), id) — the same deterministic sample
+    pattern as IVF's _centroids, so DuckDB reproduces the codebook verbatim
+    and the whole PQ pipeline is SQL-checkable.
+
+    ``pq_iters`` Lloyd iterations refine each subspace codebook (assign ->
+    per-(subspace, code, position) mean -> rebuild; codewords that attract
+    no vectors keep their previous value). The registered oracle query pins
+    pq_iters=0 because float-mean summation order is engine-specific —
+    exactly the IVF kmeans_iters caveat; refined quality is gated in
+    tests. Built without any driver collect."""
+    ds = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    w = Window.orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
+    seeds = (
+        corpus.select(F.col(id_col).alias("_sid"), v.alias("_sv"))
+        .withColumn("_j", F.row_number().over(w) - 1)
+        .filter(F.col("_j") < k)
+    )
+    subs = seeds.crossJoin(F.broadcast(
+        seeds.sparkSession.range(m).select(F.col("id").cast("int").alias("_m"))
+    )).select(
+        "_j", "_m", F.slice(F.col("_sv"), F.col("_m") * ds + 1, F.lit(ds)).alias("_cw")
+    )
+    cb = _cb_row_from_codewords(subs)
+    if pq_iters <= 0:
+        return cb
+
+    prep = corpus.select(v.alias("_v"))
+    for _ in range(pq_iters):
+        # Assign: row-local encode, then one (subspace, code) shuffle of
+        # narrow position/value rows for the element-wise means.
+        enc = prep.crossJoin(F.broadcast(cb)).select(
+            "_v", _pq_codes_col("_v", m, ds, n_codewords=k).alias("_codes")
+        )
+        pe = (
+            enc.select(F.posexplode("_codes").alias("_m", "_code"), "_v")
+            .select(
+                "_m", "_code",
+                F.posexplode(
+                    F.slice(F.col("_v"), F.col("_m") * ds + 1, F.lit(ds))
+                ).alias("_pos", "_val"),
+            )
+        )
+        new_cw = (
+            pe.groupBy("_m", "_code", "_pos")
+            .agg(F.avg("_val").alias("_mv"))
+            .groupBy("_m", "_code")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_mv"))).alias("_pm"))
+            .select(
+                "_m",
+                F.col("_code").alias("_j"),
+                F.transform("_pm", lambda s: s["_mv"]).alias("_new"),
+            )
+        )
+        cur = (
+            cb.select(F.posexplode("cb").alias("_m", "_cws"))
+            .select("_m", F.posexplode("_cws").alias("_j", "_cw"))
+        )
+        merged = cur.join(new_cw, ["_m", "_j"], "left").select(
+            "_m", "_j", F.coalesce("_new", "_cw").alias("_cw")
+        )
+        cb = _cb_row_from_codewords(merged)
+    return cb
+
+
+def _sq_l2(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, d: acc + d
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    m: int = PQ_M, n_codewords: int = PQ_K, pool: int = PQ_POOL, dim: int = _DIM,
+    pq_iters: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rerank.
+
+    Physical shape (the 100 TB story): the codebook is one broadcast row;
+    corpus encoding is MAP-ONLY — codes and reconstructed norms are
+    computed row-locally (argmin folded inside whole-stage codegen), so a
+    100 TB corpus encodes in one pass with zero shuffle and persists 16x
+    smaller. ADC scoring is corpus-codes x broadcast(query LUTs): each
+    pair costs m=8 table lookups instead of a 64-dim dot product. Only
+    the pool survivors (|Q| x pool rows) touch full vectors again, via an
+    id equi-join for the exact rerank. Ranks are taken over 6-dp-rounded
+    scores on both engine sides so group-sum ordering can't flip them."""
+    ds = dim // m
+    cbrow = _pq_codebook(corpus, id_col, vec_col, m, n_codewords, dim, pq_iters=pq_iters)
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_vc")
+    q = _prep(queries, id_col, vec_col, "query_id", "_vq")
+
+    # Row-local encode; then the reconstructed norm is a zip_with lookup fold.
+    codes_col = _pq_codes_col("_vc", m, ds, n_codewords)
     c_codes = (
         c.crossJoin(F.broadcast(cbrow))
         .withColumn("codes", codes_col)

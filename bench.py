@@ -39,6 +39,8 @@ HEADLINE = [
     "t7_winnow_fingerprints", # winnowing fingerprints (window min per doc)
     "s1_ann_bruteforce_topk", # brute-force cosine top-k
     "s2_ann_ivf_topk",        # IVF-bucketed ANN (the scale path)
+    "q2_pq_adc_topk",         # PQ-ADC ANN (memory-bound scale path)
+    "t12_bigram_lm_score",    # corpus bigram-LM quality scoring
     "j2b_bucketed_interval_join",  # range join via time-bucket equi-keys
     "u3_distinct_agg",        # exact distinct aggregation
     "u5_cube_revenue",        # CUBE grouping sets

@@ -147,6 +147,38 @@ def market_sessions(
     )
 
 
+# --- J2 streaming form: stream-stream interval join ---
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "symbol",
+    left_ts: str = "price_timestamp",
+    right_ts: str = "trade_timestamp",
+    tolerance: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events within [left_ts,
+    left_ts + tolerance) of a matching-key left event.
+
+    The reference correlates its streams procedurally (db_writer.py
+    consumes multiple topics and matches rows after landing them in
+    Postgres); Spark expresses the correlation as a first-class streaming
+    join. Both sides carry watermarks and the join predicate bounds
+    right_ts relative to left_ts, so the state store evicts rows once the
+    watermark passes the bound — state is O(in-flight window), not
+    O(stream history). The equi-key keeps it a hash join shuffled on the
+    key; no cross-stream scan."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] < lw[left_ts] + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 # --- T8: error side-channel union ---
 
 def error_side_channel(*error_streams: DataFrame) -> DataFrame:

@@ -174,3 +174,40 @@ def test_dedup_redeliveries_drops_duplicate_offsets(spark, tmp_path):
     out = jobs.run_available_now(stream, "t_dedup", spark)
     assert out.count() == 5
     assert out.select("offset").distinct().count() == 5
+
+
+def test_stream_interval_join_matches_within_tolerance(spark, tmp_path):
+    # Two file streams: prices at t0, t0+1h, and trades at t0+2min (joins
+    # with the first price), t0+55min (outside the 10-min tolerance of
+    # either price -> dropped), t0+61min (joins with the second price).
+    import json
+
+    base = "2024-01-01T00:{m:02d}:00.000000"
+    pdir, tdir = tmp_path / "p", tmp_path / "t"
+    pdir.mkdir(), tdir.mkdir()
+    prices = [
+        {"symbol": "BTC", "price_timestamp": "2024-01-01T00:00:00.000000", "price": 100.0},
+        {"symbol": "BTC", "price_timestamp": "2024-01-01T01:00:00.000000", "price": 200.0},
+    ]
+    trades = [
+        {"symbol": "BTC", "trade_timestamp": base.format(m=2), "size": 1.0},
+        {"symbol": "BTC", "trade_timestamp": base.format(m=55), "size": 2.0},
+        {"symbol": "BTC", "trade_timestamp": "2024-01-01T01:01:00.000000", "size": 3.0},
+        {"symbol": "ETH", "trade_timestamp": base.format(m=2), "size": 9.0},  # key miss
+    ]
+    (pdir / "p.jsonl").write_text("\n".join(json.dumps(r) for r in prices))
+    (tdir / "t.jsonl").write_text("\n".join(json.dumps(r) for r in trades))
+    ps = (
+        spark.readStream.schema("symbol string, price_timestamp string, price double")
+        .json(str(pdir))
+        .withColumn("price_timestamp", F.to_timestamp("price_timestamp"))
+    )
+    ts = (
+        spark.readStream.schema("symbol string, trade_timestamp string, size double")
+        .json(str(tdir))
+        .withColumn("trade_timestamp", F.to_timestamp("trade_timestamp"))
+    )
+    joined = jobs.stream_interval_join(ps, ts)
+    out = jobs.run_available_now(joined, "t_ssj", spark)
+    rows = {(float(r.price), float(r.size)) for r in out.collect()}
+    assert rows == {(100.0, 1.0), (200.0, 3.0)}

@@ -133,7 +133,10 @@ def main() -> None:
         # contention window vs 200-250k healthy, same code).
         spark = get_spark(app_name="pmps-bench-stream", cpus=cpus, shuffle_partitions=cpus)
         streaming_throughput(spark, sf_dir, n_rows=100_000)
-        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        # Best-of-3 (one more than the batch default): the streaming number
+        # is the headline baseline comparison and this box's contention
+        # waves can span a whole 2-run window.
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
         best = None
         for _ in range(max(runs, 1)):
             r = streaming_throughput(spark, sf_dir)

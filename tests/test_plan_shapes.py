@@ -28,6 +28,18 @@ ALLOWED_NESTED = {
     "j2_interval_join": "the non-equi interval join IS the operator's "
                         "semantic reference form; j2b is the bucketed "
                         "equi-join scale path (and must stay BNLJ-free)",
+    "q2_pq_adc_topk": "one-row broadcast codebook attach (corpus x 1 row) "
+                      "and ADC scoring against the broadcast query-LUT set "
+                      "— the PQ design: per-pair cost is m=8 lookups, the "
+                      "corpus side never shuffles",
+    "q2_recall": "embeds s1 (exact baseline) and q2 (codebook/LUT attach)",
+    "t11_tfidf_top_terms": "crossJoin against the broadcast one-row corpus "
+                           "doc-count aggregate",
+    "t12_bigram_lm_score": "crossJoin against the broadcast one-row "
+                           "vocabulary-size aggregate",
+    "x4_temperature_weights": "two one-row broadcast aggregates (total "
+                              "count, partition normalizer) against the "
+                              "per-language count frame",
 }
 
 

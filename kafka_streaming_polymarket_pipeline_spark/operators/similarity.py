@@ -372,11 +372,15 @@ def _pq_codebook(
     tests. Built without any driver collect."""
     ds = dim // m
     v = F.col(vec_col).cast("array<double>")
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    # top-k, merged at the driver); the row_number window then runs over
+    # only the k surviving rows — never a global sort of the corpus.
     w = Window.orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
     seeds = (
         corpus.select(F.col(id_col).alias("_sid"), v.alias("_sv"))
+        .orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
+        .limit(k)
         .withColumn("_j", F.row_number().over(w) - 1)
-        .filter(F.col("_j") < k)
     )
     subs = seeds.crossJoin(F.broadcast(
         seeds.sparkSession.range(m).select(F.col("id").cast("int").alias("_m"))

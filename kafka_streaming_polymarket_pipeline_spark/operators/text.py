@@ -42,13 +42,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def _gram_join(toks: Column, n: int) -> Column:
+    """Space-joined n-grams by zip_with-ing n shifted slices — O(n * len)
+    per document. The transform+slice(toks, i, n) form re-evaluates the
+    whole tokenize expression per gram index (O(len^2) per doc; the t12
+    bigram build measured 7.2 s -> 1.3 s at sf0.1 from this same fix)."""
+    cnt = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, cnt)
+    for s in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + s, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return acc
+
+
 def token_ngrams(text: Column, n: int = 8) -> Column:
     """Distinct space-joined token n-grams — the unit of benchmark
     decontamination checks (GPT-3-style n-gram collision scanning)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, F.array_distinct(_gram_join(toks, n))).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -256,9 +268,9 @@ def token_ngrams_all(text: Column, n: int) -> Column:
     """ALL overlapping token n-grams (duplicates kept — repetition
     analysis needs multiplicity, unlike decontamination's distinct set)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(toks) >= n, _gram_join(toks, n)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def repetition_features(text: Column) -> dict[str, Column]:
@@ -358,20 +370,19 @@ def bigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text"):
     two count tables on those keys. No stage is ever doc×doc.
     """
     toks = tokens(F.lower(F.col(text_col)))
+    # zip_with over two slices, NOT transform+element_at: element_at(toks, i)
+    # re-evaluates the tokenize expression per element (O(len^2) per doc —
+    # measured 7.2 s vs 1.3 s for the gram build at sf0.1).
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("g"),
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("g")
     ).select("doc_id", "g.w1", "g.w2")
 
     unigrams = df.select(F.explode(toks).alias("token"))
@@ -379,9 +390,13 @@ def bigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text"):
     vocab = unigrams.agg(F.countDistinct("token").alias("v"))
     c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
 
+    # The count tables are O(vocab) / O(distinct bigrams) — too big to
+    # force-broadcast (measured 9.7 s vs 3.4 s at sf0.1); unhinted, AQE
+    # broadcasts them only when they are actually small. The one-row
+    # vocab frame is always broadcast.
     scored = (
-        grams.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), F.col("w1") == F.col("token"))
+        grams.join(c2, ["w1", "w2"])
+        .join(c1, F.col("w1") == F.col("token"))
         .crossJoin(F.broadcast(vocab))
         .withColumn("lp", F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))))
     )

@@ -91,3 +91,53 @@ def test_write_shards_layout_and_determinism(spark, sf_smoke, tmp_path):
     s1 = {(r["shard"], r["doc_id"]) for r in back1.select("shard", "doc_id").collect()}
     s2 = {(r["shard"], r["doc_id"]) for r in back2.select("shard", "doc_id").collect()}
     assert s1 == s2
+
+
+# --- hypothesis property tests -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.integers(min_value=0, max_value=40).map(lambda n: " ".join(["tok"] * n)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts)
+def test_packing_prefix_sum_property(spark, texts):
+    """tok_start is the exclusive prefix sum of token counts in doc_id
+    order, for arbitrary (including empty) documents."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in P.packed_sequences(df, budget=64).collect()}
+    running = 0
+    for i, t in enumerate(texts):
+        n = len(t.split()) if t else 0
+        assert rows[i].n_tokens == n
+        assert rows[i].tok_start == running
+        running += n
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts)
+def test_packing_fill_invariant_property(spark, texts):
+    """Every sequence except the last holds exactly `budget` tokens and
+    the total is conserved."""
+    budget = 64
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fills = {r.seq_id: r.n_tokens for r in P.sequence_fill(df, budget=budget).collect()}
+    total = sum(len(t.split()) if t else 0 for t in texts)
+    assert sum(fills.values()) == total
+    if fills:
+        last = max(fills)
+        for sid, n in fills.items():
+            if sid != last:
+                assert n == budget
+            else:
+                assert 0 < n <= budget

@@ -148,3 +148,26 @@ def test_repetition_features_detect_loops(spark):
     assert loop["top_word_frac"] == pytest.approx(21 / 42)
     assert clean["dup_word_frac"] == 0.0 and clean["dup_2gram_frac"] == 0.0
     assert clean["top_word_frac"] == pytest.approx(1 / 8)
+
+
+def test_winnowing_coverage_property(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD 2003): every
+    window of w consecutive k-grams contains at least one selected
+    fingerprint position."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    k, w = 5, 4
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.text(alphabet="abcd ", min_size=k + w - 1, max_size=120))
+    def check(s):
+        df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+        pos = sorted(
+            r.pos for r in T.winnow_fingerprints(df, k=k, w=w).collect()
+        )
+        n_grams = len(s) - (k - 1)
+        for start in range(1, n_grams - w + 2):
+            assert any(start <= p <= start + w - 1 for p in pos), (s, start, pos)
+
+    check()

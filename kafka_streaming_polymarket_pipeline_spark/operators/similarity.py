@@ -529,3 +529,113 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    n_centroids: int = NUM_CENTROIDS, nprobe: int = NPROBE,
+    m: int = PQ_M, n_codewords: int = PQ_K, pool: int = PQ_POOL, dim: int = _DIM,
+    kmeans_iters: int = 0, pq_iters: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector composition (coarse inverted
+    cells + PQ codes inside each cell, ADC scoring, exact rerank) — the
+    index structure FAISS calls IVFx,PQy (Jegou et al. 2011 §V).
+
+    Candidate generation is the IVF cell equi-join (scan ~nprobe/C of the
+    corpus), but candidates are scored from their 16x-compressed codes (m
+    lookup adds per pair) instead of full vectors; only the per-query pool
+    survivors are reranked exactly. At scale this is what serves: the cell
+    index prunes, the codes keep the scan resident in memory, the rerank
+    touches disk/full vectors for |Q| x pool rows only. Deterministic
+    (md5-seeded centroids AND codebook) so the whole composition is
+    SQL-checkable; kmeans_iters/pq_iters are the production refinement
+    knobs (pinned to 0 in the registered oracle query)."""
+    cents = _centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+    cbrow = _pq_codebook(corpus, id_col, vec_col, m, n_codewords, dim, pq_iters=pq_iters)
+    ds = dim // m
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_vc")
+    q = _prep(queries, id_col, vec_col, "query_id", "_vq")
+
+    c_best = (
+        _cell_similarities(c, cents, "neighbor_id", "_vc")
+        .groupBy("neighbor_id")
+        .agg(F.max_by("centroid_id", F.struct(F.col("_cc"), (-F.col("centroid_id")).alias("t"))).alias("centroid_id"))
+    )
+    c_codes = (
+        c.crossJoin(F.broadcast(cbrow))
+        .withColumn("codes", _pq_codes_col("_vc", m, ds, n_codewords))
+        .withColumn(
+            "_rn2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("cn2"),
+                    lambda code, arr: F.element_at(arr, (code + 1).cast("int")),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+        .select("neighbor_id", "codes", F.sqrt("_rn2").alias("_recon_n"))
+    )
+    c_cells = c_best.join(c_codes, "neighbor_id")
+
+    qs = _cell_similarities(q, cents, "query_id", "_vq")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
+    q_cells = (
+        qs.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    lut_col = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mm: F.transform(
+            F.element_at(F.col("cb"), (mm + 1).cast("int")),
+            lambda cw: _dot(F.slice(F.col("_vq"), mm * ds + 1, F.lit(ds)), cw),
+        ),
+    )
+    q_lut = q.crossJoin(F.broadcast(cbrow)).select(
+        "query_id", "_vq_n", lut_col.alias("lut")
+    )
+    probes = q_cells.join(q_lut, "query_id")
+
+    adc = (
+        c_cells.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_adc",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"), F.col("lut"),
+                        lambda code, row: F.element_at(row, (code + 1).cast("int")),
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                / (F.col("_vq_n") * F.col("_recon_n")),
+                6,
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= pool)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_vq"), F.col("_vc")) / (F.col("_vq_n") * F.col("_vc_n")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -88,6 +88,8 @@ _DRIVER_PRIORITY: list[str] = [
     "t13_boilerplate_coverage",
     "q2_pq_adc_topk",
     "q2_recall",
+    "q3_ivf_pq_topk",
+    "q3_recall",
     "x4_temperature_weights",
     # re-checks: highest-scrutiny previously-green entries
     "d3_minhash_lsh",
@@ -97,8 +99,6 @@ _DRIVER_PRIORITY: list[str] = [
     "s2_recall",
     "s3_recall",
     "e2e_corpus_build",
-    "v1_bpe_learn_vocab",
-    "v2_bpe_tokenize_corpus",
     "pk1_pack_assignments",
 ]
 

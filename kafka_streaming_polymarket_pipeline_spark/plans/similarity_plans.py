@@ -420,3 +420,87 @@ def q2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     approx = S.pq_adc_topk(emb, queries, k=TOP_K)
     return _recall_frame(spark, sf_dir, approx)
+
+
+# IVF-PQ composed in SQL: the IVF CTEs supply cells (cents/casg/qprobe),
+# the PQ CTEs supply codes + norms; candidates come from probed cells and
+# are scored from codes. Unreferenced CTEs from the spliced fragments
+# (e.g. pq_contrib, ivf_scored) are never evaluated by DuckDB.
+_Q3_SQL = f"""
+q3_contrib AS (
+  SELECT qp.query_id, cd.vec_id AS neighbor_id,
+         list_dot_product(q.e[cd.m * {_PQ_DS} + 1 : (cd.m + 1) * {_PQ_DS}], cw.cw) AS x
+  FROM qprobe qp
+  JOIN casg ca ON ca.centroid_id = qp.centroid_id
+  JOIN pq_codes cd ON cd.vec_id = ca.vec_id
+  JOIN pq_cw cw ON cw.m = cd.m AND cw.j = cd.code
+  JOIN q ON q.vec_id = qp.query_id
+  WHERE qp.query_id <> ca.vec_id
+),
+q3_adc AS (
+  SELECT c.query_id, c.neighbor_id, round(sum(c.x) / (qn.n * rn.rn), 6) AS adc
+  FROM q3_contrib c
+  JOIN pq_qn qn ON qn.vec_id = c.query_id
+  JOIN pq_rn rn ON rn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, qn.n, rn.rn
+),
+q3_pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+    FROM q3_adc
+  ) WHERE rn <= {S.PQ_POOL}
+),
+q3_rerank AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_dot_product(q.e, cv.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cv.e, cv.e))), 6) AS c
+  FROM q3_pool p
+  JOIN q ON q.vec_id = p.query_id
+  JOIN v cv ON cv.vec_id = p.neighbor_id
+),
+q3_topk AS (
+  SELECT query_id, neighbor_id, c, rn FROM (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+    FROM q3_rerank
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+@register(
+    "q3_ivf_pq_topk",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_IVF_SQL}, {_pq_sql()}, {_Q3_SQL}
+SELECT query_id, neighbor_id, c AS cosine, CAST(rn AS INT) AS rank
+FROM q3_topk
+""",
+)
+def q3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 — the FAISS-style production composition:
+    IVF cells prune the scan to ~nprobe/C of the corpus, PQ codes score
+    candidates from 16x-compressed storage, exact rerank restores
+    precision on the pool. Both samples (centroids, codebook) are
+    md5-seeded, so the entire composition hash-checks against DuckDB."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_pq_topk(emb, queries, k=TOP_K)
+
+
+@register(
+    "q3_recall",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_IVF_SQL}, {_pq_sql()}, {_Q3_SQL},
+hits AS (
+  SELECT b.query_id, b.neighbor_id FROM brute_topk b
+  JOIN q3_topk a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+{_RECALL_SELECT}
+""",
+)
+def q3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF-PQ quality gate: recall@10 of q3 against s1."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    approx = S.ivf_pq_topk(emb, queries, k=TOP_K)
+    return _recall_frame(spark, sf_dir, approx)

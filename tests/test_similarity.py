@@ -90,3 +90,16 @@ def test_pq_lloyd_refinement_quality(spark, sf_smoke):
     refined = S.pq_adc_topk(emb, queries, k=10, pq_iters=2).collect()
     r = _recall(exact, refined)
     assert r >= 0.7, f"refined PQ-ADC recall@10 too low: {r}"
+
+
+def test_ivf_pq_refined_recall(spark, sf_smoke):
+    # Production knobs (2 Lloyd iters on both centroid and codebook
+    # levels); the registered oracle query pins both to 0 and measures
+    # 0.558 recall@10 at sf0.01 — pruning-dominated, as expected at
+    # nprobe=6/16 cells.
+    emb = load(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=10).collect()
+    approx = S.ivf_pq_topk(emb, queries, k=10, kmeans_iters=2, pq_iters=2).collect()
+    r = _recall(exact, approx)
+    assert r >= 0.5, f"refined IVF-PQ recall@10 too low: {r}"

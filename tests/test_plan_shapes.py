@@ -33,6 +33,11 @@ ALLOWED_NESTED = {
                       "— the PQ design: per-pair cost is m=8 lookups, the "
                       "corpus side never shuffles",
     "q2_recall": "embeds s1 (exact baseline) and q2 (codebook/LUT attach)",
+    "q3_ivf_pq_topk": "embeds s2's centroid crossJoin (C=16 broadcast) and "
+                      "q2's one-row codebook attach; candidate generation "
+                      "itself is the IVF cell equi-join",
+    "q3_recall": "embeds s1 (exact baseline) and q3 (centroid/codebook "
+                 "attach)",
     "t11_tfidf_top_terms": "crossJoin against the broadcast one-row corpus "
                            "doc-count aggregate",
     "t12_bigram_lm_score": "crossJoin against the broadcast one-row "

@@ -40,6 +40,7 @@ HEADLINE = [
     "s1_ann_bruteforce_topk", # brute-force cosine top-k
     "s2_ann_ivf_topk",        # IVF-bucketed ANN (the scale path)
     "q2_pq_adc_topk",         # PQ-ADC ANN (memory-bound scale path)
+    "q3_ivf_pq_topk",         # IVF-PQ composed index (cells + codes + rerank)
     "t12_bigram_lm_score",    # corpus bigram-LM quality scoring
     "j2b_bucketed_interval_join",  # range join via time-bucket equi-keys
     "u3_distinct_agg",        # exact distinct aggregation

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "t6_bpe_token_count",
     "t7_winnow_fingerprints",
     "m1_binary_metadata",
+    "m3_frame_sample",
     # new this round
     "t11_tfidf_top_terms",
     "t12_bigram_lm_score",
@@ -99,7 +100,6 @@ _DRIVER_PRIORITY: list[str] = [
     "s2_recall",
     "s3_recall",
     "e2e_corpus_build",
-    "pk1_pack_assignments",
 ]
 
 

@@ -543,3 +543,38 @@ def t13_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector for documents without line structure."""
     docs = load(spark, sf_dir, "documents")
     return T.boilerplate_ngram_coverage(docs, n=8, min_df=3)
+
+
+@register(
+    "m3_frame_sample",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS media_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5,
+       CAST(least(64, greatest(n - i * 64, 0)) AS BIGINT) AS frame_len
+FROM base,
+     LATERAL (SELECT unnest(range(0, CAST(least(8, greatest(n // 64, 1)) AS BIGINT))) AS i)
+""",
+)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under the correctness gate: the
+    1-row-in/N-frame-rows-out mapInPandas fan-out, with the deterministic
+    fake codec (byte slices) whose math the oracle replays — same
+    contract as m2: the distributed plumbing (payload bytes, Arrow
+    batching, fan-out schema) is what is being gated, frames surfaced as
+    md5+length scalars."""
+    from kafka_streaming_polymarket_pipeline_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents")
+    media = M.media_table_from_documents(docs)
+    frames = M.sample_frames(media, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )

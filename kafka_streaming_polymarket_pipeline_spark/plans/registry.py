@@ -92,11 +92,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q3_ivf_pq_topk",
     "q3_recall",
     "x4_temperature_weights",
+    "k1_salted_agg",
     # re-checks: highest-scrutiny previously-green entries
     "d3_minhash_lsh",
     "d5b_embedding_neardup_blocked",
     "d6b_neardup_clusters_star",
-    "d7_incremental_neardup",
     "s2_recall",
     "s3_recall",
     "e2e_corpus_build",

@@ -1038,3 +1038,43 @@ def a13b_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.round(0.03 * F.col("exact_users")), F.lit(2))
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "k1_salted_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt_events,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def k1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation under the correctness gate: the skew
+    weapon for hot keys (AQE splits skewed joins but NOT skewed
+    aggregations). The oracle is the plain GROUP BY — the salted plan must
+    be result-identical, which is exactly the decomposability contract
+    `operators/scale.py:salted_agg` enforces. sum is rounded on both
+    sides (partial-merge order differs from a single-pass sum by design)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.scale import salted_agg
+
+    events = load(spark, sf_dir, "events")
+    out = salted_agg(
+        events.select("event_type", "value"),
+        keys=["event_type"],
+        aggs={
+            "cnt_events": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("cnt_events").cast("long").alias("cnt_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -93,10 +93,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q3_recall",
     "x4_temperature_weights",
     "k1_salted_agg",
+    "x5_temperature_repeats",
     # re-checks: highest-scrutiny previously-green entries
     "d3_minhash_lsh",
     "d5b_embedding_neardup_blocked",
-    "d6b_neardup_clusters_star",
     "s2_recall",
     "s3_recall",
     "e2e_corpus_build",

@@ -119,3 +119,62 @@ def x4_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("pa") / F.col("z")) / F.col("p_raw"), 6).alias("boost"),
         )
     )
+
+
+_U01 = (
+    "(('0x' || substr(md5(concat_ws(':', d.lang, CAST(d.doc_id AS VARCHAR))), 1, 8))"
+    "::BIGINT / 4294967296.0)"
+)
+
+
+@register(
+    "x5_temperature_repeats",
+    oracle=f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+z AS (SELECT sum(pow(n_docs * 1.0 / total, 0.3)) AS z FROM c CROSS JOIN t),
+w AS (
+  SELECT lang,
+         (pow(n_docs * 1.0 / total, 0.3) / z) / (n_docs * 1.0 / total) AS boost
+  FROM c CROSS JOIN t CROSS JOIN z
+)
+SELECT doc_id, d.lang,
+       CAST(floor(boost) + CASE WHEN boost - floor(boost) > {_U01} THEN 1 ELSE 0 END
+            AS BIGINT) AS n_repeats
+FROM documents d JOIN w ON w.lang = d.lang
+""",
+)
+def x5_temperature_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializes x4's temperature weights into per-document repeat
+    counts: n = floor(boost) + Bernoulli(frac(boost)) with the Bernoulli
+    draw taken from the same engine-portable md5 sampling key x1-x3 use
+    (no rand()), so expected corpus share matches the temperature
+    distribution and the draw reproduces across engines and runs. The
+    weight table is O(languages) and broadcast; the per-doc work is
+    map-only."""
+    alpha = 0.3
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    w = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("p_raw", F.col("n_docs") / F.col("total"))
+        .withColumn("pa", F.pow("p_raw", F.lit(alpha)))
+    )
+    zf = w.agg(F.sum("pa").alias("z"))
+    boosts = w.crossJoin(F.broadcast(zf)).select(
+        "lang", ((F.col("pa") / F.col("z")) / F.col("p_raw")).alias("boost")
+    )
+    key = F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string")))
+    u01 = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(boosts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.floor("boost")
+                + F.when(F.col("boost") - F.floor("boost") > u01, 1).otherwise(0)
+            ).cast("long").alias("n_repeats"),
+        )
+    )

@@ -45,6 +45,9 @@ ALLOWED_NESTED = {
     "x4_temperature_weights": "two one-row broadcast aggregates (total "
                               "count, partition normalizer) against the "
                               "per-language count frame",
+    "x5_temperature_repeats": "same two one-row broadcast aggregates as "
+                              "x4; the per-doc join is a broadcast "
+                              "equi-join on lang",
 }
 
 

@@ -639,3 +639,37 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_encode(
+    vectors: DataFrame, codebook: DataFrame,
+    m: int = PQ_M, n_codewords: int = PQ_K, dim: int = _DIM,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes against a FROZEN codebook — the
+    incremental index-maintenance path (d7's analog for ANN): a standing
+    stream of new embeddings encodes map-only against the broadcast
+    codebook and appends to the codes table; no rebuild, no shuffle.
+    Works identically on batch and streaming inputs because the encode is
+    pure column expressions (crossJoin with a 1-row static frame is a
+    stream-static join). Returns (id, codes digest, recon_n) — the scalar
+    surface the sinks store."""
+    ds = dim // m
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    enc = v.crossJoin(F.broadcast(codebook)).withColumn(
+        "codes", _pq_codes_col("_v", m, ds, n_codewords)
+    )
+    return enc.select(
+        "vec_id",
+        F.md5(F.concat_ws(",", F.col("codes").cast("array<string>"))).alias("codes_md5"),
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("cn2"),
+                lambda code, arr: F.element_at(arr, (code + 1).cast("int")),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("recon_n2"),
+    )

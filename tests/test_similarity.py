@@ -103,3 +103,33 @@ def test_ivf_pq_refined_recall(spark, sf_smoke):
     approx = S.ivf_pq_topk(emb, queries, k=10, kmeans_iters=2, pq_iters=2).collect()
     r = _recall(exact, approx)
     assert r >= 0.5, f"refined IVF-PQ recall@10 too low: {r}"
+
+
+def test_pq_encode_streaming_matches_batch(spark, sf_smoke, tmp_path):
+    # Incremental index maintenance: a stream of new vectors encodes
+    # against the frozen broadcast codebook; per-row results must equal
+    # the batch encode (the encode is pure column expressions, so the
+    # same plan runs in a micro-batch).
+    import json
+
+    from kafka_streaming_polymarket_pipeline_spark.streaming import jobs
+
+    emb = load(spark, sf_smoke, "embeddings")
+    cb = S._pq_codebook(emb, "vec_id", "embedding", S.PQ_M, S.PQ_K, 64)
+    batch = {r.vec_id: r.codes_md5 for r in S.pq_encode(emb, cb).collect()}
+
+    d = tmp_path / "vecs"
+    d.mkdir()
+    rows = emb.limit(20).collect()
+    (d / "v.jsonl").write_text(
+        "\n".join(
+            json.dumps({"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]})
+            for r in rows
+        )
+    )
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(str(d))
+    out = jobs.run_available_now(S.pq_encode(stream, cb), "t_pq_enc", spark)
+    got = {r.vec_id: r.codes_md5 for r in out.collect()}
+    assert len(got) == 20
+    for vid, digest in got.items():
+        assert digest == batch[vid]

@@ -16,8 +16,9 @@ Two paths:
   apart — use IVF there (see tests/test_similarity.py for the measured
   tradeoff).
 
-No Python UDFs: dot products are higher-order-function folds inside
-whole-stage codegen.
+No Python UDFs: dot products are JVM-side higher-order-function folds
+(interpreted expressions inside the scan stage — no Python round-trip,
+no shuffle; see SCALE.md's codegen note on higher-order lambdas).
 """
 
 from __future__ import annotations
@@ -332,8 +333,10 @@ def _cb_row_from_codewords(cw_table: DataFrame) -> DataFrame:
 def _pq_codes_col(vec_name: str, m: int, ds: int, n_codewords: int) -> Column:
     """Row-local PQ encode of column ``vec_name`` against the attached
     codebook column ``cb``: for each subspace, an argmin fold over the k
-    codewords (first minimum wins -> lowest codeword index on ties),
-    entirely inside whole-stage codegen."""
+    codewords (first minimum wins -> lowest codeword index on ties) —
+    JVM-side, row-local, zero shuffle (higher-order lambdas evaluate
+    interpreted, not codegen'd; the win here is no Python and no
+    exchange, not codegen)."""
 
     def _argmin_code(mm: Column) -> Column:
         sub = F.slice(F.col(vec_name), mm * ds + 1, F.lit(ds))
@@ -445,7 +448,7 @@ def pq_adc_topk(
 
     Physical shape (the 100 TB story): the codebook is one broadcast row;
     corpus encoding is MAP-ONLY — codes and reconstructed norms are
-    computed row-locally (argmin folded inside whole-stage codegen), so a
+    computed row-locally (JVM-side argmin fold, zero shuffle), so a
     100 TB corpus encodes in one pass with zero shuffle and persists 16x
     smaller. ADC scoring is corpus-codes x broadcast(query LUTs): each
     pair costs m=8 table lookups instead of a 64-dim dot product. Only

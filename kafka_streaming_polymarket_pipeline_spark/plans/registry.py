@@ -94,9 +94,9 @@ _DRIVER_PRIORITY: list[str] = [
     "x4_temperature_weights",
     "k1_salted_agg",
     "x5_temperature_repeats",
+    "a14_approx_percentile_gate",
     # re-checks: highest-scrutiny previously-green entries
     "d3_minhash_lsh",
-    "d5b_embedding_neardup_blocked",
     "s2_recall",
     "s3_recall",
     "e2e_corpus_build",

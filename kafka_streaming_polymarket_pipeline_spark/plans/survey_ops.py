@@ -1078,3 +1078,52 @@ def k1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "a14_approx_percentile_gate",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5)  AS p50,
+         quantile_cont(value, 0.95) AS p95,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round(p50, 4) AS exact_p50,
+       round(p95, 4) AS exact_p95,
+       TRUE AS approx_ok
+FROM s
+""",
+)
+def a14_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable gate for the sketch percentile (the 100 TB swap
+    a12's docstring prescribes): percentile_approx is a KLL/GK-style
+    mergeable sketch whose exact output no other engine reproduces, so —
+    like a13b for HLL — the hashable contract is the error bound: the
+    accuracy-10000 estimate must land inside a rank band around the exact
+    quantile ([p45, p55] for the median, [p90, p97.5] for p95) — rank
+    bands hold at any group size, unlike value tolerances (a sketch
+    returns an actual sample, which for tiny groups can sit a whole
+    order-statistic gap from the interpolated exact value)."""
+    events = load(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.45)").alias("lo50"),
+        F.expr("percentile(value, 0.55)").alias("hi50"),
+        F.expr("percentile(value, 0.90)").alias("lo95"),
+        F.expr("percentile(value, 0.975)").alias("hi95"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(value, 0.95, 10000)").alias("a95"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("p50", 4).alias("exact_p50"),
+        F.round("p95", 4).alias("exact_p95"),
+        (
+            F.col("a50").between(F.col("lo50"), F.col("hi50"))
+            & F.col("a95").between(F.col("lo95"), F.col("hi95"))
+        ).alias("approx_ok"),
+    )

@@ -211,3 +211,50 @@ def test_stream_interval_join_matches_within_tolerance(spark, tmp_path):
     out = jobs.run_available_now(joined, "t_ssj", spark)
     rows = {(float(r.price), float(r.size)) for r in out.collect()}
     assert rows == {(100.0, 1.0), (200.0, 3.0)}
+
+
+def test_stream_interval_join_checkpoint_recovery(spark, tmp_path):
+    """T6 for the stream-stream join: restarting from the checkpoint after
+    more input arrives emits only the NEW matches — join state and source
+    offsets come from the checkpoint, so nothing is lost or re-emitted."""
+    import json
+
+    pdir, tdir = tmp_path / "p", tmp_path / "t"
+    pdir.mkdir(), tdir.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        ps = (
+            spark.readStream.schema("symbol string, price_timestamp string, price double")
+            .json(str(pdir))
+            .withColumn("price_timestamp", F.to_timestamp("price_timestamp"))
+        )
+        ts = (
+            spark.readStream.schema("symbol string, trade_timestamp string, size double")
+            .json(str(tdir))
+            .withColumn("trade_timestamp", F.to_timestamp("trade_timestamp"))
+        )
+        q = (
+            jobs.stream_interval_join(ps, ts)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    (pdir / "p1.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "price_timestamp": "2024-01-01T00:00:00.000000", "price": 100.0}))
+    (tdir / "t1.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "trade_timestamp": "2024-01-01T00:02:00.000000", "size": 1.0}))
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+
+    (tdir / "t2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "trade_timestamp": "2024-01-01T00:05:00.000000", "size": 2.0}))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # old match kept once, new match appended
+    assert {float(r.size) for r in got.collect()} == {1.0, 2.0}

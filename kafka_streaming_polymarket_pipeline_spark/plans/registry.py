@@ -95,10 +95,10 @@ _DRIVER_PRIORITY: list[str] = [
     "k1_salted_agg",
     "x5_temperature_repeats",
     "a14_approx_percentile_gate",
+    "r2_min_cost_supplier",
+    "r13_cust_order_counts",
     # re-checks: highest-scrutiny previously-green entries
-    "d3_minhash_lsh",
     "s2_recall",
-    "s3_recall",
     "e2e_corpus_build",
 ]
 

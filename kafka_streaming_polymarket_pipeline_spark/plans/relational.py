@@ -237,3 +237,58 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_MIN_COST_SQL = """
+WITH unit AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT u.partkey, u.suppkey, u.unit_price
+FROM unit u
+WHERE u.unit_price = (
+  SELECT min(u2.unit_price) FROM unit u2 WHERE u2.partkey = u.partkey
+)
+"""
+
+
+@register("r2_min_cost_supplier", oracle=_MIN_COST_SQL)
+def r2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated scalar subquery (cheapest supplier per
+    part, ties kept), run through spark.sql so Catalyst's subquery
+    DECORRELATION does the work: the correlated min collapses to an
+    aggregate + equi-join on partkey — no per-row re-execution, one
+    shuffle on the join key. The identical SQL is the oracle. unit_price
+    stays UNrounded: min of a single division is bit-identical across
+    engines, while round-to-4dp flipped two boundary rows (27.65725-class
+    values land on different sides of HALF_UP in Spark vs DuckDB)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_MIN_COST_SQL)
+
+
+@register(
+    "r13_cust_order_counts",
+    oracle="""
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+""",
+)
+def r13_cust_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style order-count distribution: left join keeps
+    zero-order customers (count(o_orderkey) ignores the null-extended
+    rows), then a second aggregation histograms the counts. Two narrow
+    shuffles; the first join pre-aggregates map-side on custkey."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").cast("long").alias("n_custs"))

@@ -133,3 +133,190 @@ def e2e_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "n_tokens", "tok_start", "seq_first", "seq_last"
     )
+
+
+# Second composition: the CCNet/temperature-era pipeline over this round's
+# new operators (t8 decontamination, t12 bigram-LM quality, x5 temperature
+# repeats, packing of the repeated stream). LM threshold and bands are
+# fixed constants; every float compared crosses engines as the identical
+# expression.
+LM_MIN_LOGPROB = -8.0
+_REP_STRIDE = 8  # synthetic stream id = doc_id * stride + rep; boost < stride
+
+_LTOK = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@register(
+    "e2e_corpus_build_t",
+    oracle=f"""
+WITH tkz AS (
+  SELECT doc_id, lang, text, {_LTOK} AS ts FROM documents
+),
+grams8 AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+                                 i -> array_to_string(ts[i:i+7], ' '))) AS g
+    FROM tkz)
+),
+bench AS (SELECT DISTINCT g FROM grams8 WHERE EXISTS (
+  SELECT 1 FROM tkz t WHERE t.doc_id = grams8.doc_id AND t.doc_id % 17 = 3)
+),
+contaminated AS (
+  SELECT DISTINCT gr.doc_id FROM grams8 gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 17 <> 3
+),
+clean AS (
+  SELECT t.* FROM tkz t
+  WHERE t.doc_id % 17 <> 3
+    AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+g AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM clean, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+),
+c1 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ts) AS token FROM clean) GROUP BY token
+),
+vv AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+  FROM (SELECT unnest(ts) AS token FROM clean)
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY w1, w2),
+lm AS (
+  SELECT doc_id, round(avg(ln((c2.c2 + 1.0) / (c1.c1 + vv.v))), 6) AS avg_logprob
+  FROM g JOIN c2 USING (w1, w2) JOIN c1 ON g.w1 = c1.token CROSS JOIN vv
+  GROUP BY doc_id
+),
+kept AS (
+  SELECT c.doc_id, c.lang, c.ts FROM clean c
+  JOIN lm ON lm.doc_id = c.doc_id
+  WHERE lm.avg_logprob >= {LM_MIN_LOGPROB}
+),
+lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM kept GROUP BY lang),
+tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM lc),
+zz AS (SELECT sum(pow(n_docs * 1.0 / total, 0.3)) AS z FROM lc CROSS JOIN tt),
+ww AS (
+  SELECT lang,
+         (pow(n_docs * 1.0 / total, 0.3) / z) / (n_docs * 1.0 / total) AS boost
+  FROM lc CROSS JOIN tt CROSS JOIN zz
+),
+reps AS (
+  SELECT k.doc_id, k.lang, CAST(len(k.ts) AS BIGINT) AS n_tokens,
+         CAST(floor(boost)
+              + CASE WHEN boost - floor(boost) >
+                  (('0x' || substr(md5(concat_ws(':', k.lang, CAST(k.doc_id AS VARCHAR))), 1, 8))::BIGINT / 4294967296.0)
+                THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+  FROM kept k JOIN ww ON ww.lang = k.lang
+),
+stream AS (
+  SELECT doc_id, lang, n_tokens,
+         doc_id * {_REP_STRIDE} + rep AS stream_id
+  FROM reps, LATERAL (SELECT unnest(range(1, CAST(n_repeats + 1 AS BIGINT))) AS rep)
+),
+placed AS (
+  SELECT doc_id, lang, n_tokens, stream_id,
+         CAST(sum(n_tokens) OVER (ORDER BY stream_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tok_start
+  FROM stream
+)
+SELECT doc_id, lang, stream_id, n_tokens, tok_start,
+       tok_start // 512 AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+            ELSE tok_start // 512 END AS seq_last
+FROM placed
+""",
+)
+def e2e_corpus_build_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature-era corpus build, composed from this round's
+    operators and hash-gated end-to-end:
+
+      documents -> benchmark decontamination (token-8-gram collision vs
+      the doc_id%17=3 bench split) -> corpus bigram-LM quality gate
+      (avg log-prob >= LM_MIN_LOGPROB, LM learned on the clean corpus)
+      -> temperature repeats (alpha=0.3 over survivors, deterministic
+      stochastic rounding) -> repeat-expanded stream packed into
+      512-token sequences (stream id = doc_id * stride + repeat).
+
+    Every stage is an operator already gated alone (t8, t12, x5, pk1);
+    this row failing while those pass localizes composition drift."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 17 == 3
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(T.token_ngrams(F.lower(F.col("text")), 8)).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(~is_bench)
+    contaminated = (
+        train.select("doc_id", F.explode(T.token_ngrams(F.lower(F.col("text")), 8)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+
+    lm = T.bigram_lm_scores(clean)
+    kept = clean.join(
+        lm.filter(F.col("avg_logprob") >= LM_MIN_LOGPROB).select("doc_id"), "doc_id"
+    )
+
+    counts = kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    w = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("p_raw", F.col("n_docs") / F.col("total"))
+        .withColumn("pa", F.pow("p_raw", F.lit(0.3)))
+    )
+    zf = w.agg(F.sum("pa").alias("z"))
+    boosts = w.crossJoin(F.broadcast(zf)).select(
+        "lang", ((F.col("pa") / F.col("z")) / F.col("p_raw")).alias("boost")
+    )
+    key = F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string")))
+    u01 = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    reps = (
+        kept.join(F.broadcast(boosts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            T.token_count(F.lower(F.col("text"))).alias("n_tokens"),
+            (
+                F.floor("boost")
+                + F.when(F.col("boost") - F.floor("boost") > u01, 1).otherwise(0)
+            ).cast("long").alias("n_repeats"),
+        )
+    )
+    stream = reps.filter(F.col("n_repeats") > 0).select(
+        "doc_id", "lang", "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_repeats"))).alias("rep"),
+    ).select(
+        "doc_id", "lang", "n_tokens",
+        (F.col("doc_id") * _REP_STRIDE + F.col("rep")).alias("stream_id"),
+    )
+    # packed_sequences tokenizes raw text; here token counts ride along
+    # on the repeat-expanded stream, so run the same bucketed prefix-sum
+    # placement directly over n_tokens.
+    from pyspark.sql import Window as W
+
+    bucket = F.floor(F.col("stream_id") / P.PACK_BUCKET_WIDTH)
+    wl = W.partitionBy("_b").orderBy("stream_id").rowsBetween(W.unboundedPreceding, 0)
+    local = stream.withColumn("_b", bucket).withColumn(
+        "_cum", F.sum("n_tokens").over(wl)
+    )
+    totals = local.groupBy("_b").agg(F.sum("n_tokens").alias("_tot"))
+    offsets = P._bucket_offsets(totals, "_b", "_tot")
+    placed = local.join(F.broadcast(offsets), "_b").select(
+        "doc_id", "lang", "stream_id", "n_tokens",
+        (F.col("_offset") + F.col("_cum") - F.col("n_tokens")).alias("tok_start"),
+    )
+    seq_first = F.floor(F.col("tok_start") / P.PACK_BUDGET)
+    seq_last = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / P.PACK_BUDGET),
+    ).otherwise(seq_first)
+    return placed.select(
+        "doc_id", "lang", "stream_id", "n_tokens", "tok_start",
+        seq_first.alias("seq_first"), seq_last.alias("seq_last"),
+    )

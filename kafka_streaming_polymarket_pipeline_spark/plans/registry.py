@@ -97,8 +97,8 @@ _DRIVER_PRIORITY: list[str] = [
     "a14_approx_percentile_gate",
     "r2_min_cost_supplier",
     "r13_cust_order_counts",
+    "e2e_corpus_build_t",
     # re-checks: highest-scrutiny previously-green entries
-    "s2_recall",
     "e2e_corpus_build",
 ]
 

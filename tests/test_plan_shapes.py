@@ -48,6 +48,8 @@ ALLOWED_NESTED = {
     "x5_temperature_repeats": "same two one-row broadcast aggregates as "
                               "x4; the per-doc join is a broadcast "
                               "equi-join on lang",
+    "e2e_corpus_build_t": "embeds x5's one-row broadcast aggregates "
+                          "(total count, temperature normalizer)",
 }
 
 

@@ -341,16 +341,17 @@ def _pq_codes_col(vec_name: str, m: int, ds: int, n_codewords: int) -> Column:
     def _argmin_code(mm: Column) -> Column:
         sub = F.slice(F.col(vec_name), mm * ds + 1, F.lit(ds))
         cws = F.element_at(F.col("cb"), (mm + 1).cast("int"))
+        # Materialize (distance, j) structs once, then fold an argmin over
+        # them: interpreted lambdas make each _sq_l2 the dominant encode
+        # cost, and the when-predicate form evaluated it twice per codeword.
+        dists = F.transform(
+            cws,
+            lambda cw, j: F.struct(_sq_l2(sub, cw).alias("d"), j.cast("int").alias("j")),
+        )
         best = F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_codewords - 1)),
+            dists,
             F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("j")),
-            lambda acc, j: F.when(
-                _sq_l2(sub, F.element_at(cws, (j + 1).cast("int"))) < acc["d"],
-                F.struct(
-                    _sq_l2(sub, F.element_at(cws, (j + 1).cast("int"))).alias("d"),
-                    j.cast("int").alias("j"),
-                ),
-            ).otherwise(acc),
+            lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
         )
         return best["j"]
 

@@ -339,8 +339,14 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.col("tf")
-            * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + F.lit(1.0)),
+            # Rank over the ROUNDED score: the DuckDB oracle orders by
+            # round(tfidf, 6), and ranking the unrounded value here would let
+            # sub-1e-6 score gaps order differently across engines.
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + F.lit(1.0)),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
@@ -352,7 +358,7 @@ def tfidf_top_terms(
             "token",
             "tf",
             "df",
-            F.round("tfidf", 6).alias("tfidf"),
+            "tfidf",
             F.col("rank").cast("int").alias("rank"),
         )
     )

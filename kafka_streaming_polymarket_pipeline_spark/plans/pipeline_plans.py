@@ -141,7 +141,7 @@ def e2e_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed constants; every float compared crosses engines as the identical
 # expression.
 LM_MIN_LOGPROB = -8.0
-_REP_STRIDE = 8  # synthetic stream id = doc_id * stride + rep; boost < stride
+_REP_STRIDE = 8  # stream id = doc_id * stride + rep; n_repeats clamped to stride
 
 _LTOK = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
@@ -204,10 +204,10 @@ ww AS (
 ),
 reps AS (
   SELECT k.doc_id, k.lang, CAST(len(k.ts) AS BIGINT) AS n_tokens,
-         CAST(floor(boost)
+         least(CAST(floor(boost)
               + CASE WHEN boost - floor(boost) >
                   (('0x' || substr(md5(concat_ws(':', k.lang, CAST(k.doc_id AS VARCHAR))), 1, 8))::BIGINT / 4294967296.0)
-                THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+                THEN 1 ELSE 0 END AS BIGINT), {_REP_STRIDE}) AS n_repeats
   FROM kept k JOIN ww ON ww.lang = k.lang
 ),
 stream AS (
@@ -282,10 +282,18 @@ def e2e_corpus_build_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             T.token_count(F.lower(F.col("text"))).alias("n_tokens"),
-            (
-                F.floor("boost")
-                + F.when(F.col("boost") - F.floor("boost") > u01, 1).otherwise(0)
-            ).cast("long").alias("n_repeats"),
+            # Clamp to the stride: stream_id = doc_id * stride + rep is only
+            # collision-free while rep <= stride, and an unbounded boost
+            # (p^(alpha-1)/z for a rare language) could exceed it. A max-
+            # upsampling cap is standard temperature-sampling practice; the
+            # oracle applies the identical least().
+            F.least(
+                (
+                    F.floor("boost")
+                    + F.when(F.col("boost") - F.floor("boost") > u01, 1).otherwise(0)
+                ).cast("long"),
+                F.lit(_REP_STRIDE),
+            ).alias("n_repeats"),
         )
     )
     stream = reps.filter(F.col("n_repeats") > 0).select(

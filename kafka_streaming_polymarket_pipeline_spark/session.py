@@ -66,6 +66,7 @@ def _ship_package(spark: SparkSession) -> None:
     anywhere; mapInPandas closures are pickled by reference and the worker
     must import the module). addPyFile distributes a zip of the package —
     the runtime equivalent of ``--py-files`` on a real cluster submit."""
+    import hashlib
     import tempfile
     import zipfile
 
@@ -74,19 +75,39 @@ def _ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
+    # Deterministic member order so the zip content-hashes stably.
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                members.append((full, os.path.join(pkg_name, os.path.relpath(full, pkg_dir))))
+    members.sort(key=lambda m: m[1])
+    digest = hashlib.md5()
+    for full, rel in members:
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    # Content-hash key (not PID): PID reuse across runs must never ship stale
+    # code, and a crash mid-write must never leave a corrupt zip at the final
+    # name — write to a unique temp file, then atomic rename.
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getpid()}.zip"
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                        zf.write(full, rel)
+        fd, tmp_path = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        try:
+            with zipfile.ZipFile(tmp_path, "w") as zf:
+                for full, rel in members:
+                    zf.write(full, rel)
+            os.replace(tmp_path, zip_path)
+        except BaseException:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
+            raise
     try:
         sc.addPyFile(zip_path)
     except Exception:
-        pass  # already added under this name, or a deployment that forbids it
+        return  # deployment forbids addPyFile — retry on the next tune_session
     sc._pmps_shipped = True

@@ -16,13 +16,15 @@ Two operators a pretraining data pipeline runs after dedup/filtering:
 
 Scale note — the prefix sum: a naive ``sum() OVER (ORDER BY id)`` is a
 single-partition global sort. Both operators instead use the two-phase
-form: rows are statically bucketed (fixed-width id ranges / first hex
-digit of the hash — deterministic, no sampled boundaries), each bucket
-computes its local prefix sum in a partitioned window, and the tiny
-per-bucket totals (one row per bucket) roll up into bucket offsets that
-broadcast back. Result is identical to the global window; the plan has
-one narrow shuffle on the bucket key and nothing single-partition. The
-DuckDB oracles use the naive global form, proving the equivalence.
+form: rows are statically bucketed (fixed-width id ranges / a hash
+prefix — deterministic, no sampled boundaries), each bucket computes its
+local prefix sum in a partitioned window, and the per-bucket totals roll
+up into bucket offsets that join back. The roll-up is itself two-level
+(super-buckets of ``OFFSET_ROLLUP_WIDTH`` buckets), so the one
+unpartitioned window in the whole plan sees O(n_buckets / 4096) rows —
+at 1B docs with the default widths that is a few hundred rows, not
+millions. Result is identical to the global window; the DuckDB oracles
+use the naive global form, proving the equivalence.
 """
 
 from __future__ import annotations
@@ -33,17 +35,41 @@ from pyspark.sql import functions as F
 from kafka_streaming_polymarket_pipeline_spark.operators.text import token_count
 
 PACK_BUDGET = 512
-PACK_BUCKET_WIDTH = 64  # docs per prefix-sum bucket (static id ranges)
+# Docs per prefix-sum bucket (static id ranges). 1024 keeps the local
+# window sort trivial while the offsets side stays ~n/1024 rows (a 1B-doc
+# corpus -> ~1M narrow rows, join-able without a data-scale broadcast).
+PACK_BUCKET_WIDTH = 1024
+# Buckets per super-bucket in the offset roll-up: the only unpartitioned
+# window input is O(n_buckets / OFFSET_ROLLUP_WIDTH) rows.
+OFFSET_ROLLUP_WIDTH = 4096
 
 
 def _bucket_offsets(per_bucket: DataFrame, bucket_col: str, total_col: str) -> DataFrame:
-    """(bucket, offset): exclusive prefix sum over per-bucket totals. The
-    input is one row per bucket — tiny — so the unpartitioned window is a
-    driver-scale sort, not a data-scale one."""
-    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
-    return per_bucket.select(
+    """(bucket, offset): exclusive prefix sum over per-bucket totals,
+    computed as a two-level roll-up. Level 1 partitions buckets into
+    super-buckets (floor(bucket / OFFSET_ROLLUP_WIDTH)) and prefix-sums
+    locally; level 2 prefix-sums the super-bucket totals — the only
+    unpartitioned window, over O(n_buckets / 4096) rows. Requires a
+    numeric bucket key (floor division defines the super-bucket).
+
+    Equivalent to ``sum(total) OVER (ORDER BY bucket ROWS UNBOUNDED
+    PRECEDING AND -1)`` for any input, proven by the packing oracles
+    (naive global form in DuckDB) and the multi-super-bucket test."""
+    sup_col = F.floor(F.col(bucket_col) / OFFSET_ROLLUP_WIDTH)
+    wl = Window.partitionBy("_sb").orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = per_bucket.withColumn("_sb", sup_col).withColumn(
+        "_lcum", F.coalesce(F.sum(total_col).over(wl), F.lit(0))
+    )
+    sup_totals = local.groupBy("_sb").agg(F.sum(total_col).alias("_stot"))
+    ws = Window.orderBy("_sb").rowsBetween(Window.unboundedPreceding, -1)
+    sup_offsets = sup_totals.select(
+        "_sb", F.coalesce(F.sum("_stot").over(ws), F.lit(0)).alias("_soff")
+    )
+    return local.join(F.broadcast(sup_offsets), "_sb").select(
         bucket_col,
-        F.coalesce(F.sum(total_col).over(w), F.lit(0)).alias("_offset"),
+        (F.col("_soff") + F.col("_lcum")).alias("_offset"),
     )
 
 
@@ -123,10 +149,17 @@ def shard_assignments(
     md5(id) pseudo-random total order, shard = rank // rows_per_shard.
     Every shard holds exactly ``rows_per_shard`` rows except the last —
     a strict bound, unlike hash-bucket sharding whose sizes are binomial.
-    Deterministic across runs and engines (md5 keying, like x1/x2)."""
+    Deterministic across runs and engines (md5 keying, like x1/x2).
+
+    Buckets are the first 3 hex chars of the key — 4096 of them, so the
+    per-bucket ranking window runs at parallelism 4096 and each task sorts
+    ~n/4096 rows (a 1B-doc corpus: ~244k rows/task, not the ~62M a 16-way
+    split would give). The numeric conv() keeps bucket order identical to
+    the lexicographic _k order (fixed-length lowercase hex), so
+    (bucket, _k) ordering == global _k ordering."""
     keyed = df.withColumn(
         "_k", F.md5(F.col(id_col).cast("string"))
-    ).withColumn("_b", F.substring("_k", 1, 1))
+    ).withColumn("_b", F.conv(F.substring("_k", 1, 3), 16, 10).cast("long"))
     wlocal = Window.partitionBy("_b").orderBy("_k").rowsBetween(
         Window.unboundedPreceding, 0
     )

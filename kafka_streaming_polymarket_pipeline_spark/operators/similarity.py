@@ -358,6 +358,22 @@ def _pq_codes_col(vec_name: str, m: int, ds: int, n_codewords: int) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _argmin_code)
 
 
+def _pq_seeds(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+    """The k deterministic seed vectors, indexed 0..k-1. orderBy().limit(k)
+    compiles to TakeOrderedAndProject (per-partition top-k, merged at the
+    driver); the row_number window then runs over only the k surviving rows
+    — never a global sort of the corpus. Plan-asserted in
+    test_plan_shapes.test_pq_seed_window_input_is_bounded."""
+    v = F.col(vec_col).cast("array<double>")
+    w = Window.orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
+    return (
+        corpus.select(F.col(id_col).alias("_sid"), v.alias("_sv"))
+        .orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
+        .limit(k)
+        .withColumn("_j", F.row_number().over(w) - 1)
+    )
+
+
 def _pq_codebook(
     corpus: DataFrame, id_col: str, vec_col: str, m: int, k: int, dim: int,
     pq_iters: int = 0,
@@ -376,16 +392,7 @@ def _pq_codebook(
     tests. Built without any driver collect."""
     ds = dim // m
     v = F.col(vec_col).cast("array<double>")
-    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
-    # top-k, merged at the driver); the row_number window then runs over
-    # only the k surviving rows — never a global sort of the corpus.
-    w = Window.orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
-    seeds = (
-        corpus.select(F.col(id_col).alias("_sid"), v.alias("_sv"))
-        .orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
-        .limit(k)
-        .withColumn("_j", F.row_number().over(w) - 1)
-    )
+    seeds = _pq_seeds(corpus, id_col, vec_col, k)
     subs = seeds.crossJoin(F.broadcast(
         seeds.sparkSession.range(m).select(F.col("id").cast("int").alias("_m"))
     )).select(

@@ -93,6 +93,71 @@ def test_write_shards_layout_and_determinism(spark, sf_smoke, tmp_path):
     assert s1 == s2
 
 
+def test_offset_rollup_spans_multiple_super_buckets(spark):
+    """_bucket_offsets with n_buckets > OFFSET_ROLLUP_WIDTH: the two-level
+    roll-up must equal the naive global exclusive prefix sum, and the
+    unpartitioned level-2 window input must be ceil(n/4096) super-bucket
+    rows, not n bucket rows."""
+    n = 10_000
+    per_bucket = spark.range(n).select(
+        F.col("id").alias("_b"), (F.col("id") % 97 + 1).alias("_tot")
+    )
+    got = {
+        r["_b"]: r["_offset"]
+        for r in P._bucket_offsets(per_bucket, "_b", "_tot").collect()
+    }
+    running = 0
+    for b in range(n):
+        assert got[b] == running, (b, got[b], running)
+        running += b % 97 + 1
+    # boundedness: the only unpartitioned window runs over super-bucket
+    # totals — exactly ceil(n / OFFSET_ROLLUP_WIDTH) rows
+    import math
+
+    n_super = per_bucket.select(
+        F.floor(F.col("_b") / P.OFFSET_ROLLUP_WIDTH)
+    ).distinct().count()
+    assert n_super == math.ceil(n / P.OFFSET_ROLLUP_WIDTH) == 3
+
+
+def test_packing_equivalence_across_super_buckets(spark):
+    """packed_sequences with bucket_width=1 over >4096 docs exercises the
+    multi-super-bucket roll-up end-to-end; placement must still equal the
+    naive global prefix sum."""
+    docs = spark.range(9_000).select(
+        F.col("id").alias("doc_id"),
+        F.trim(F.repeat(F.lit("t "), (F.col("id") % 7).cast("int"))).alias("text"),
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_start"])
+        for r in P.packed_sequences(docs, bucket_width=1).collect()
+    }
+    running = 0
+    for i in range(9_000):
+        n = i % 7
+        assert got[i] == (n, running), (i, got[i], (n, running))
+        running += n
+
+
+def test_shard_bucket_parallelism(spark, sf_smoke):
+    """The ranking window's bucket key has a 4096-value domain (3 hex
+    chars): at 1B docs each window task sorts ~n/4096 rows. Recompute the
+    operator's bucket expression and assert its bounds; a 16-bucket
+    regression (1 hex char) would collapse the distinct count to <=16."""
+    docs = load(spark, sf_smoke, "documents")
+    b = docs.select(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("long")
+        .alias("_b")
+    )
+    stats = b.agg(
+        F.min("_b").alias("lo"), F.max("_b").alias("hi"),
+        F.count_distinct("_b").alias("nd"),
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] <= 4095
+    assert stats["nd"] > 16  # wider than the old 1-hex-digit bucketing
+
+
 # --- hypothesis property tests -------------------------------------------
 
 from hypothesis import given, settings

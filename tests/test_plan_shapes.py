@@ -53,6 +53,26 @@ ALLOWED_NESTED = {
 }
 
 
+def test_pq_seed_window_input_is_bounded(spark, sf_smoke):
+    """The PQ codebook's seed pick must compile its orderBy().limit(k) to
+    TakeOrderedAndProject (per-partition top-k, merged at the driver) so the
+    row_number window downstream runs over exactly k rows — never a global
+    sort of the corpus. Guards the one unpartitioned window in the q2/q3
+    path (VERDICT r03 item 8). Asserted on the seed frame itself because the
+    codebook localCheckpoints, hiding the seed stage from downstream plans."""
+    from kafka_streaming_polymarket_pipeline_spark.operators import similarity as S
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    k = 256
+    seeds = S._pq_seeds(load(spark, sf_smoke, "embeddings"), "vec_id", "embedding", k)
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        "PQ seed pick lost its TakeOrderedAndProject — the seed window may "
+        "be sorting the whole corpus in one partition"
+    )
+    assert seeds.count() == min(k, load(spark, sf_smoke, "embeddings").count())
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(plans.all_queries()))
 def test_no_unapproved_quadratic_join(spark, sf_smoke, name):

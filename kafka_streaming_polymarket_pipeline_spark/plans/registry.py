@@ -37,69 +37,73 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver's correctness gate checks the first 50 registry entries per
-# round (CORRECTNESS_r01/r02 are each exactly the registry's 50-entry
+# round (CORRECTNESS_r01..r03 are each exactly the registry's 50-entry
 # prefix). With >50 registered queries, iteration order decides which get
-# an official audited row, so the order rotates per round: queries with no
-# green row in any prior CORRECTNESS_r*.json come first, then this round's
-# new/changed queries, then re-checks of the highest-scrutiny entries.
+# an official audited row, so the order rotates per round so that every
+# query's newest green row stays <=2 rounds old. Round-4 prefix = the 48
+# queries whose newest green row is r02 (everything r03 re-audited is 1
+# round old already) + the two r03-green queries whose code changed this
+# round (t11 rank-rounding fix, e2e_corpus_build_t repeat-clamp fix).
+# pk1/pk2/sh1 also changed this round (two-level offset roll-up) and are
+# in the stale-48. a13_approx_count_distinct stays OUT of the prefix: its
+# row is permanently rows-only (HLL estimates are engine-specific) and its
+# error bound is hash-gated by a13b, which holds a green r03 row.
 # Union coverage across rounds is tracked in COVERAGE.md. Names absent
 # from this list keep registration order after the prioritized prefix.
 _DRIVER_PRIORITY: list[str] = [
-    # never driver-checked (no row in r01 or r02)
-    "a13_approx_count_distinct",
-    "a13b_approx_distinct_gate",
-    "t8_decontamination",
-    "t9_pii_redaction",
-    "t10_repetition_stats",
-    "m2_image_decode_features",
-    # errored in r02 (canonicalizer could not hash list cells; fixed since)
-    "q1_embedding_quantize",
-    # no row in r02 (checked in r01 only)
-    "a4_ratio_guarded",
-    "a5_topk_per_group",
-    "a6_count_empty_marker",
-    "a7_downsample_last",
-    "a8_incremental_watermark_max",
-    "a9_change_detect_dedup",
-    "a10_consecutive_runs",
-    "u1_union_by_name",
-    "u2_rollup_revenue",
-    "f_scalar_battery",
-    "f7_iso8601_parse",
-    "f4_json_serialize_roundtrip",
-    "u3_distinct_agg",
-    "u4_anti_join",
-    "u5_cube_revenue",
-    "w1_running_sum",
-    "j2b_bucketed_interval_join",
-    "w2_session_windows",
-    "a12_percentiles",
-    "t1_token_stats",
-    "t2_lang_id",
-    "t3_quality_score",
-    "t4_fingerprint",
-    "t5_top_tokens",
-    "t6_bpe_token_count",
-    "t7_winnow_fingerprints",
-    "m1_binary_metadata",
-    "m3_frame_sample",
-    # new this round
+    # changed this round, newest green r02 (packing/shard roll-up rewrite)
+    "pk1_pack_assignments",
+    "pk2_sequence_fill",
+    "sh1_shard_assignment",
+    # changed this round, newest green r03 (rank-rounding / repeat clamp)
     "t11_tfidf_top_terms",
-    "t12_bigram_lm_score",
-    "t13_boilerplate_coverage",
-    "q2_pq_adc_topk",
-    "q2_recall",
-    "q3_ivf_pq_topk",
-    "q3_recall",
-    "x4_temperature_weights",
-    "k1_salted_agg",
-    "x5_temperature_repeats",
-    "a14_approx_percentile_gate",
-    "r2_min_cost_supplier",
-    "r13_cust_order_counts",
     "e2e_corpus_build_t",
-    # re-checks: highest-scrutiny previously-green entries
-    "e2e_corpus_build",
+    # newest green row is r02 — re-audit before it goes stale
+    "v1_bpe_learn_vocab",
+    "v2_bpe_tokenize_corpus",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d3_minhash_lsh",
+    "d7_incremental_neardup",
+    "d6_neardup_clusters",
+    "d6b_neardup_clusters_star",
+    "d4_simhash",
+    "d5_embedding_neardup",
+    "d5b_embedding_neardup_blocked",
+    "g1_momentum_volatility",
+    "g2_whale_deltas",
+    "g3_concentration",
+    "g4_winner_label",
+    "x1_hash_split",
+    "x2_stratified_sample",
+    "x3_mixture_sample",
+    "market_candles_15m",
+    "pricing_summary",
+    "shipping_priority_top10",
+    "regional_revenue",
+    "order_priority_check",
+    "s1_ann_bruteforce_topk",
+    "s2_ann_ivf_topk",
+    "s3_ann_lsh_topk",
+    "s2_recall",
+    "s3_recall",
+    "p1_substring_filter",
+    "p2_window_containment",
+    "p3_projection_parse",
+    "p4_type_filter",
+    "p5_event_dispatch",
+    "p6_explode_filter",
+    "p7_positive_filter",
+    "p8_null_empty_guards",
+    "p9_resolution_predicate",
+    "j1_dim_broadcast_join",
+    "j2_interval_join",
+    "j3_left_label_join",
+    "j4_lag_deltas",
+    "j5_latest_scalar",
+    "a1_array_sum",
+    "a2_argmax_per_group",
+    "a3_positional_first",
 ]
 
 

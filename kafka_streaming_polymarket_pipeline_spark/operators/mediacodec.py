@@ -1,24 +1,30 @@
 """Pure-stdlib media codecs backing the multimodal operators.
 
-No PIL/opencv/ffmpeg exists in this environment, but PNG and WAV need
-nothing beyond the standard library: PNG is zlib-compressed scanlines
-with 5 difference filters (RFC 2083); WAV PCM is a RIFF header over raw
-samples (stdlib ``wave``). These decoders are REAL — they bit-exactly
-recover pixels/samples from genuine files — and small enough to audit.
+No PIL/opencv/ffmpeg exists in this environment, but PNG, baseline JPEG
+and WAV need nothing beyond the standard library + numpy: PNG is
+zlib-compressed scanlines with 5 difference filters (RFC 2083); JPEG
+baseline is huffman-coded 8x8 DCT blocks (ITU T.81 sequential DCT); WAV
+PCM is a RIFF header over raw samples (stdlib ``wave``). These decoders
+are REAL — they bit-exactly (PNG/WAV) or spec-faithfully (JPEG: exact
+huffman/dequant/IDCT pipeline) recover pixels/samples from genuine
+files — and small enough to audit.
 
 Scope (honestly bounded):
 - PNG: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette, gray+A,
   RGBA), non-interlaced — i.e. the overwhelmingly common encoder output.
   Interlaced/16-bit raise ValueError.
+- JPEG: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
+  arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2 all covered by the
+  general MCU loop), restart markers. Progressive (SOF2), arithmetic
+  coding, and 12-bit raise ValueError.
 - WAV: 8/16/32-bit integer PCM via the stdlib reader.
-- JPEG/video: genuinely need a native codec; the operators keep their
-  declared NotImplementedError for those.
+- Video: genuinely needs a native codec; the operators keep their
+  declared NotImplementedError for it.
 
-Perf note: unfiltering Sub/Average/Paeth is sequential along a scanline,
-so rows decode in a Python loop over bytes. Fine for the fixture-scale
-payloads these tests use; a production pipeline swaps a native codec into
-the same mapInPandas operator shape (the plumbing, not the codec, is what
-this engine owns).
+Perf note: PNG unfiltering and the JPEG huffman bit loop are sequential
+Python — fine for the fixture-scale payloads these tests use; a
+production pipeline swaps a native codec into the same mapInPandas
+operator shape (the plumbing, not the codec, is what this engine owns).
 """
 
 from __future__ import annotations
@@ -149,6 +155,452 @@ def luma(arr: np.ndarray) -> float:
     else:
         y = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
     return float(y.mean()) / 255.0
+
+
+# --- Baseline JPEG (ITU T.81 sequential DCT) -------------------------------
+#
+# Decoder: marker parse -> huffman-decode MCUs -> dequantize -> de-zigzag ->
+# IDCT -> level shift -> chroma upsample -> YCbCr->RGB. The general MCU loop
+# handles any sampling factors (4:4:4, 4:2:0, 4:2:2) and restart markers.
+# Encoder (fixture generation + round-trip tests): 4:4:4 or grayscale,
+# quality-scaled Annex-K luminance table, simple-but-valid canonical huffman
+# tables (all DC symbols at 4 bits, all AC symbols at 8 bits — spec-legal;
+# tables ship in DHT so any conformant decoder reads them).
+
+_ZIGZAG = []
+for _s in range(15):
+    _rng = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (_rng if _s % 2 else reversed(_rng)):
+        _ZIGZAG.append((_r, _s - _r))
+_ZZ_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in _ZIGZAG])
+
+# Orthonormal 8x8 DCT-II matrix: spatial = M.T @ coeffs @ M, coeffs = M @ spatial @ M.T
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_table(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical huffman: {(code_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG into (height, width, channels) uint8
+    (channels: 1 grayscale, 3 RGB)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (h, w, comps) where comps = [(cid, hsamp, vsamp, tq)]
+    restart_interval = 0
+    scan = None
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("JPEG marker segment truncated")
+        (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + length]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(body[p:p + 64], np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    tab = np.frombuffer(body[p:p + 128], ">u2").astype(np.int32)
+                    p += 128
+                full = np.zeros((8, 8), np.int32)
+                full[_ZZ_ROWS, _ZZ_COLS] = tab
+                qt[tq] = full
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline(+ext sequential)
+            precision, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            if h == 0 or w == 0 or h > 1 << 14 or w > 1 << 14:
+                raise ValueError("unsupported JPEG dimensions")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq_id = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, tq_id))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG (progressive/arithmetic/hierarchical)")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                counts = list(body[p + 1:p + 17])
+                nsym = sum(counts)
+                symbols = body[p + 17:p + 17 + nsym]
+                huff[(tc, th)] = _huff_table(counts, symbols)
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
+            pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    h, w, comps = frame
+    # entropy segments split at restart markers, FF00 unstuffed
+    segments, cur = [], bytearray()
+    p = pos
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or other marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    planes = [
+        np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), np.float64) for c in comps
+    ]
+    scan_tabs = []
+    for cid, td, ta in scan:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references missing huffman table")
+        scan_tabs.append((by_id[cid], huff[(0, td)], huff[(1, ta)]))
+
+    n_mcus = mcus_x * mcus_y
+    mcu = 0
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = [0] * len(comps)
+    while mcu < n_mcus:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, dc_tab, ac_tab in scan_tabs:
+            _, hs, vs, tq_id = comps[ci]
+            if tq_id not in qt:
+                raise ValueError("JPEG component references missing quant table")
+            q = qt[tq_id]
+            for by in range(vs):
+                for bx in range(hs):
+                    t = _huff_decode(reader, dc_tab)
+                    diff = _extend(reader.read_bits(t), t) if t else 0
+                    pred[ci] += diff
+                    zz = np.zeros(64, np.int32)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    block = np.zeros((8, 8), np.int32)
+                    block[_ZZ_ROWS, _ZZ_COLS] = zz
+                    spatial = _DCT_M.T @ (block * q) @ _DCT_M + 128.0
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+        mcu += 1
+
+    out_planes = []
+    for i, (_, hs, vs, _) in enumerate(comps):
+        plane = planes[i]
+        if hs != max_h or vs != max_v:
+            plane = np.repeat(np.repeat(plane, max_v // vs, axis=0), max_h // hs, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+# Simple-but-valid canonical tables: 12 DC symbols at 4 bits, 162 AC
+# symbols at 8 bits (Kraft-satisfying, no all-ones code at max length).
+_ENC_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_SYMBOLS = bytes(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_SYMBOLS = bytes(_AC_SYMS)
+
+
+def _enc_codes(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the canonical table."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _pad_edge(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = p.shape
+    pp = np.empty((bh, bw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[-1:, :]
+    pp[:, w:] = pp[:, w - 1:w]
+    return pp
+
+
+def _encode_block(
+    writer: _BitWriter, block: np.ndarray, q: np.ndarray, pred: list[int], ci: int,
+    dc_codes: dict, ac_codes: dict,
+) -> None:
+    coeffs = _DCT_M @ (block - 128.0) @ _DCT_M.T
+    zz = np.round(coeffs / q)[_ZZ_ROWS, _ZZ_COLS].astype(np.int32)
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    t = int(abs(diff)).bit_length()
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75, subsample: bool = False) -> bytes:
+    """Minimal baseline JPEG encoder: grayscale or RGB in; 4:4:4 out, or
+    4:2:0 (box-averaged chroma) with ``subsample=True``. Quality scales
+    the Annex-K luminance quant table (used for all components).
+    Round-trips through decode_jpeg within quantization error; output is
+    spec-conformant (tables shipped in DQT/DHT)."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg expects 1 or 3 channels")
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_QUANT_LUMA * scale + 50) // 100, 1, 255).astype(np.int32)
+
+    if ch == 3:
+        rf, gf, bf = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+        ]
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+
+    sub = subsample and ch == 3
+    dc_codes = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_codes = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    if sub:
+        # 4:2:0: MCU = 16x16 luma (4 blocks) + one 8x8 block of each
+        # box-averaged chroma plane.
+        mh, mw = -(-h // 16) * 16, -(-w // 16) * 16
+        ypad = _pad_edge(planes[0], mh, mw)
+        chroma = [
+            _pad_edge(p, mh, mw).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+        for my in range(mh // 16):
+            for mx in range(mw // 16):
+                for by in range(2):
+                    for bx in range(2):
+                        y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                        _encode_block(
+                            writer, ypad[y0:y0 + 8, x0:x0 + 8], q, pred, 0, dc_codes, ac_codes
+                        )
+                for ci, p in enumerate(chroma, start=1):
+                    _encode_block(
+                        writer, p[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8], q,
+                        pred, ci, dc_codes, ac_codes,
+                    )
+    else:
+        bh_, bw_ = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = [_pad_edge(p, bh_, bw_) for p in planes]
+        for by in range(bh_ // 8):
+            for bx in range(bw_ // 8):
+                for ci, p in enumerate(padded):
+                    _encode_block(
+                        writer, p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8], q,
+                        pred, ci, dc_codes, ac_codes,
+                    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zz_q = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i in range(len(planes)):
+        samp = 0x22 if (sub and i == 0) else 0x11
+        sof += bytes([i + 1, samp, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS)
+    out += seg(0xC4, b"\x10" + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS)
+    sos = bytes([len(planes)]) + b"".join(bytes([i + 1, 0x00]) for i in range(len(planes))) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: PNG or baseline JPEG -> (H, W, C) uint8."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    raise ValueError("unrecognized image format (not PNG or JPEG)")
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

@@ -4,16 +4,16 @@ The Spark-side plumbing is real and tested — schema (binary payload +
 typed metadata struct), Arrow-batched ``mapInPandas`` operators with
 bounded batch sizes, partition-friendly signatures. Decode status:
 
-- **PNG images and PCM WAV audio decode for real** via the pure-stdlib
-  codecs in operators/mediacodec.py (zlib scanline unfiltering / RIFF
-  parsing) — genuine bytes in, genuine pixels/samples out, tested on
-  real files in tests/test_multimodal.py. Undecodable payloads yield
-  null feature rows (the quarantine-don't-crash behavior a pipeline
-  wants), and ``fake=True`` keeps the deterministic no-codec stub for
-  shape tests.
-- **JPEG and video** genuinely require a native codec library (absent
-  here) and raise ``NotImplementedError`` unless ``fake=True`` — the
-  mapInPandas shape is the deliverable; the codec slots in.
+- **PNG and baseline JPEG images and PCM WAV audio decode for real**
+  via the pure-stdlib codecs in operators/mediacodec.py (zlib scanline
+  unfiltering / T.81 huffman+IDCT / RIFF parsing) — genuine bytes in,
+  genuine pixels/samples out, tested on real files in
+  tests/test_multimodal.py. Undecodable payloads yield null feature
+  rows (the quarantine-don't-crash behavior a pipeline wants), and
+  ``fake=True`` keeps the deterministic no-codec stub for shape tests.
+- **Video** genuinely requires a native codec library (absent here) and
+  raises ``NotImplementedError`` unless ``fake=True`` — the mapInPandas
+  shape is the deliverable; the codec slots in.
 
 At 100 TB: binary payloads ride in parquet; decode stages are
 ``mapInPandas`` so each task streams Arrow batches without materializing
@@ -99,12 +99,13 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched decode -> feature extraction over the payload column.
 
-    Real path: PNG payloads decode via operators/mediacodec.py (pure
-    stdlib — pixels actually come out of the bytes); rows whose payload
-    is not a decodable PNG yield null features instead of failing the
-    stage. fake=True keeps the no-codec deterministic stub. Either way
-    the mapInPandas shape — batch iterator in/out, payload pruned from
-    the output — is the production shape.
+    Real path: PNG and baseline-JPEG payloads decode via
+    operators/mediacodec.py (pure stdlib — pixels actually come out of
+    the bytes); rows whose payload is not a decodable image yield null
+    features instead of failing the stage. fake=True keeps the no-codec
+    deterministic stub. Either way the mapInPandas shape — batch
+    iterator in/out, payload pruned from the output — is the production
+    shape.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,7 +119,7 @@ def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     feats.append(_fake_decode(raw))
                     continue
                 try:
-                    arr = MC.decode_png(raw)
+                    arr = MC.decode_image(raw)
                     h, w = arr.shape[:2]
                     ch = 1 if arr.ndim == 2 else arr.shape[2]
                     feats.append((w, h, ch, MC.luma(arr)))
@@ -227,8 +228,8 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                   fake: bool = False) -> DataFrame:
     """Resize stage: payload in -> payload out at fixed dimensions (the
     normalization step before feature extraction in a training-data
-    pipeline). Real path: PNG decode -> nearest-neighbor resample ->
-    PNG re-encode, all pure stdlib+numpy (operators/mediacodec.py);
+    pipeline). Real path: PNG/JPEG decode -> nearest-neighbor resample
+    -> PNG re-encode, all pure stdlib+numpy (operators/mediacodec.py);
     undecodable payloads yield a null output payload. fake=True keeps the
     no-codec stub (deterministic byte buffer of width*height*3)."""
 
@@ -247,7 +248,7 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                     out.append((raw * reps)[:target])
                     continue
                 try:
-                    arr = MC.decode_png(raw)
+                    arr = MC.decode_image(raw)
                     out.append(MC.encode_png(MC.resize_nearest(arr, width, height)))
                 except Exception:
                     out.append(None)

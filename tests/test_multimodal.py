@@ -106,15 +106,69 @@ def test_png_gray_and_rgba_roundtrip():
         assert got.shape == (4, 6, ch) and (got == pixels).all()
 
 
+def test_jpeg_roundtrip_within_quant_error():
+    import numpy as np
+
+    # Solid blocks are DC-only: quantization error is exactly zero.
+    solid = np.full((16, 24, 3), 128, np.uint8)
+    assert (MC.decode_jpeg(MC.encode_jpeg(solid, 90)) == solid).all()
+    # Gradients: lossy, but bounded by quantization at q90.
+    y, x = np.mgrid[0:40, 0:56]
+    grad = np.stack([(x * 4) % 256, (y * 6) % 256, ((x + y) * 3) % 256], -1).astype(np.uint8)
+    dec = MC.decode_jpeg(MC.encode_jpeg(grad, 90))
+    rmse = float(((dec.astype(float) - grad.astype(float)) ** 2).mean()) ** 0.5
+    assert dec.shape == grad.shape and rmse < 4.0
+    # Grayscale single-component scan.
+    g = (x * 5 % 256).astype(np.uint8)
+    dg = MC.decode_jpeg(MC.encode_jpeg(g, 85))
+    assert dg.shape == (40, 56, 1)
+    # Odd (non-multiple-of-8) dimensions crop correctly.
+    assert MC.decode_jpeg(MC.encode_jpeg(grad[:13, :19], 95)).shape == (13, 19, 3)
+
+
+def test_jpeg_420_subsampling_decodes():
+    """4:2:0 exercises the general MCU loop (2x2 luma blocks per MCU) and
+    chroma upsampling in the decoder."""
+    import numpy as np
+
+    y, x = np.mgrid[0:37, 0:53]
+    img = np.stack([(x * 4) % 256, (y * 6) % 256, ((x + y) * 3) % 256], -1).astype(np.uint8)
+    dec = MC.decode_jpeg(MC.encode_jpeg(img, 90, subsample=True))
+    rmse = float(((dec.astype(float) - img.astype(float)) ** 2).mean()) ** 0.5
+    assert dec.shape == img.shape and rmse < 8.0
+    solid = np.full((20, 20, 3), 200, np.uint8)
+    assert (MC.decode_jpeg(MC.encode_jpeg(solid, 90, subsample=True)) == solid).all()
+
+
+def test_jpeg_corrupt_and_unsupported_raise():
+    import numpy as np
+
+    jpg = MC.encode_jpeg(np.full((16, 16, 3), 99, np.uint8), 80)
+    with pytest.raises(ValueError):
+        MC.decode_jpeg(b"\xff\xd8garbage")
+    with pytest.raises(ValueError):
+        MC.decode_jpeg(jpg[:40])  # truncated mid-tables
+    with pytest.raises(ValueError):
+        MC.decode_image(b"neither png nor jpeg")
+    # Progressive (SOF2) is declared out of scope.
+    prog = bytearray(jpg)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError):
+        MC.decode_jpeg(bytes(prog))
+
+
 def test_real_image_features_through_spark(spark):
     import numpy as np
 
     white = np.full((8, 4, 3), 255, np.uint8)
     dark = np.zeros((2, 2, 3), np.uint8)
+    mid = np.full((10, 6, 3), 128, np.uint8)
     rows = [
         (1, MC.encode_png(white)),
         (2, MC.encode_png(dark)),
         (3, b"not a png"),
+        (4, MC.encode_jpeg(mid, 90)),  # JPEG through the same dispatch
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"]: r for r in M.decode_image_features(df).collect()}
@@ -122,6 +176,8 @@ def test_real_image_features_through_spark(spark):
     assert got[1]["mean_luma"] == pytest.approx(1.0, abs=1e-6)
     assert got[2]["mean_luma"] == pytest.approx(0.0, abs=1e-6)
     assert got[3]["width"] is None
+    assert (got[4]["width"], got[4]["height"], got[4]["n_channels"]) == (6, 10, 3)
+    assert got[4]["mean_luma"] == pytest.approx(128 / 255, abs=0.01)
 
 
 def test_real_resize_through_spark(spark):

@@ -118,12 +118,66 @@ def streaming_throughput(spark, sf_dir: str, n_rows: int = 1_000_000) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_dedup_throughput(spark, sf_dir: str, batches: int = 5) -> dict:
+    """Standing incremental-dedup job throughput: documents stream in
+    ``batches`` micro-batches through the full exactness-preserving funnel
+    (new-batch signatures -> persistent-index bucket probes -> band-count /
+    estimate / exact-verify) with the index extended (parquet write) per
+    batch. docs/s here is the per-batch cost a continuous corpus-ingest
+    pipeline would pay, index maintenance included."""
+    import shutil
+    import tempfile
+
+    from kafka_streaming_polymarket_pipeline_spark.streaming import dedup_stream
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    tmp = tempfile.mkdtemp(prefix="bench_sdedup_")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        src = os.path.join(tmp, "in")
+        docs.repartition(batches * 2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = dedup_stream.incremental_dedup_sink(
+            stream,
+            os.path.join(tmp, "idx"),
+            os.path.join(tmp, "pairs"),
+            os.path.join(tmp, "ck"),
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        return {"docs": n, "batches": batches, "sec": round(dt, 3), "docs_per_sec": round(n / dt)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
     from kafka_streaming_polymarket_pipeline_spark import plans
     from kafka_streaming_polymarket_pipeline_spark.session import get_spark
+
+    if "--streaming-dedup-only" in sys.argv:
+        # Fresh-process mode, same rationale as --streaming-only. Warm with
+        # a sf0.01-size run if available, then best-of-N at the target SF
+        # (contention-waves protocol).
+        spark = get_spark(app_name="pmps-bench-sdedup", cpus=cpus, shuffle_partitions=cpus)
+        warm_dir = "/root/testdata/sf0.01"
+        streaming_dedup_throughput(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir)
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        best = None
+        for _ in range(max(runs, 1)):
+            r = streaming_dedup_throughput(spark, sf_dir)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        print(json.dumps(best))
+        return
 
     if "--streaming-only" in sys.argv:
         # Subprocess mode: fresh JVM; warm one small batch (every micro-batch
@@ -193,18 +247,26 @@ def main() -> None:
     # understates it ~8x, and spark.stop() doesn't give a clean JVM because
     # the py4j gateway persists).
     spark.stop()
-    try:
+    def _subproc(flag: str):
         import subprocess
 
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--streaming-only"],
+            [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True, text=True, timeout=900,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": str(cpus)},
         )
-        stream = json.loads(out.stdout.strip().splitlines()[-1])
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    try:
+        stream = _subproc("--streaming-only")
     except Exception as exc:
         print(f"bench: streaming throughput FAILED: {exc}", file=sys.stderr)
         stream = None
+    try:
+        stream_dedup = _subproc("--streaming-dedup-only")
+    except Exception as exc:
+        print(f"bench: streaming dedup throughput FAILED: {exc}", file=sys.stderr)
+        stream_dedup = None
 
     # sf from the dir name (e.g. .../sf0.1 -> 0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -221,6 +283,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": stream,
+                "streaming_dedup": stream_dedup,
                 "sf": sf,
                 "cpus": cpus,
                 "runs_per_query": runs,

@@ -218,18 +218,23 @@ def minhash_lsh_dedup(
     doc_id_b) pairs — measured ~4 s for 25M rows vs the ~6x it saves on
     the wide est join (whose input drops from every bucket-co-occurrence
     row to distinct pairs with k >= min_bands). Signatures feed three
-    join sides but are deliberately NOT persisted: within the single
-    action Spark's ReusedExchange dedups the identical groupBy subtree,
-    while building the in-memory columnar cache for a 129-column frame
-    measured ~5 s of pure overhead (wide-row cache encode) — no-persist
-    ran 5.9-8.9 s vs 7.3-27 s persisted at sf0.1. Signature/shingle
-    sides are broadcast (MBs at bench scale); on a 1000-executor corpus
-    where they outgrow broadcast, drop the hint and the joins become
-    shuffle-hash on doc_id — still candidate-local work.
+    join sides and are persisted: the 129-column columnar cache build
+    costs ~5 s, but the alternative (no persist) re-executes the
+    signature aggregation per consumer — exchange reuse does NOT fire
+    across the three differently-projected broadcast consumers
+    (measured: 0 ReusedExchange nodes, 29-35 s no-persist vs ~17 s
+    persisted at sf0.1; an earlier 6-9 s no-persist reading was
+    contaminated by CacheManager substituting frames a prior persisted
+    run had left cached). Signature/shingle sides are broadcast (MBs at
+    bench scale); on a 1000-executor corpus where they outgrow
+    broadcast, drop the hint and the joins become shuffle-hash on
+    doc_id — still candidate-local work.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows, min_bands, est_cutoff = _lsh_params(threshold)
     index = shingle_index(df, id_col, text_col, n)
-    sigs = minhash_signatures(index)
+    sigs = minhash_signatures(index).persist(StorageLevel.MEMORY_AND_DISK)
 
     buckets = _band_buckets(sigs, rows)
     left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
@@ -249,18 +254,17 @@ def minhash_lsh_dedup(
 
 
 def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, hashed-shingle array, sz) for the verify stage. 64-bit
-    hashes, not strings: same intersection counts (cross-collision odds
-    ~|A||B|/2^64 ~ 5e-15 per pair) at a fraction of the comparison cost.
-    Not persisted: the frame is map-only (scan + project), so its two
-    verify-side uses are cheap parallel recomputes, and array-column
-    cache encode costs more than it saves (measured, see
-    minhash_lsh_dedup)."""
+    """Persisted (doc_id, hashed-shingle array, sz) for the verify stage.
+    64-bit hashes, not strings: same intersection counts (cross-collision
+    odds ~|A||B|/2^64 ~ 5e-15 per pair) at a fraction of the comparison
+    cost, and the cached rows are ~6x smaller."""
+    from pyspark.storagelevel import StorageLevel
+
     return doc_shingle_arrays(df, id_col, text_col, n).select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"),
         "sz",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _est_filter(cand: DataFrame, sigs: DataFrame, est_cutoff: int) -> DataFrame:
@@ -321,12 +325,12 @@ def minhash_lsh_incremental(
     canonicalized doc_id_a < doc_id_b and equal the batch pair set
     restricted to pairs with at least one new doc.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows, min_bands, est_cutoff = _lsh_params(threshold)
     corpus_sigs = minhash_signatures(shingle_index(corpus, id_col, text_col, n))
     new_sigs = minhash_signatures(shingle_index(new, id_col, text_col, n))
-    # No persist: ReusedExchange dedups the identical union subtree within
-    # the single action; 129-column cache encode is net-negative (measured).
-    sigs = corpus_sigs.union(new_sigs)
+    sigs = corpus_sigs.union(new_sigs).persist(StorageLevel.MEMORY_AND_DISK)
     corpus_buckets = _band_buckets(corpus_sigs, rows)
     new_buckets = _band_buckets(new_sigs, rows)
 

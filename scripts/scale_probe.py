@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""One-off scale probe (VERDICT r03 item 6): measure how the 5 heaviest
+queries scale from 5k -> 15k -> 50k documents (sf0.1-equivalent -> ~sf1).
+
+The official /root/testdata is read-only and stops at sf0.1, so the probe
+generates its own corpora with the same statistical shape as the driver's
+documents table (small shared vocabulary -> heavily templated text, 5
+langs, 20 sources, ~50 words/doc) and 64-d embeddings. Both scales come
+from the SAME generator, so the measured ratios are generator-controlled
+even though the bytes differ from the driver's seed.
+
+Usage: python scripts/scale_probe.py [--keep]
+Writes parquet under /tmp/scale_probe/ and prints one JSON line per
+(query, scale) with wall seconds; summarize into SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BASE = "/tmp/scale_probe"
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch window "
+    "spark order data column join small line customer query a the big "
+    "filter group sort shuffle read"
+).split()
+LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # en-heavy like the driver's
+QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
+           "q3_ivf_pq_topk", "s1_ann_bruteforce_topk"]
+SCALES = {"0.1e": (5_000, 2_000), "0.3e": (15_000, 6_000), "1e": (50_000, 20_000)}
+# d3's cost driver is similar-pair mass, quadratic on this templated corpus
+# by construction — cap it at 0.3e unless --d3-full is passed.
+D3_CAP = "0.3e"
+
+
+def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    lens = rng.poisson(50, n_docs).clip(5)
+    texts = [" ".join(rng.choice(VOCAB, size=k)) for k in lens]
+    docs = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "lang": pa.array([LANGS[i] for i in rng.randint(0, len(LANGS), n_docs)]),
+        "source": pa.array([f"src{i}" for i in rng.randint(0, 20, n_docs)]),
+        "text": pa.array(texts),
+    })
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(docs, os.path.join(dirpath, "documents.parquet"))
+    emb = rng.randn(n_emb, 64).astype(np.float32)
+    embt = pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })
+    pq.write_table(embt, os.path.join(dirpath, "embeddings.parquet"))
+
+
+def main() -> None:
+    from kafka_streaming_polymarket_pipeline_spark import plans
+    from kafka_streaming_polymarket_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+
+    for label, (nd, ne) in SCALES.items():
+        d = os.path.join(BASE, label)
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            gen(d, nd, ne)
+
+    registry = plans.all_queries()
+    results = []
+    for name in QUERIES:
+        for label in SCALES:
+            if name == "d3_minhash_lsh" and label == "1e" and "--d3-full" not in sys.argv:
+                continue
+            d = os.path.join(BASE, label)
+            t0 = time.perf_counter()
+            registry[name](spark, d).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            row = {"query": name, "scale": label, "sec": round(dt, 2)}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"summary": results}))
+    if "--keep" not in sys.argv:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,19 @@ _REGISTRY: dict[str, Query] = {}
 # Union coverage across rounds is tracked in COVERAGE.md. Names absent
 # from this list keep registration order after the prioritized prefix.
 _DRIVER_PRIORITY: list[str] = [
+    # NEW this round, never audited: real video decode (rows-only by
+    # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
+    # asserted in tests/test_multimodal.py)
+    "m4_video_decode",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",
     "sh1_shard_assignment",
-    # changed this round, newest green r03 (rank-rounding / repeat clamp)
+    # changed this round, newest green r03 (rank-rounding / repeat clamp;
+    # m3's sample_frames gained the real-AVI branch around its fake path)
     "t11_tfidf_top_terms",
     "e2e_corpus_build_t",
+    "m3_frame_sample",
     # newest green row is r02 — re-audit before it goes stale
     "v1_bpe_learn_vocab",
     "v2_bpe_tokenize_corpus",
@@ -102,8 +108,9 @@ _DRIVER_PRIORITY: list[str] = [
     "j4_lag_deltas",
     "j5_latest_scalar",
     "a1_array_sum",
-    "a2_argmax_per_group",
-    "a3_positional_first",
+    # a2_argmax_per_group / a3_positional_first were displaced from this
+    # round's 50-slot prefix by m4 (never audited) and m3 (code changed);
+    # their newest green row is r02, so they MUST lead the r05 prefix.
 ]
 
 

@@ -1,7 +1,7 @@
 """Multimodal tests: binary payload schema, Arrow-batched decode,
-frame-sample fan-out. PNG/WAV decode is REAL (operators/mediacodec.py,
-pure stdlib) and tested on genuine files below; JPEG/video remain
-declared stubs."""
+frame-sample fan-out. PNG/JPEG/WAV decode is REAL (operators/mediacodec.py,
+pure stdlib) and tested on genuine files below; so is video: MJPEG-in-AVI
+round-trips through the RIFF container codec and per-frame JPEG decode."""
 
 from __future__ import annotations
 
@@ -266,3 +266,87 @@ def test_resize_images_quarantines_undecodable(spark, sf_smoke):
     media = M.media_table_from_documents(load(spark, sf_smoke, "documents").limit(1))
     rows = M.resize_images(media, fake=False).collect()
     assert len(rows) == 1 and rows[0].payload is None
+
+
+# ---------------------------------------------------------------------------
+# Real video: MJPEG-in-AVI container round-trip + Spark frame pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _gradient_frames(n=5, size=16):
+    import numpy as np
+
+    frames = []
+    for k in range(n):
+        base = np.linspace(0, 255, size * size * 3) % 256
+        arr = ((base + 37 * k) % 256).astype(np.uint8).reshape(size, size, 3)
+        frames.append(arr)
+    return frames
+
+
+def test_avi_mjpeg_container_roundtrip():
+    import numpy as np
+
+    frames = _gradient_frames(5)
+    avi = MC.encode_avi_mjpeg(frames, fps=8)
+    payloads, meta = MC.decode_avi(avi)
+    assert meta["width"] == 16 and meta["height"] == 16
+    assert meta["n_frames"] == 5 and abs(meta["fps"] - 8.0) < 0.01
+    assert len(payloads) == 5
+    for p, orig in zip(payloads, frames):
+        arr = MC.decode_jpeg(p)
+        assert arr.shape == orig.shape
+        # per-frame pixels survive within JPEG quantization error
+        assert np.abs(arr.astype(int) - orig.astype(int)).mean() < 4.0
+
+
+def test_decode_avi_rejects_non_avi():
+    with pytest.raises(ValueError):
+        MC.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        MC.decode_avi(b"not a riff at all")
+
+
+def test_real_frame_sampling_through_spark(spark):
+    """1 video row in -> stride-sampled real JPEG frame rows out, then
+    per-frame pixel features; a corrupt payload quarantines as one
+    null-frame row without failing the stage."""
+    import numpy as np
+
+    avi = MC.encode_avi_mjpeg(_gradient_frames(6), fps=4)
+    rows = [(1, "video", bytearray(avi), ("t", len(avi), "video/x-msvideo")),
+            (2, "video", bytearray(b"garbage-not-a-container"), ("t", 23, "video/x-msvideo"))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    frames = M.sample_frames(media, frame_stride=2, max_frames=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_id[1]) == [0, 2, 4]
+    assert by_id[2][0]["frame_bytes"] is None
+    # sampled bytes are the container's own frame payloads, decodable JPEGs
+    originals = _gradient_frames(6)
+    feats = M.decode_frame_features(M.sample_frames(media, frame_stride=2)).collect()
+    feats_by_key = {(r["media_id"], r["frame_idx"]): r for r in feats}
+    for idx in (0, 2, 4):
+        r = feats_by_key[(1, idx)]
+        assert (r["width"], r["height"]) == (16, 16)
+        want = float(
+            (0.299 * originals[idx][..., 0] + 0.587 * originals[idx][..., 1]
+             + 0.114 * originals[idx][..., 2]).mean() / 255.0
+        )
+        assert abs(r["mean_luma"] - want) < 0.02
+    assert feats_by_key[(2, 0)]["width"] is None
+
+
+def test_video_table_from_documents_real_containers(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents").limit(5)
+    vids = M.video_table_from_documents(docs, n_frames=3, size=16)
+    rows = vids.collect()
+    assert len(rows) == 5
+    for r in rows:
+        payloads, meta = MC.decode_avi(bytes(r["payload"]))
+        assert meta["n_frames"] == 3
+        assert r["meta"]["mime"] == "video/x-msvideo"
+        assert r["meta"]["byte_len"] == len(r["payload"])
+        arr = MC.decode_jpeg(payloads[0])
+        assert arr.shape == (16, 16, 3)

@@ -130,10 +130,119 @@ def _recover_upsert_target(path: str) -> None:
             shutil.rmtree(leftover)
 
 
-def upsert_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str | None = None):
-    """Streaming upsert: each micro-batch MERGEs into the parquet target."""
+_KBUCKET = "__kbucket"
+
+
+def upsert_parquet_bucketed(
+    spark, batch: DataFrame, path: str, keys: list[str], n_buckets: int = 64
+) -> None:
+    """Partition-pruned MERGE emulation: the table lives hash-bucketed on
+    its keys (``__kbucket=<n>/`` directory partitions), and an upsert
+    rewrites ONLY the buckets its batch touches — the Delta/Iceberg
+    ``MERGE INTO`` cost shape (O(touched partitions), not O(table)) that
+    plain ``upsert_parquet`` cannot give. For the reference's workload —
+    ~87-min-late resolution trickle (market_resolution.py:25-38) into a
+    large label table — a batch touches a handful of markets, so the
+    rewrite is ~|batch|/|table| of the full-table cost.
+
+    Crash-safety is per-bucket staged-write + rename, same protocol as
+    ``upsert_parquet``: merged buckets land in ``__staged`` first, then
+    each touched bucket swaps live -> ``__prev`` -> new. A crash mid-swap
+    leaves every bucket either old or new (never truncated);
+    ``_recover_bucketed_target`` restores any bucket caught between its
+    two renames, and the replayed batch (foreachBatch checkpoint) re-merges
+    idempotently. Unlike Delta, cross-bucket atomicity is NOT provided —
+    a crash can briefly expose a mix of old and new buckets until replay
+    converges; that is the honest gap a transaction log closes.
+
+    ``n_buckets`` is fixed at table creation (it is the directory
+    layout); size it so one bucket is one executor's comfortable rewrite
+    unit (e.g. 4096 buckets for a 10 TB label table -> ~2.5 GB/bucket).
+    """
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    bucket_expr = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+    keyed = batch.withColumn(_KBUCKET, bucket_expr)
+    staged, prev = path + "__staged", path + "__prev"
+    _recover_bucketed_target(path)
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        keyed.write.mode("overwrite").partitionBy(_KBUCKET).parquet(path)
+        return
+    # Bounded driver-side list: at most n_buckets ints, never data-scale.
+    touched = sorted(
+        r[_KBUCKET] for r in keyed.select(_KBUCKET).distinct().collect()
+    )
+    if not touched:
+        return
+    # Partition pruning: only the touched buckets' files are read.
+    merged = (
+        existing.filter(F.col(_KBUCKET).isin(touched))
+        .join(batch.select(*keys).distinct(), keys, "left_anti")
+        .unionByName(keyed)
+    )
+    merged.write.mode("overwrite").partitionBy(_KBUCKET).parquet(staged)
+    os.makedirs(prev, exist_ok=True)
+    for b in touched:
+        part = f"{_KBUCKET}={b}"
+        live_part, staged_part, prev_part = (
+            os.path.join(path, part),
+            os.path.join(staged, part),
+            os.path.join(prev, part),
+        )
+        if not os.path.exists(staged_part):
+            continue  # batch had keys for this bucket but merge emitted none
+        if os.path.exists(live_part):
+            os.rename(live_part, prev_part)
+        os.rename(staged_part, live_part)
+    shutil.rmtree(prev, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+def _recover_bucketed_target(path: str) -> None:
+    """Repair an interrupted bucketed upsert. Per touched bucket the swap
+    is (live -> prev, staged -> live), so a crash leaves each bucket in
+    exactly one of: untouched / fully swapped / moved-to-prev-only. The
+    last state is the only broken one — restore prev -> live. Then drop
+    the staging/prev dirs; the uncommitted batch replays and re-merges."""
+    import shutil
+
+    staged, prev = path + "__staged", path + "__prev"
+    if os.path.isdir(prev):
+        for part in os.listdir(prev):
+            live_part = os.path.join(path, part)
+            if part.startswith(_KBUCKET + "=") and not os.path.exists(live_part):
+                os.rename(os.path.join(prev, part), live_part)
+    for leftover in (staged, prev):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
+def read_upserted(spark, path: str) -> DataFrame:
+    """Read an upsert target, hiding the internal bucket column if the
+    table uses the bucketed layout."""
+    df = spark.read.parquet(path)
+    return df.drop(_KBUCKET) if _KBUCKET in df.columns else df
+
+
+def upsert_sink(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str | None = None,
+    n_buckets: int | None = None,
+):
+    """Streaming upsert: each micro-batch MERGEs into the parquet target.
+    ``n_buckets`` selects the partition-pruned bucketed layout (rewrite
+    cost O(touched buckets)); ``None`` keeps the flat full-rewrite form."""
 
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
-        upsert_parquet(batch.sparkSession, batch, path, keys)
+        if n_buckets:
+            upsert_parquet_bucketed(batch.sparkSession, batch, path, keys, n_buckets)
+        else:
+            upsert_parquet(batch.sparkSession, batch, path, keys)
 
     return foreach_batch_sink(df, write_batch, checkpoint)

@@ -180,3 +180,108 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 25  # 10 old + 15 new, no dupes
     assert got.select("price_timestamp").distinct().count() == 25
+
+
+def test_bucketed_upsert_latest_wins_and_matches_flat(spark, tmp_path):
+    """The partition-pruned bucketed MERGE must produce exactly the same
+    logical table as the flat full-rewrite form."""
+    flat, bucketed = str(tmp_path / "flat"), str(tmp_path / "bkt")
+    first = spark.createDataFrame(
+        [(f"m{i}", "Unknown", 0.5) for i in range(40)],
+        "market_id string, winner string, final_yes_price double",
+    )
+    late = spark.createDataFrame(
+        [("m3", "Down", 0.0), ("m17", "Up", 1.0), ("new1", "Up", 1.0)],
+        "market_id string, winner string, final_yes_price double",
+    )
+    for batch in (first, late):
+        sinks.upsert_parquet(spark, batch, flat, ["market_id"])
+        sinks.upsert_parquet_bucketed(spark, batch, bucketed, ["market_id"], n_buckets=8)
+    a = {(r.market_id, r.winner, r.final_yes_price)
+         for r in spark.read.parquet(flat).collect()}
+    b = {(r.market_id, r.winner, r.final_yes_price)
+         for r in sinks.read_upserted(spark, bucketed).collect()}
+    assert a == b and len(b) == 41
+    assert "__kbucket" not in sinks.read_upserted(spark, bucketed).columns
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The point of the bucketed layout: an upsert must leave every
+    untouched bucket's files byte-identical ON DISK (same paths, same
+    mtimes) — proof the merge read+rewrote only the touched partitions."""
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"m{i}", float(i)) for i in range(200)], "market_id string, v double"
+    )
+    sinks.upsert_parquet_bucketed(spark, base, path, ["market_id"], n_buckets=16)
+
+    def snapshot():
+        out = {}
+        for bdir in os.listdir(path):
+            if not bdir.startswith("__kbucket="):
+                continue
+            for f in os.listdir(os.path.join(path, bdir)):
+                p = os.path.join(path, bdir, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    batch = spark.createDataFrame([("m7", -1.0)], "market_id string, v double")
+    sinks.upsert_parquet_bucketed(spark, batch, path, ["market_id"], n_buckets=16)
+    after = snapshot()
+
+    from pyspark.sql import functions as F
+    (touched,) = (
+        batch.select(F.pmod(F.xxhash64("market_id"), F.lit(16)).cast("int").alias("b"))
+        .distinct().collect()
+    )
+    touched_dir = f"__kbucket={touched.b}"
+    untouched_before = {p: m for p, m in before.items() if touched_dir not in p}
+    untouched_after = {p: m for p, m in after.items() if touched_dir not in p}
+    assert untouched_before == untouched_after  # identical paths AND mtimes
+    assert any(touched_dir in p for p in after)
+    got = {r.market_id: r.v for r in sinks.read_upserted(spark, path).collect()}
+    assert got["m7"] == -1.0 and len(got) == 200
+
+
+def test_bucketed_upsert_crash_recovery(spark, tmp_path):
+    """Per-bucket swap crash states: a bucket moved to __prev but not yet
+    replaced (the only broken state) must be restored; stale __staged and
+    leftover __prev must be cleared; replay converges."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"m{i}", "Up") for i in range(50)], "market_id string, winner string"
+    )
+    sinks.upsert_parquet_bucketed(spark, base, path, ["market_id"], n_buckets=8)
+    buckets = sorted(d for d in os.listdir(path) if d.startswith("__kbucket="))
+    assert len(buckets) > 1
+
+    # crash between a bucket's two renames: live bucket gone, copy in __prev
+    os.makedirs(path + "__prev")
+    os.rename(os.path.join(path, buckets[0]), os.path.join(path + "__prev", buckets[0]))
+    # plus a stale staging dir from the same crashed merge
+    shutil.copytree(path, path + "__staged")
+
+    batch = spark.createDataFrame([("m0", "Down")], "market_id string, winner string")
+    sinks.upsert_parquet_bucketed(spark, batch, path, ["market_id"], n_buckets=8)
+    assert not os.path.exists(path + "__prev")
+    assert not os.path.exists(path + "__staged")
+    got = {r.market_id: r.winner for r in sinks.read_upserted(spark, path).collect()}
+    assert len(got) == 50 and got["m0"] == "Down" and got["m1"] == "Up"
+
+
+def test_bucketed_upsert_sink_streaming(spark, tmp_path):
+    d = tmp_path / "in"
+    _write_bronze_jsonl(d / "a.jsonl", [fx.resolution()], "market-resolutions")
+    res = silver.resolutions(jobs.file_bronze_stream(spark, str(d)))
+    path = str(tmp_path / "out")
+    q = sinks.upsert_sink(res, path, ["market_id"], str(tmp_path / "ck"), n_buckets=16)
+    q.awaitTermination(60)
+    q.stop()
+    rows = sinks.read_upserted(spark, path).collect()
+    assert len(rows) == 1 and rows[0].winner == "Up"

@@ -452,3 +452,79 @@ def boilerplate_ngram_coverage(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def scrub_duplicated_spans(
+    df, id_col: str = "doc_id", text_col: str = "text", n: int = 8, min_df: int = 3
+):
+    """Remove duplicated token spans from each document: any token
+    position covered by an ``n``-gram that appears in >= ``min_df``
+    documents is dropped, and the surviving tokens are re-joined in
+    order — the REWRITE counterpart of ``boilerplate_ngram_coverage``
+    (which only measures). This is the span-level dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally: their suffix-array pass finds duplicated
+    substrings; here the unit is the token n-gram, which makes every
+    step an equi-join on the gram key.
+
+    Gram matching is case-insensitive; the emitted text keeps the
+    original-case tokens that survive. Documents whose every position is
+    covered come out as '' with n_removed == n_tokens.
+
+    Scale shape (no doc x doc anywhere): positioned grams are row-local;
+    doc-frequency is one groupBy on the gram key; covered positions come
+    from an equi-join of positioned grams to the boilerplate gram set
+    plus a bounded explode (n rows per matching gram); the rebuild is
+    one anti-join on (doc, pos) and one groupBy(doc). At 100 TB the
+    boilerplate set is the corpus's shared mass — it shuffles on the
+    gram key like any word-count, never materializing on the driver.
+    """
+    toks_arr = tokens(F.col(text_col))
+    low_arr = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks_arr.alias("toks"),
+        F.when(F.size(low_arr) >= n, _gram_join(low_arr, n))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    pos_grams = base.select("doc_id", F.posexplode("grams").alias("gpos", "g"))
+    boiler = (
+        pos_grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("gdf"))
+        .filter(F.col("gdf") >= min_df)
+        .select("g")
+    )
+    covered = (
+        pos_grams.join(boiler, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    toks_pos = base.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -53,8 +53,9 @@ _REGISTRY: dict[str, Query] = {}
 _DRIVER_PRIORITY: list[str] = [
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
-    # asserted in tests/test_multimodal.py)
+    # asserted in tests/test_multimodal.py) and the span-scrub rewrite
     "m4_video_decode",
+    "t14_span_scrub",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",
@@ -107,10 +108,10 @@ _DRIVER_PRIORITY: list[str] = [
     "j3_left_label_join",
     "j4_lag_deltas",
     "j5_latest_scalar",
-    "a1_array_sum",
-    # a2_argmax_per_group / a3_positional_first were displaced from this
-    # round's 50-slot prefix by m4 (never audited) and m3 (code changed);
-    # their newest green row is r02, so they MUST lead the r05 prefix.
+    # a1_array_sum / a2_argmax_per_group / a3_positional_first were
+    # displaced from this round's 50-slot prefix by m4 + t14 (never
+    # audited) and m3 (code changed); their newest green row is r02, so
+    # they MUST lead the r05 prefix.
 ]
 
 

@@ -604,3 +604,59 @@ def m4_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", "width", "height",
         F.round("mean_luma", 6).alias("mean_luma"),
     )
+
+
+@register(
+    "t14_span_scrub",
+    oracle=f"""
+WITH tok_list AS (
+  SELECT doc_id, {_LTOKS.replace('lower(text)', 'text')} AS toks,
+         {_LTOKS} AS ltoks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+  FROM tok_list, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+),
+pg AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS gpos,
+         array_to_string(list_slice(ltoks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ') AS g
+  FROM tok_list, LATERAL (SELECT unnest(range(1, len(ltoks) - 6)) AS i)
+  WHERE len(ltoks) >= 8
+),
+boiler AS (
+  SELECT g FROM (
+    SELECT g, count(*) AS gdf FROM (SELECT DISTINCT doc_id, g FROM pg) GROUP BY g
+  ) WHERE gdf >= 3
+),
+cov AS (
+  SELECT DISTINCT pg.doc_id, pg.gpos + k.k AS pos
+  FROM pg JOIN boiler USING (g), LATERAL (SELECT unnest(range(0, 8)) AS k) k
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tok_list t LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def t14_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REWRITE (Lee et al. 2022, relational form): drop
+    every token position covered by an 8-gram shared by >= 3 documents,
+    re-join the survivors in order. The mutation counterpart of t13's
+    boilerplate coverage metric — what a real cleaning pipeline applies
+    before packing. Equi-joins on gram and (doc, pos) keys only."""
+    docs = load(spark, sf_dir, "documents")
+    return T.scrub_duplicated_spans(docs, n=8, min_df=3)

@@ -171,3 +171,34 @@ def test_winnowing_coverage_property(spark):
             assert any(start <= p <= start + w - 1 for p in pos), (s, start, pos)
 
     check()
+
+
+def test_span_scrub_removes_shared_spans_keeps_unique(spark):
+    """t14 semantics: a span whose 8-gram appears in >= 3 docs is dropped
+    from every doc (case-insensitively matched, original case emitted);
+    unique text survives; a doc that is ONLY the shared span empties."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"INTRO {shared} outro one"),
+        (2, f"{shared.upper()} tail two"),
+        (3, f"pre {shared}"),
+        (4, "totally unique text with no duplicated span at all here"),
+        (5, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.scrub_duplicated_spans(df, n=8, min_df=3).collect()}
+    assert got[1].text_clean == "INTRO outro one"
+    assert got[2].text_clean == "tail two"
+    assert got[3].text_clean == "pre"
+    assert got[4].text_clean == rows[3][1] and got[4].n_removed == 0
+    assert got[5].text_clean == "" and got[5].n_removed == got[5].n_tokens == 8
+    assert got[1].n_tokens == 11 and got[1].n_removed == 8
+
+
+def test_span_scrub_below_min_df_untouched(spark):
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, f"x {shared}"), (2, f"y {shared}")], "doc_id long, text string"
+    )  # only 2 docs share it; min_df=3 -> keep everything
+    got = {r.doc_id: r for r in T.scrub_duplicated_spans(df, n=8, min_df=3).collect()}
+    assert got[1].n_removed == 0 and got[2].n_removed == 0

@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite
     "m4_video_decode",
+    "m4b_video_decode_gate",  # hash-gated pairing for m4 (a13/a13b pattern)
     "t14_span_scrub",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
@@ -107,7 +108,8 @@ _DRIVER_PRIORITY: list[str] = [
     "j2_interval_join",
     "j3_left_label_join",
     "j4_lag_deltas",
-    "j5_latest_scalar",
+    # j5_latest_scalar displaced (with a1/a2/a3) by the new m4/m4b/t14
+    # rows; r02-green, battery-checked per commit, leads the r05 prefix.
     # a1_array_sum / a2_argmax_per_group / a3_positional_first were
     # displaced from this round's 50-slot prefix by m4 + t14 (never
     # audited) and m3 (code changed); their newest green row is r02, so

@@ -660,3 +660,64 @@ def t14_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     before packing. Equi-joins on gram and (doc, pos) keys only."""
     docs = load(spark, sf_dir, "documents")
     return T.scrub_duplicated_spans(docs, n=8, min_df=3)
+
+
+@register(
+    "m4b_video_decode_gate",
+    oracle="""
+SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       TRUE AS luma_ok
+FROM documents, LATERAL (SELECT unnest([0, 2]) AS k)
+""",
+)
+def m4b_video_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable gate for m4 (the a13/a13b pairing pattern): JPEG
+    pixel values are not SQL-expressible, but the CONTRACT is — every
+    sampled frame of every document's AVI must decode to 16x16 with mean
+    luma within JPEG quantization tolerance (0.02) of the source
+    raster's luma, which Spark recomputes JVM-side from the text bytes
+    (frame k tiles the byte sequence rotated by k; luma = mean of
+    0.299R+0.587G+0.114B over the 256 pixels). The oracle asserts the
+    flag is TRUE for the full documents x {0, 2} frame grid, so a decode
+    regression (or a missing/extra frame row) flips the hash."""
+    from kafka_streaming_polymarket_pipeline_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents")
+    media = M.video_table_from_documents(docs, n_frames=3, size=16)
+    decoded = M.decode_frame_features(M.sample_frames(media, frame_stride=2, max_frames=4))
+
+    L = F.length("text")
+
+    def byte_at(pos0):  # 0-based position in the rotated, tiled byte stream
+        return F.ascii(F.col("text").substr((pos0 % L) + 1, F.lit(1)))
+
+    lum = (
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(255)),
+            F.lit(0.0),
+            lambda acc, p: acc
+            + (
+                0.299 * byte_at(F.col("frame_idx") + 3 * p)
+                + 0.587 * byte_at(F.col("frame_idx") + 3 * p + 1)
+                + 0.114 * byte_at(F.col("frame_idx") + 3 * p + 2)
+            ),
+        )
+        / 256.0
+        / 255.0
+    )
+    expected = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.array(F.lit(0), F.lit(2))).alias("frame_idx"),
+        "text",
+    ).select("media_id", "frame_idx", lum.alias("expected_luma"))
+    return (
+        expected.join(decoded, ["media_id", "frame_idx"], "left")
+        .select(
+            "media_id",
+            "frame_idx",
+            "width",
+            "height",
+            (F.abs(F.col("mean_luma") - F.col("expected_luma")) < 0.02).alias("luma_ok"),
+        )
+    )

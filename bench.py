@@ -42,6 +42,7 @@ HEADLINE = [
     "q2_pq_adc_topk",         # PQ-ADC ANN (memory-bound scale path)
     "q3_ivf_pq_topk",         # IVF-PQ composed index (cells + codes + rerank)
     "t12_bigram_lm_score",    # corpus bigram-LM quality scoring
+    "t14_span_scrub",         # duplicated-span removal rewrite (Lee et al.)
     "j2b_bucketed_interval_join",  # range join via time-bucket equi-keys
     "u3_distinct_agg",        # exact distinct aggregation
     "u5_cube_revenue",        # CUBE grouping sets

@@ -350,3 +350,75 @@ def test_video_table_from_documents_real_containers(spark, sf_smoke):
         assert r["meta"]["byte_len"] == len(r["payload"])
         arr = MC.decode_jpeg(payloads[0])
         assert arr.shape == (16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): codec round-trips and truncation robustness.
+# Pure-Python codec paths — no Spark session involved, so these stay fast.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=8, max_value=24),
+        st.integers(min_value=8, max_value=24),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_prop_avi_roundtrip_any_dims(n_frames, w, h, seed):
+        """Any frame count/dimensions (even/odd, non-square) must survive
+        encode_avi_mjpeg -> decode_avi -> decode_jpeg with the right
+        shapes and frame order."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n_frames)]
+        payloads, meta = MC.decode_avi(MC.encode_avi_mjpeg(frames, fps=3))
+        assert meta["n_frames"] == n_frames and (meta["width"], meta["height"]) == (w, h)
+        for p, orig in zip(payloads, frames):
+            assert MC.decode_jpeg(p).shape == orig.shape
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**32 - 1), st.data())
+    def test_prop_avi_truncation_never_crashes(seed, data):
+        """decode_avi on any prefix of a valid file either raises
+        ValueError or returns well-formed frames — never an unhandled
+        exception (the quarantine contract of sample_frames depends on
+        this)."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(2)]
+        avi = MC.encode_avi_mjpeg(frames, fps=2)
+        cut = data.draw(st.integers(min_value=0, max_value=len(avi)))
+        try:
+            payloads, meta = MC.decode_avi(avi[:cut])
+        except ValueError:
+            return
+        assert isinstance(payloads, list) and meta["n_frames"] == len(payloads)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+        st.sampled_from([1, 3]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_prop_png_roundtrip_bit_exact(w, h, ch, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        if ch == 1:
+            arr = arr[..., 0]
+        back = MC.decode_png(MC.encode_png(arr))
+        assert np.array_equal(back.squeeze(), arr.squeeze())

@@ -188,3 +188,55 @@ def write_shards(
     import os
 
     return sum(1 for d in os.listdir(path) if d.startswith("shard="))
+
+
+def epoch_shuffle(
+    df: DataFrame, n_epochs: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, epoch, epoch_pos): a deterministic, distinct global shuffle
+    order per training epoch — epoch k ranks rows by md5("k:<id>"), so
+    every epoch visits the corpus in a different reproducible
+    pseudo-random order (the "reshuffle each epoch" contract of a
+    pretraining data loader, with the order derivable by any worker
+    without coordination).
+
+    Same two-phase machinery as shard_assignments: the (epoch, id) rows
+    bucket on epoch * 4096 + first-3-hex-chars(key), rank locally at
+    4096-way parallelism per epoch, and the per-bucket totals roll up
+    through `_bucket_offsets` — because the combined bucket number orders
+    (epoch, bucket) lexicographically, the global offsets rank epochs as
+    consecutive blocks and ``epoch_pos = global_rank - epoch * N``.
+    N rides in via a broadcast 1-row aggregate, never a driver collect.
+
+    The exploded all-epochs frame is for manifest generation at modest
+    epoch counts; at 100 TB a loader materializes ONE epoch per call
+    (n_epochs=1 with the epoch number folded into the salt) — cost is
+    then identical to shard_assignments."""
+    e = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+    keyed = e.withColumn(
+        "_k",
+        F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col(id_col).cast("string"))),
+    ).withColumn(
+        "_eb",
+        F.col("epoch").cast("long") * 4096
+        + F.conv(F.substring("_k", 1, 3), 16, 10).cast("long"),
+    )
+    wlocal = Window.partitionBy("_eb").orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = keyed.withColumn("_cum", F.count("*").over(wlocal))
+    totals = keyed.groupBy("_eb").agg(F.count("*").alias("_tot"))
+    offsets = _bucket_offsets(totals, "_eb", "_tot")
+    n = df.select(F.count("*").alias("_n"))
+    return (
+        local.join(F.broadcast(offsets), "_eb")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "epoch_pos",
+            F.col("_offset") + F.col("_cum") - 1 - F.col("epoch").cast("long") * F.col("_n"),
+        )
+        .select(F.col(id_col), F.col("epoch").cast("int").alias("epoch"), "epoch_pos")
+    )

@@ -89,3 +89,24 @@ def sh1_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.shard_assignments(docs, rows_per_shard=100).select(
         "doc_id", F.col("shard_rank").cast("long"), "shard"
     )
+
+
+@register(
+    "sh2_epoch_shuffle",
+    oracle="""
+SELECT doc_id, CAST(k AS INTEGER) AS epoch,
+       CAST(row_number() OVER (
+              PARTITION BY k
+              ORDER BY md5(CAST(k AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+            ) - 1 AS BIGINT) AS epoch_pos
+FROM documents, LATERAL (SELECT unnest(range(0, 3)) AS k)
+""",
+)
+def sh2_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic global shuffle order (3 epochs): epoch k
+    ranks the corpus by md5("k:doc_id") via the two-phase bucketed rank —
+    the reshuffle-each-epoch contract of a pretraining loader,
+    reproducible on any engine. The oracle is the naive global
+    per-epoch window, proving the bucketed form's equivalence."""
+    docs = load(spark, sf_dir, "documents")
+    return P.epoch_shuffle(docs, n_epochs=3)

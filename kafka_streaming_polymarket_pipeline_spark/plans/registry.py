@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     "m4_video_decode",
     "m4b_video_decode_gate",  # hash-gated pairing for m4 (a13/a13b pattern)
     "t14_span_scrub",
+    "sh2_epoch_shuffle",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",
@@ -107,9 +108,9 @@ _DRIVER_PRIORITY: list[str] = [
     "j1_dim_broadcast_join",
     "j2_interval_join",
     "j3_left_label_join",
-    "j4_lag_deltas",
-    # j5_latest_scalar displaced (with a1/a2/a3) by the new m4/m4b/t14
-    # rows; r02-green, battery-checked per commit, leads the r05 prefix.
+    # j4_lag_deltas / j5_latest_scalar displaced (with a1/a2/a3) by the
+    # new m4/m4b/t14/sh2 rows; all r02-green, battery-checked per
+    # commit, and they lead the r05 prefix.
     # a1_array_sum / a2_argmax_per_group / a3_positional_first were
     # displaced from this round's 50-slot prefix by m4 + t14 (never
     # audited) and m3 (code changed); their newest green row is r02, so

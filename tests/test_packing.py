@@ -206,3 +206,27 @@ def test_packing_fill_invariant_property(spark, texts):
                 assert n == budget
             else:
                 assert 0 < n <= budget
+
+
+def test_epoch_shuffle_distinct_permutations(spark, sf_smoke):
+    from kafka_streaming_polymarket_pipeline_spark.operators import packing as P
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents").limit(50)
+    out = P.epoch_shuffle(docs, n_epochs=3).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.epoch_pos
+    assert set(by_epoch) == {0, 1, 2}
+    n = len(by_epoch[0])
+    for k, pos in by_epoch.items():
+        # each epoch is an exact permutation of 0..N-1
+        assert sorted(pos.values()) == list(range(n)), k
+    # epochs order the corpus differently (md5 salting works)
+    assert by_epoch[0] != by_epoch[1] and by_epoch[1] != by_epoch[2]
+    # deterministic across invocations
+    again = {(r.doc_id, r.epoch): r.epoch_pos
+             for r in P.epoch_shuffle(docs, n_epochs=3).collect()}
+    for k, pos in by_epoch.items():
+        for d, p in pos.items():
+            assert again[(d, k)] == p

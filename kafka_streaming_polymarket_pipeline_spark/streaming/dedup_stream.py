@@ -47,11 +47,17 @@ def _index_parts(docs: DataFrame, threshold: float, n: int):
 
 
 def write_index_batch(
-    docs: DataFrame, index_path: str, batch_id: int, threshold: float = 0.5, n: int = 5
+    docs: DataFrame, index_path: str, batch_id: int, threshold: float = 0.5,
+    n: int = 5, parts: tuple | None = None
 ) -> None:
     """Materialize one batch's index rows under batch=<id> partition dirs
-    (overwrite -> retry-idempotent)."""
-    for name, part in zip((SIGS, BUCKETS, HASHED), _index_parts(docs, threshold, n)):
+    (overwrite -> retry-idempotent). ``parts`` lets the caller pass the
+    (sigs, buckets, hashed) frames it already computed for probing, so
+    the signature stage — the expensive map pass — runs once per batch,
+    not twice."""
+    for name, part in zip(
+        (SIGS, BUCKETS, HASHED), parts or _index_parts(docs, threshold, n)
+    ):
         part.write.mode("overwrite").parquet(
             os.path.join(index_path, name, f"batch={batch_id}")
         )
@@ -64,18 +70,24 @@ def _read_index(spark: SparkSession, index_path: str, name: str) -> DataFrame | 
     return spark.read.option("basePath", p).parquet(os.path.join(p, "batch=*")).drop("batch")
 
 
+def checkpointed_parts(new: DataFrame, threshold: float = 0.5, n: int = 5) -> tuple:
+    """The batch's (sigs, buckets, hashed) frames, eagerly materialized —
+    computed once, shared by the probe and the index write."""
+    return tuple(
+        p.localCheckpoint(eager=True) for p in _index_parts(new, threshold, n)
+    )
+
+
 def incremental_pairs_against_index(
-    new: DataFrame, index_path: str, threshold: float = 0.5, n: int = 5
+    new: DataFrame, index_path: str, threshold: float = 0.5, n: int = 5,
+    parts: tuple | None = None
 ) -> DataFrame:
     """Near-dup pairs touching ``new``, probing the persistent index —
     never re-reading corpus text. Returns (doc_id_a, doc_id_b, jaccard)
     with the same exactness contract as the batch funnel."""
     spark = new.sparkSession
     rows, min_bands, est_cutoff = D._lsh_params(threshold)
-    new_sigs, new_buckets, new_hashed = _index_parts(new, threshold, n)
-    new_sigs = new_sigs.localCheckpoint(eager=True)
-    new_buckets = new_buckets.localCheckpoint(eager=True)
-    new_hashed = new_hashed.localCheckpoint(eager=True)
+    new_sigs, new_buckets, new_hashed = parts or checkpointed_parts(new, threshold, n)
 
     corpus_sigs = _read_index(spark, index_path, SIGS)
     corpus_buckets = _read_index(spark, index_path, BUCKETS)
@@ -128,10 +140,14 @@ def incremental_dedup_sink(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
-        pairs = incremental_pairs_against_index(batch, index_path, threshold, n)
+        parts = checkpointed_parts(batch, threshold, n)
+        pairs = incremental_pairs_against_index(
+            batch, index_path, threshold, n, parts=parts
+        )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch={batch_id}")
         )
-        write_index_batch(batch, index_path, batch_id, threshold, n)
+        # reuse the probed frames: the signature map pass runs once/batch
+        write_index_batch(batch, index_path, batch_id, threshold, n, parts=parts)
 
     return foreach_batch_sink(docs_stream, process, checkpoint)

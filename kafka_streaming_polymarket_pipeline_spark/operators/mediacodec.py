@@ -708,7 +708,11 @@ def decode_avi(data: bytes) -> tuple[list, dict]:
             body_end = min(body_start + size, end)
             if fourcc == b"LIST" and size >= 4:
                 walk(body_start + 4, body_end)  # hdrl / strl / movi / rec
-            elif fourcc == b"avih" and size >= 40:
+            elif fourcc == b"avih" and body_end - body_start >= 40:
+                # bound by the bytes actually present, not the declared
+                # size — a truncation cut inside the avih body must not
+                # escape as struct.error (quarantine contract: ValueError
+                # or a well-formed result)
                 vals = struct.unpack("<10I", data[body_start : body_start + 40])
                 meta["fps"] = 1_000_000 / vals[0] if vals[0] else None
                 meta["width"], meta["height"] = vals[8], vals[9]

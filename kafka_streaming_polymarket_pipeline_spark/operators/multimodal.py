@@ -205,6 +205,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     no-codec byte-slice stub (``every_n_bytes`` applies only there)
     whose math the m3 oracle replays in SQL."""
 
+    if frame_stride < 1:
+        # reject outside the per-payload quarantine try-block: a bad
+        # argument must fail loudly, not silently null every valid video
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kafka_streaming_polymarket_pipeline_spark.operators import mediacodec as MC
 

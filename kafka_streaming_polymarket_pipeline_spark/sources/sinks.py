@@ -194,7 +194,11 @@ def upsert_parquet_bucketed(
             os.path.join(prev, part),
         )
         if not os.path.exists(staged_part):
-            continue  # batch had keys for this bucket but merge emitted none
+            # defensive only: merged always contains the batch's own rows
+            # for every touched bucket, so the staged dir should exist; a
+            # partial staged write from a crash is handled by recovery,
+            # not here
+            continue
         if os.path.exists(live_part):
             os.rename(live_part, prev_part)
         os.rename(staged_part, live_part)

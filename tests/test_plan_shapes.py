@@ -50,6 +50,9 @@ ALLOWED_NESTED = {
                               "equi-join on lang",
     "e2e_corpus_build_t": "embeds x5's one-row broadcast aggregates "
                           "(total count, temperature normalizer)",
+    "sh2_epoch_shuffle": "crossJoin against the broadcast one-row corpus "
+                         "count aggregate (epoch_pos = global_rank - "
+                         "epoch * N)",
 }
 
 

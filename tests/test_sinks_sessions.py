@@ -285,3 +285,23 @@ def test_bucketed_upsert_sink_streaming(spark, tmp_path):
     q.stop()
     rows = sinks.read_upserted(spark, path).collect()
     assert len(rows) == 1 and rows[0].winner == "Up"
+
+
+def test_bucketed_upsert_random_batches_match_flat(spark, tmp_path):
+    """Property-style equivalence: any sequence of overlapping upsert
+    batches lands the same logical table through the bucketed and flat
+    forms (seeded random keys/values, 3 rounds)."""
+    import random
+
+    rng = random.Random(20260814)
+    flat, bucketed = str(tmp_path / "f"), str(tmp_path / "b")
+    for _ in range(3):
+        batch = spark.createDataFrame(
+            [(f"k{rng.randrange(60)}", rng.random()) for _ in range(rng.randrange(1, 40))],
+            "k string, v double",
+        ).dropDuplicates(["k"])
+        sinks.upsert_parquet(spark, batch, flat, ["k"])
+        sinks.upsert_parquet_bucketed(spark, batch, bucketed, ["k"], n_buckets=8)
+    a = {(r.k, r.v) for r in spark.read.parquet(flat).collect()}
+    b = {(r.k, r.v) for r in sinks.read_upserted(spark, bucketed).collect()}
+    assert a == b and len(a) > 0

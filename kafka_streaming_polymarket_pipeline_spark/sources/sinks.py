@@ -158,6 +158,12 @@ def upsert_parquet_bucketed(
     ``n_buckets`` is fixed at table creation (it is the directory
     layout); size it so one bucket is one executor's comfortable rewrite
     unit (e.g. 4096 buckets for a 10 TB label table -> ~2.5 GB/bucket).
+
+    Single-writer only (the foreachBatch serialization a streaming sink
+    already provides): concurrent MERGEs into the same table race on the
+    staging/prev directories. Multi-writer coordination is exactly what
+    a transaction log (Delta/Iceberg) adds; do not emulate it with locks
+    here.
     """
     import shutil
 

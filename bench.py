@@ -35,6 +35,9 @@ HEADLINE = [
     "g3_concentration",       # gold: share-of-total window sums
     "d1_exact_dedup",         # exact dedup (hash groupBy)
     "d3_minhash_lsh",         # MinHash+LSH near-dup
+    "d3c_minhash_lsh_dfpruned",  # DF-pruned LSH (boilerplate-blind production lever)
+    "c1_kmeans_assign",       # deterministic k-means (2 Lloyd rounds, hash-gated)
+    "d8_semantic_dedup",      # SemDeDup: within-k-means-cell cosine pairs
     "t1_token_stats",         # text analysis over documents
     "t7_winnow_fingerprints", # winnowing fingerprints (window min per doc)
     "s1_ann_bruteforce_topk", # brute-force cosine top-k

@@ -306,6 +306,76 @@ def _verify_jaccard(pairs: DataFrame, hashed: DataFrame, threshold: float) -> Da
     )
 
 
+def minhash_lsh_dedup_dfpruned(
+    df: DataFrame, threshold: float = 0.5, n: int = 5, max_df_pct: int = 10,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-blind MinHash-LSH near-dup pairs: document-frequency
+    pruning, the production lever for template-heavy corpora.
+
+    Shingles present in more than ``max_df_pct``% of documents are dropped
+    corpus-wide BEFORE signatures, banding, and verification; the output is
+    exact Jaccard >= threshold over the PRUNED shingle sets. This is a
+    deliberate, well-defined semantics change vs ``minhash_lsh_dedup``:
+    near-duplication driven purely by shared boilerplate (site chrome,
+    license headers, template scaffolding) no longer counts — the notion of
+    similarity a training-data dedup pass usually *wants* — and the
+    candidate mass the funnel must estimate collapses with it. On the
+    driver's templated corpus, pruning at 10% leaves the true near-dup
+    pair set unchanged (their rare shingles alone keep J >= 0.5) while
+    removing ~2/3 of shingle instances and, far more importantly, the
+    J in [0.15, 0.5) templated mass whose candidate pairs are the measured
+    quadratic floor of the exact funnel (SCALE.md round-4 d3 sweep).
+
+    The DF cut itself is one groupBy on the shingle key (map-side combined)
+    plus one shuffle-hash equi-join back to the index — linear, and
+    comparison is integer-exact (``df * 100 <= pct * n_docs``) so the
+    DuckDB oracle replicates the kept set bit-for-bit. Everything
+    downstream reuses the exact funnel's machinery and inherits its
+    exactness bounds relative to pruned-set Jaccard.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    rows, min_bands, est_cutoff = _lsh_params(threshold)
+    idx0 = shingle_index(df, id_col, text_col, n)
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    dfreq = idx0.groupBy("sh").agg(F.count("*").alias("dfq"))
+    kept_sh = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfq") * 100 <= F.lit(max_df_pct) * F.col("n_docs"))
+        .select("sh")
+    )
+    # Rare shingles are the numerous ones — the kept set does NOT broadcast;
+    # plain shuffle-hash equi-join on the shingle key.
+    idx = idx0.join(kept_sh, "sh").persist(StorageLevel.MEMORY_AND_DISK)
+
+    sigs = minhash_signatures(idx).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = _band_buckets(sigs, rows)
+    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
+    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") >= min_bands)
+        .drop("k")
+    )
+    # Verify arrays come from the pruned index (collect_list order is
+    # irrelevant: array_intersect + exact sizes; shingles are distinct
+    # per doc). Docs whose every shingle was pruned vanish from the index
+    # and therefore from signatures and output — matching the oracle,
+    # where such docs simply have no rows in the pruned CTE.
+    hashed = (
+        idx.select("doc_id", F.xxhash64("sh").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hsh"), F.count("*").alias("sz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    survivors = _est_filter(cand, sigs, est_cutoff)
+    return _verify_jaccard(survivors, hashed, threshold)
+
+
 def minhash_lsh_incremental(
     corpus: DataFrame, new: DataFrame, threshold: float = 0.5, n: int = 5,
     id_col: str = "doc_id", text_col: str = "text",

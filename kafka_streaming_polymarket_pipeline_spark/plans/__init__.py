@@ -19,6 +19,7 @@ def _load_all() -> None:
     # Import order is alphabetical-ish; each module registers its queries.
     from kafka_streaming_polymarket_pipeline_spark.plans import (  # noqa: F401
         bpe_plans,
+        clustering_plans,
         dedup_plans,
         gold,
         packing_plans,

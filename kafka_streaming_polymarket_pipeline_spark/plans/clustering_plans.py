@@ -1,0 +1,96 @@
+"""Clustering queries: deterministic k-means + SemDeDup semantic dedup.
+
+The DuckDB oracles unroll the fixed number of Lloyd rounds as CTEs (the
+BPE precedent, plans/bpe_plans.py) — every round's rounded centroid means
+and rounded-cosine assignments are re-derived from scratch in SQL, so
+the driver hash-gates the ENTIRE iterative pipeline, not just row
+counts. This is the capability `plans/similarity_plans.py` documents as
+impossible for the unrounded IVF refinement; rounding to 6 dp at every
+cross-engine comparison point (operators/clustering.py) is what makes it
+checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streaming_polymarket_pipeline_spark.operators import clustering as C
+from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
+from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+_K = C.KMEANS_K
+_ITERS = C.KMEANS_ITERS
+_SEM_THRESHOLD = 0.45  # d5's near-dup threshold: d8 = d5 ∩ same-cell
+
+
+def _cos_sql(e: str, c: str) -> str:
+    return (
+        f"round(list_dot_product({e}, {c})"
+        f" / (sqrt(list_dot_product({e}, {e})) * sqrt(list_dot_product({c}, {c}))), 6)"
+    )
+
+
+def _kmeans_ctes(k: int, n_iter: int) -> str:
+    """WITH-chain replicating kmeans_assign: c0 = md5-ordered seed pick;
+    a_i = rounded-cosine assignment under c_i (ties -> smaller cell);
+    c_{i+1} = 6-dp-rounded element-wise means of a_i's cells."""
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, e AS ce FROM v"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})",
+    ]
+    for i in range(n_iter + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, e, cell, s FROM (
+    SELECT v.vec_id, v.e, c.cell, {_cos_sql('v.e', 'c.ce')} AS s,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.e', 'c.ce')} DESC, c.cell) AS rn
+    FROM v CROSS JOIN c{i} c) WHERE rn = 1)"""
+        )
+        if i < n_iter:
+            parts.append(
+                f"""c{i + 1} AS (
+  SELECT cell, list(m ORDER BY pos) AS ce FROM (
+    SELECT cell, pos, round(avg(val), 6) AS m FROM (
+      SELECT cell, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS pos FROM a{i})
+    GROUP BY cell, pos) GROUP BY cell)"""
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "c1_kmeans_assign",
+    oracle=f"""
+{_kmeans_ctes(_K, _ITERS)}
+SELECT vec_id, cell, s AS score FROM a{_ITERS}
+""",
+)
+def c1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means ({_K} cells, {_ITERS} Lloyd rounds) over the
+    embeddings table: md5-seeded init, rounded-cosine assignment, rounded
+    mean updates — the iterative-algorithm-under-full-hash-gate form."""
+    return C.kmeans_assign(load(spark, sf_dir, "embeddings"), k=_K, n_iter=_ITERS)
+
+
+@register(
+    "d8_semantic_dedup",
+    oracle=f"""
+{_kmeans_ctes(_K, _ITERS)}
+SELECT vec_id_a, vec_id_b, cell, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cell AS cell,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM a{_ITERS} a JOIN a{_ITERS} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE c >= {_SEM_THRESHOLD}
+""",
+)
+def d8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cosine >= {_SEM_THRESHOLD} pairs WITHIN k-means cells —
+    d5's brute-force pair set restricted to same-cell pairs (cross-cell
+    near-dups missed by design; the cluster is the blocking key, so pair
+    work is sum(|cell|^2), never corpus^2)."""
+    return C.semantic_dedup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=_SEM_THRESHOLD, k=_K, n_iter=_ITERS
+    )

@@ -69,6 +69,49 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d3c_minhash_lsh_dfpruned",
+    oracle="""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), dfq AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d FROM sh0 GROUP BY s
+), sh AS (
+  SELECT sh0.doc_id, sh0.s
+  FROM sh0 JOIN dfq USING (s) CROSS JOIN n
+  WHERE dfq.d * 100 <= 10 * n.n_docs
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard FROM (
+  SELECT doc_id_a, doc_id_b, i / (sa.n + sb.n - i) AS j
+  FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+) WHERE j >= 0.5
+""",
+)
+def d3c_minhash_lsh_dfpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-frequency-pruned MinHash-LSH: shingles in >10% of docs dropped
+    corpus-wide before signatures + verification; output is exact Jaccard
+    >= 0.5 over the pruned shingle sets. The production lever for
+    template-heavy corpora — boilerplate-driven similarity stops counting
+    and the funnel's candidate mass collapses with it (SCALE.md r04)."""
+    return D.minhash_lsh_dedup_dfpruned(
+        load(spark, sf_dir, "documents"), threshold=0.5, n=5, max_df_pct=10
+    )
+
+
+@register(
     "d7_incremental_neardup",
     oracle="""
 WITH sh AS (

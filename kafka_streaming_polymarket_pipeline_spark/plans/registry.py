@@ -58,6 +58,11 @@ _DRIVER_PRIORITY: list[str] = [
     "m4b_video_decode_gate",  # hash-gated pairing for m4 (a13/a13b pattern)
     "t14_span_scrub",
     "sh2_epoch_shuffle",
+    # NEW (late round 4): DF-pruned LSH production lever, deterministic
+    # k-means (the first fully hash-gated iterative Lloyd), SemDeDup
+    "d3c_minhash_lsh_dfpruned",
+    "c1_kmeans_assign",
+    "d8_semantic_dedup",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",
@@ -105,16 +110,11 @@ _DRIVER_PRIORITY: list[str] = [
     "p7_positive_filter",
     "p8_null_empty_guards",
     "p9_resolution_predicate",
-    "j1_dim_broadcast_join",
-    "j2_interval_join",
-    "j3_left_label_join",
+    # j1/j2/j3 displaced late in round 4 by the new d3c/c1/d8 rows;
     # j4_lag_deltas / j5_latest_scalar displaced (with a1/a2/a3) by the
     # new m4/m4b/t14/sh2 rows; all r02-green, battery-checked per
-    # commit, and they lead the r05 prefix.
-    # a1_array_sum / a2_argmax_per_group / a3_positional_first were
-    # displaced from this round's 50-slot prefix by m4 + t14 (never
-    # audited) and m3 (code changed); their newest green row is r02, so
-    # they MUST lead the r05 prefix.
+    # commit, and they MUST lead the r05 prefix:
+    # a1, a2, a3, j1, j2, j3, j4, j5.
 ]
 
 

@@ -53,6 +53,14 @@ ALLOWED_NESTED = {
     "sh2_epoch_shuffle": "crossJoin against the broadcast one-row corpus "
                          "count aggregate (epoch_pos = global_rank - "
                          "epoch * N)",
+    "d3c_minhash_lsh_dfpruned": "crossJoin against the broadcast one-row "
+                                "corpus doc-count aggregate (the integer "
+                                "max-df cut df*100 <= pct*n_docs)",
+    "c1_kmeans_assign": "Lloyd assignment passes crossJoin against the "
+                        "broadcast k-row (k=8) centroid table",
+    "d8_semantic_dedup": "embeds c1's k-row centroid crossJoin; the "
+                         "within-cell pair join itself is an equi-join "
+                         "on cell",
 }
 
 

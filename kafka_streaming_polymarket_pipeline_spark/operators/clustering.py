@@ -46,17 +46,21 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def _rounded_cosine(v: Column, c: Column) -> Column:
-    """6-dp-rounded cosine — the assignment's ranking key on BOTH engines."""
-    return F.round(_dot(v, c) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c, c))), 6)
-
-
 def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, _v, cell, _s): each point's best cell by rounded cosine,
-    ties -> smaller cell id. One broadcast crossJoin (k rows) + one narrow
-    map-side-combined groupBy per pass."""
+    """(vec_id, _v, cell, _s): each point's best cell by 6-dp-rounded
+    cosine (the ranking key on BOTH engines), ties -> smaller cell id.
+    One broadcast crossJoin (k rows) + one narrow map-side-combined
+    groupBy per pass. Norms (_nv per point, _nc per centroid) are folded
+    ONCE per vector upstream, not once per (point, centroid) pair —
+    sqrt(dot(v,v)) over the same operands is bit-identical either way,
+    so the oracle's inline-norm formula still matches exactly."""
     scored = pts.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "_v", "cell", _rounded_cosine(F.col("_v"), F.col("_c")).alias("_s")
+        "vec_id",
+        "_v",
+        "cell",
+        F.round(
+            _dot(F.col("_v"), F.col("_c")) / (F.col("_nv") * F.col("_nc")), 6
+        ).alias("_s"),
     )
     best = F.max_by(
         F.struct("cell", "_s"), F.struct(F.col("_s"), (-F.col("cell")).alias("t"))
@@ -79,6 +83,7 @@ def _update(assigned: DataFrame) -> DataFrame:
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cell", F.transform("pm", lambda s: s["m"]).alias("_c"))
+        .withColumn("_nc", F.sqrt(_dot(F.col("_c"), F.col("_c"))))
         .localCheckpoint(eager=True)
     )
 
@@ -97,11 +102,17 @@ def kmeans_assign(
     assignment ranked on.
     """
     v = F.col(vec_col).cast("array<double>")
-    pts = df.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    pts = df.select(F.col(id_col).alias("vec_id"), v.alias("_v")).withColumn(
+        "_nv", F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    )
     cents = (
         pts.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(k)
-        .select(F.col("vec_id").alias("cell"), F.col("_v").alias("_c"))
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("_v").alias("_c"),
+            F.col("_nv").alias("_nc"),
+        )
     )
     for _ in range(n_iter):
         cents = _update(_assign(pts, cents))
@@ -127,17 +138,21 @@ def semantic_dedup_pairs(
     unrounded expression on both engines, d5's precedent.
     """
     v = F.col(vec_col).cast("array<double>")
-    pts = df.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    # Norm folded once per vector, not once per pair (the d5 lesson);
+    # bit-identical to the oracle's inline sqrt(dot(v,v)) per pair.
+    pts = df.select(F.col(id_col).alias("vec_id"), v.alias("_v")).withColumn(
+        "_n", F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    )
     asg = kmeans_assign(df, k, n_iter, id_col, vec_col).join(pts, "vec_id")
     a = asg.select(
-        F.col("vec_id").alias("vec_id_a"), "cell", F.col("_v").alias("_va")
+        F.col("vec_id").alias("vec_id_a"), "cell",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
     )
     b = asg.select(
-        F.col("vec_id").alias("vec_id_b"), "cell", F.col("_v").alias("_vb")
+        F.col("vec_id").alias("vec_id_b"), "cell",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        F.sqrt(_dot(F.col("_va"), F.col("_va"))) * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
-    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, "cell")
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "d3c_minhash_lsh_dfpruned",
     "c1_kmeans_assign",
     "d8_semantic_dedup",
+    "x6_unimax_budget",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",
@@ -109,12 +110,11 @@ _DRIVER_PRIORITY: list[str] = [
     "p6_explode_filter",
     "p7_positive_filter",
     "p8_null_empty_guards",
-    "p9_resolution_predicate",
-    # j1/j2/j3 displaced late in round 4 by the new d3c/c1/d8 rows;
-    # j4_lag_deltas / j5_latest_scalar displaced (with a1/a2/a3) by the
-    # new m4/m4b/t14/sh2 rows; all r02-green, battery-checked per
-    # commit, and they MUST lead the r05 prefix:
-    # a1, a2, a3, j1, j2, j3, j4, j5.
+    # p9 and j1/j2/j3 displaced late in round 4 by the new
+    # d3c/c1/d8/x6 rows; j4_lag_deltas / j5_latest_scalar displaced
+    # (with a1/a2/a3) by the new m4/m4b/t14/sh2 rows; all r02-green,
+    # battery-checked per commit, and they MUST lead the r05 prefix:
+    # a1, a2, a3, j1, j2, j3, j4, j5, p9_resolution_predicate.
 ]
 
 

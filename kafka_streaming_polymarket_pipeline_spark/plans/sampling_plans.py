@@ -178,3 +178,90 @@ def x5_temperature_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_repeats"),
         )
     )
+
+
+@register(
+    "x6_unimax_budget",
+    oracle="""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_langs FROM c),
+b AS (SELECT CAST(floor(total * 8 / 10) AS BIGINT) AS budget, n_langs FROM t),
+r AS (
+  SELECT lang, n_docs,
+         row_number() OVER (ORDER BY n_docs, lang) AS rk,
+         COALESCE(CAST(sum(n_docs) OVER (
+           ORDER BY n_docs, lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS cum_prev
+  FROM c
+),
+f AS (
+  SELECT r.lang, r.n_docs, r.rk, r.cum_prev, b.budget, b.n_langs,
+         (r.n_docs * (b.n_langs - r.rk + 1) <= b.budget - r.cum_prev) AS capped
+  FROM r CROSS JOIN b
+),
+m AS (
+  SELECT COALESCE(CAST(count(*) FILTER (WHERE capped) AS BIGINT), 0) AS m,
+         COALESCE(CAST(sum(n_docs) FILTER (WHERE capped) AS BIGINT), 0) AS cum_capped
+  FROM f
+)
+SELECT lang, n_docs, capped,
+       round(CASE WHEN capped THEN n_docs * 1.0
+                  ELSE (budget - cum_capped) * 1.0 / (n_langs - m) END, 6) AS alloc_docs,
+       round(CASE WHEN capped THEN 1.0
+                  ELSE (budget - cum_capped) * 1.0 / (n_langs - m) / n_docs END, 6) AS epochs
+FROM f CROSS JOIN m
+""",
+)
+def x6_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): spread a
+    total document budget (0.8x corpus size here) as uniformly as
+    possible across languages, capping each language at 1 epoch of its
+    own data. The greedy smallest-language-first allocation equals exact
+    water-filling, and the cap decision is INTEGER arithmetic
+    (n*(langs_remaining) <= budget - cum_prev), so the split point is
+    engine-exact; only the final fill level divides. The budget-capped
+    alternative to x4/x5's temperature sampling: head languages get the
+    leftover fill level, tail languages their full epoch.
+
+    Scale shape: one groupBy(lang) count; the ranking window runs over
+    O(#languages) rows (bounded by construction, like x4's normalizer);
+    everything else is one-row broadcast aggregates. Not all languages
+    can cap (caps sum to 1.0x corpus > 0.8x budget), so the fill-level
+    division is never 0/0."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"), F.count("*").alias("n_langs"))
+    b = t.select(
+        F.floor(F.col("total") * 8 / 10).cast("long").alias("budget"), "n_langs"
+    )
+    w = Window.orderBy("n_docs", "lang")
+    r = c.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum_prev",
+        F.coalesce(
+            F.sum("n_docs").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    f = r.crossJoin(F.broadcast(b)).withColumn(
+        "capped",
+        F.col("n_docs") * (F.col("n_langs") - F.col("rk") + 1)
+        <= F.col("budget") - F.col("cum_prev"),
+    )
+    m = f.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("m"),
+        F.sum(F.when(F.col("capped"), F.col("n_docs")).otherwise(0)).alias("cum_capped"),
+    )
+    fill = (F.col("budget") - F.col("cum_capped")) / (F.col("n_langs") - F.col("m"))
+    return f.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_docs",
+        "capped",
+        F.round(
+            F.when(F.col("capped"), F.col("n_docs").cast("double")).otherwise(fill), 6
+        ).alias("alloc_docs"),
+        F.round(
+            F.when(F.col("capped"), F.lit(1.0)).otherwise(fill / F.col("n_docs")), 6
+        ).alias("epochs"),
+    )

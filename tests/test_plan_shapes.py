@@ -58,6 +58,8 @@ ALLOWED_NESTED = {
                                 "max-df cut df*100 <= pct*n_docs)",
     "c1_kmeans_assign": "Lloyd assignment passes crossJoin against the "
                         "broadcast k-row (k=8) centroid table",
+    "x6_unimax_budget": "crossJoins against the broadcast one-row "
+                        "budget and water-fill-level aggregates",
     "d8_semantic_dedup": "embeds c1's k-row centroid crossJoin; the "
                          "within-cell pair join itself is an equi-join "
                          "on cell",

@@ -69,3 +69,34 @@ def test_mixture_sample_zero_default_drops_unlisted(corpus):
     langs = {r["lang"] for r in got.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert got.count() == 50
+
+
+def test_unimax_budget_water_filling_math(spark, tmp_path):
+    """Planted sizes 10/20/30/100, budget 0.8*160=128: the three tail
+    languages cap at 1 epoch; the head gets the leftover fill of 68 docs
+    (0.68 epochs). Verifies the integer cap decision AND the fill level
+    against hand-computed water-filling."""
+    import os
+
+    from kafka_streaming_polymarket_pipeline_spark.plans.registry import get
+
+    rows = []
+    i = 0
+    for lang, n in (("aa", 10), ("bb", 20), ("cc", 30), ("dd", 100)):
+        for _ in range(n):
+            rows.append((i, lang, f"doc {i} text"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in get("x6_unimax_budget").builder(spark, str(tmp_path)).collect()
+    }
+    assert {k: v["capped"] for k, v in got.items()} == {
+        "aa": True, "bb": True, "cc": True, "dd": False
+    }
+    assert got["aa"]["alloc_docs"] == 10.0 and got["aa"]["epochs"] == 1.0
+    assert got["cc"]["alloc_docs"] == 30.0
+    assert got["dd"]["alloc_docs"] == 68.0  # 128 - (10+20+30)
+    assert got["dd"]["epochs"] == 0.68

@@ -560,3 +560,46 @@ def scrub_duplicated_spans(
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def passage_chunks(
+    df, size: int = 32, stride: int = 24,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """Fixed-window passage chunking with overlap — the document splitter
+    a RAG index or a pretraining tokenizer feed runs ahead of packing:
+    token windows of ``size`` starting every ``stride`` tokens (overlap =
+    size - stride), the final window clamped to the document end. Chunk
+    count is 1 + max(0, ceil((len - size) / stride)) so every token
+    lands in at least one chunk and no all-overlap duplicate windows are
+    emitted; empty documents produce no chunks.
+
+    Map-only: tokenize -> sequence of chunk starts -> explode -> slice.
+    No shuffle at any corpus size; the explode multiplies rows by
+    ~len/stride, the same fan-out the downstream consumer needs anyway.
+    The ceil is computed with integer arithmetic ((len - size + stride
+    - 1) div stride) so the chunk count is engine-exact.
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_extra = F.greatest(
+        F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+        F.lit(0),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_tk"), n.alias("_n"), n_extra.alias("_e")
+    ).filter(F.col("_n") > 0)
+    out = base.select(
+        "doc_id",
+        "_tk",
+        F.explode(F.sequence(F.lit(0), F.col("_e"))).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("_tk"), F.col("chunk_idx") * stride + 1, F.lit(size))
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("long").alias("n_tokens"),
+    )

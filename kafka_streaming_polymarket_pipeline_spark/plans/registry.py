@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "c1_kmeans_assign",
     "d8_semantic_dedup",
     "x6_unimax_budget",
+    "t15_passage_chunks",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",
@@ -109,12 +110,12 @@ _DRIVER_PRIORITY: list[str] = [
     "p5_event_dispatch",
     "p6_explode_filter",
     "p7_positive_filter",
-    "p8_null_empty_guards",
-    # p9 and j1/j2/j3 displaced late in round 4 by the new
-    # d3c/c1/d8/x6 rows; j4_lag_deltas / j5_latest_scalar displaced
+    # p8/p9 and j1/j2/j3 displaced late in round 4 by the new
+    # d3c/c1/d8/x6/t15 rows; j4_lag_deltas / j5_latest_scalar displaced
     # (with a1/a2/a3) by the new m4/m4b/t14/sh2 rows; all r02-green,
     # battery-checked per commit, and they MUST lead the r05 prefix:
-    # a1, a2, a3, j1, j2, j3, j4, j5, p9_resolution_predicate.
+    # a1, a2, a3, j1, j2, j3, j4, j5, p8_null_empty_guards,
+    # p9_resolution_predicate.
 ]
 
 

@@ -733,3 +733,34 @@ def m4b_video_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("luma_ok"),
         )
     )
+
+
+@register(
+    "t15_passage_chunks",
+    oracle="""
+WITH tkz AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+n AS (
+  SELECT doc_id, ts, len(ts) AS L FROM tkz WHERE len(ts) > 0
+),
+c AS (
+  SELECT doc_id, ts,
+         unnest(range(0, greatest(CAST(floor((L - 32 + 23) / 24) AS BIGINT), 0) + 1)) AS ci
+  FROM n
+)
+SELECT doc_id,
+       CAST(ci AS INT) AS chunk_idx,
+       array_to_string(ts[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text,
+       CAST(len(ts[ci * 24 + 1 : ci * 24 + 32]) AS BIGINT) AS n_tokens
+FROM c
+""",
+)
+def t15_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window passage chunking (32-token windows every 24 tokens,
+    8-token overlap): the RAG-index / tokenizer-feed splitter. Map-only
+    explode — no shuffle at any corpus size; chunk count is integer-exact
+    on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return T.passage_chunks(docs, size=32, stride=24)

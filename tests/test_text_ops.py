@@ -202,3 +202,43 @@ def test_span_scrub_below_min_df_untouched(spark):
     )  # only 2 docs share it; min_df=3 -> keep everything
     got = {r.doc_id: r for r in T.scrub_duplicated_spans(df, n=8, min_df=3).collect()}
     assert got[1].n_removed == 0 and got[2].n_removed == 0
+
+
+def test_passage_chunks_window_math(spark):
+    """len<=size -> one clamped chunk; len=size -> exactly one; one token
+    past a stride boundary -> a new (overlapping) final chunk; empty doc
+    -> no chunks. Every token must appear in at least one chunk."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import passage_chunks
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(0, doc(5)), (1, doc(32)), (2, doc(33)), (3, doc(56)), (4, doc(57)), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = passage_chunks(df, size=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc  # empty doc -> no chunks
+    assert [c["n_tokens"] for c in sorted(by_doc[0], key=lambda c: c["chunk_idx"])] == [5]
+    assert [c["n_tokens"] for c in sorted(by_doc[1], key=lambda c: c["chunk_idx"])] == [32]
+    assert [c["n_tokens"] for c in sorted(by_doc[2], key=lambda c: c["chunk_idx"])] == [32, 9]
+    # len 56: chunks at 1..32 and 25..56 cover everything; 57 needs a third
+    assert [c["n_tokens"] for c in sorted(by_doc[3], key=lambda c: c["chunk_idx"])] == [32, 32]
+    assert [c["n_tokens"] for c in sorted(by_doc[4], key=lambda c: c["chunk_idx"])] == [32, 32, 9]
+    # coverage: last token of each doc appears in its final chunk
+    for d, n in ((0, 5), (2, 33), (4, 57)):
+        last = sorted(by_doc[d], key=lambda c: c["chunk_idx"])[-1]
+        assert last["chunk_text"].split(" ")[-1] == f"w{n-1}"
+
+
+def test_passage_chunks_rejects_bad_stride(spark):
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import passage_chunks
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        passage_chunks(df, size=8, stride=0)
+    with pytest.raises(ValueError):
+        passage_chunks(df, size=8, stride=9)

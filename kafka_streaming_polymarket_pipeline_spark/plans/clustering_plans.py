@@ -94,3 +94,52 @@ def d8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.semantic_dedup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=_SEM_THRESHOLD, k=_K, n_iter=_ITERS
     )
+
+
+@register(
+    "d9_semantic_clusters",
+    oracle=f"""
+{_kmeans_ctes(_K, _ITERS).replace("WITH ", "WITH RECURSIVE ", 1)},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM a{_ITERS} a JOIN a{_ITERS} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= {_SEM_THRESHOLD}
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL
+  SELECT vb, va FROM pairs
+),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def d9_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS: connected components (large-star/
+    small-star) over the SemDeDup same-cell cosine pair graph — the
+    keep-one-per-cluster form of d8, and a three-subsystem composition
+    under ONE hash gate: iterative k-means (rounded Lloyd), k-means-cell
+    blocking, and iterative star CC, with the oracle re-deriving all
+    three in SQL (unrolled Lloyd CTEs + recursive reachability).
+    Singletons cluster to themselves; cluster_id = min reachable id."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = C.semantic_dedup_pairs(
+        emb, threshold=_SEM_THRESHOLD, k=_K, n_iter=_ITERS
+    ).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    return D.neardup_clusters_star(ids, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

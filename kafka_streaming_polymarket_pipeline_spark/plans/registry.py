@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "d8_semantic_dedup",
     "x6_unimax_budget",
     "t15_passage_chunks",
+    "d9_semantic_clusters",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",
@@ -109,13 +110,12 @@ _DRIVER_PRIORITY: list[str] = [
     "p4_type_filter",
     "p5_event_dispatch",
     "p6_explode_filter",
-    "p7_positive_filter",
-    # p8/p9 and j1/j2/j3 displaced late in round 4 by the new
-    # d3c/c1/d8/x6/t15 rows; j4_lag_deltas / j5_latest_scalar displaced
-    # (with a1/a2/a3) by the new m4/m4b/t14/sh2 rows; all r02-green,
-    # battery-checked per commit, and they MUST lead the r05 prefix:
-    # a1, a2, a3, j1, j2, j3, j4, j5, p8_null_empty_guards,
-    # p9_resolution_predicate.
+    # p7/p8/p9 and j1/j2/j3 displaced late in round 4 by the new
+    # d3c/c1/d8/d9/x6/t15 rows; j4_lag_deltas / j5_latest_scalar
+    # displaced (with a1/a2/a3) by the new m4/m4b/t14/sh2 rows; all
+    # r02-green, battery-checked per commit, and they MUST lead the r05
+    # prefix: a1, a2, a3, j1, j2, j3, j4, j5, p7_positive_filter,
+    # p8_null_empty_guards, p9_resolution_predicate.
 ]
 
 

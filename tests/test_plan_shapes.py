@@ -63,6 +63,8 @@ ALLOWED_NESTED = {
     "d8_semantic_dedup": "embeds c1's k-row centroid crossJoin; the "
                          "within-cell pair join itself is an equi-join "
                          "on cell",
+    "d9_semantic_clusters": "embeds d8 (c1's k-row centroid crossJoin); "
+                            "star CC itself is equi-join/groupBy only",
 }
 
 

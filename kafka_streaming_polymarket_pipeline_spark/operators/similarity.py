@@ -684,3 +684,42 @@ def pq_encode(
             F.lit(0.0), lambda acc, x: acc + x,
         ).alias("recon_n2"),
     )
+
+
+def semantic_decontam(
+    corpus: DataFrame, eval_set: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level train/eval decontamination: for every corpus
+    vector, its nearest eval-set vector by cosine and a contaminated
+    flag (max cosine >= threshold). The eval-set analog of t8's n-gram
+    decontamination — catches paraphrased benchmark leakage that exact
+    n-gram overlap misses.
+
+    Scale shape: eval sets are small (benchmark suites, ~1e3–1e5 rows)
+    so the eval side broadcasts; scoring is a map-side pass over the
+    corpus (O(|corpus| x |eval|) dot products, embarrassingly parallel,
+    no corpus shuffle) and the argmax is a window over |eval|-row groups
+    keyed by corpus id. Ranked by the 6-dp-ROUNDED cosine (tie -> lower
+    eval id) on both engines so libm noise can't flip the argmax.
+    """
+    c = _prep(corpus, id_col, vec_col, "vec_id", "_vc")
+    e = _prep(eval_set, id_col, vec_col, "eval_id", "_ve")
+    scored = c.crossJoin(F.broadcast(e)).select(
+        "vec_id",
+        "eval_id",
+        F.round(
+            _dot(F.col("_vc"), F.col("_ve")) / (F.col("_vc_n") * F.col("_ve_n")), 6
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("eval_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("_cos").alias("max_cosine"),
+            (F.col("_cos") >= threshold).alias("contaminated"),
+        )
+    )

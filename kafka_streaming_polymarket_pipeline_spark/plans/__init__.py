@@ -25,6 +25,7 @@ def _load_all() -> None:
         packing_plans,
         pipeline_plans,
         relational,
+        retrieval_plans,
         sampling_plans,
         similarity_plans,
         survey_ops,

@@ -66,6 +66,10 @@ _DRIVER_PRIORITY: list[str] = [
     "x6_unimax_budget",
     "t15_passage_chunks",
     "d9_semantic_clusters",
+    # NEW (round-4 continuation): BM25 retrieval + embedding-level eval
+    # decontamination
+    "b1_bm25_topk",
+    "d10_semantic_decontam",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",

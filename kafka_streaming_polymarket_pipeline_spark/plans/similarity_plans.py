@@ -504,3 +504,41 @@ def q3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     approx = S.ivf_pq_topk(emb, queries, k=TOP_K)
     return _recall_frame(spark, sf_dir, approx)
+
+
+# Eval set for d10: the first N_EVAL vec_ids stand in for a benchmark
+# suite; the corpus is everything else (disjoint by construction).
+N_EVAL = 25
+DECONTAM_THRESHOLD = 0.45  # the engine-wide near-dup bar (d5/d8)
+
+
+@register(
+    "d10_semantic_decontam",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, e FROM v WHERE vec_id < {N_EVAL}),
+c AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_EVAL}),
+p AS (
+  SELECT c.vec_id, ev.eval_id,
+         round(list_dot_product(c.e, ev.e)
+               / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(ev.e, ev.e))), 6) AS cos
+  FROM c CROSS JOIN ev
+)
+SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cosine,
+       cos >= {DECONTAM_THRESHOLD} AS contaminated
+FROM (
+  SELECT vec_id, eval_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC) AS rn
+  FROM p
+) WHERE rn = 1
+""",
+)
+def d10_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval decontamination: nearest eval vector + flag
+    per corpus vector (broadcast eval set, map-side scoring, argmax over
+    the 6-dp-rounded cosine on both engines). The semantic complement of
+    t8's exact n-gram decontamination."""
+    emb = load(spark, sf_dir, "embeddings")
+    eval_set = emb.filter(F.col("vec_id") < N_EVAL)
+    corpus = emb.filter(F.col("vec_id") >= N_EVAL)
+    return S.semantic_decontam(corpus, eval_set, threshold=DECONTAM_THRESHOLD)

@@ -65,6 +65,13 @@ ALLOWED_NESTED = {
                          "on cell",
     "d9_semantic_clusters": "embeds d8 (c1's k-row centroid crossJoin); "
                             "star CC itself is equi-join/groupBy only",
+    "b1_bm25_topk": "crossJoin against the broadcast one-row corpus "
+                    "scalars aggregate (N, avgdl); index build, df, and "
+                    "scoring joins are all equi-joins",
+    "d10_semantic_decontam": "crossJoin against the broadcast eval set "
+                             "(benchmark suites are small by nature); "
+                             "scoring is map-side, the only shuffle is "
+                             "the |eval|-row-group argmax window",
 }
 
 

@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     # decontamination
     "b1_bm25_topk",
     "d10_semantic_decontam",
+    "r7_nation_trade",
+    "r8_market_share",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",

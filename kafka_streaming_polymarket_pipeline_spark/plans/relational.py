@@ -292,3 +292,140 @@ def r13_cust_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count("*").cast("long").alias("n_custs"))
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share,
+       round(sum(volume), 2) AS total_volume
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+)
+GROUP BY o_year
+"""
+
+
+@register("r8_market_share", oracle=_Q8_ORACLE)
+def r8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: the engine's widest join
+    head (lineitem x part x orders x customer x nation x region x
+    supplier x nation — 8 relations). Every dimension side is broadcast
+    (part is filtered to one type FIRST, so the build side is pruned
+    before it ships); the only shuffles are fact-fact l/o on orderkey
+    and the final 7-row year aggregate. The share ratio divides two
+    same-group sums, so accumulation-order noise cancels to ~1e-15 and
+    6-dp rounding is safely cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation")
+    n2 = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = load(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(
+                n2.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+                    "n_nationkey", "n2_nationkey"
+                )
+            ),
+            supp.s_nationkey == F.col("n2_nationkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, o_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, o_year
+"""
+
+
+@register("r7_nation_trade", oracle=_Q7_ORACLE)
+def r7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume between two nations by
+    year. The nation filters are applied on the BROADCAST dimension
+    sides before the joins, so Catalyst turns both fact joins into
+    broadcast-pruned probes (customer/supplier shrink to two nations'
+    rows); the asymmetric pair predicate is a plain column inequality
+    AFTER the equi-joins, never a join condition."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    nations = ("NATION_1", "NATION_2")
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    n2 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(n1.withColumnRenamed("n_name", "cust_nation")),
+            cust.c_nationkey == n1.n_nationkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(
+                n2.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+                    "n_nationkey", "n2_nationkey"
+                )
+            ),
+            supp.s_nationkey == F.col("n2_nationkey"),
+        )
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "o_year").agg(
+        F.round(F.sum("volume"), 2).alias("revenue")
+    )

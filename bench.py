@@ -45,6 +45,9 @@ HEADLINE = [
     "q2_pq_adc_topk",         # PQ-ADC ANN (memory-bound scale path)
     "q3_ivf_pq_topk",         # IVF-PQ composed index (cells + codes + rerank)
     "t12_bigram_lm_score",    # corpus bigram-LM quality scoring
+    "b1_bm25_topk",           # BM25 retrieval (inverted index + 2-level top-k)
+    "d10_semantic_decontam",  # broadcast eval-set decontamination
+    "r8_market_share",        # TPC-H Q8-style 8-relation join head
     "t14_span_scrub",         # duplicated-span removal rewrite (Lee et al.)
     "j2b_bucketed_interval_join",  # range join via time-bucket equi-keys
     "u3_distinct_agg",        # exact distinct aggregation

@@ -28,6 +28,7 @@ def _load_all() -> None:
         retrieval_plans,
         sampling_plans,
         similarity_plans,
+        sketch_plans,
         survey_ops,
         text_plans,
     )

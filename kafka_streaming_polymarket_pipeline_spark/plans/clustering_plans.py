@@ -143,3 +143,81 @@ def d9_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters_star(ids, pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+def _pagerank_ctes(n_iter: int, damping: float, dp: int) -> str:
+    """pr0..pr{n_iter} CTEs replicating operators/graph.py:pagerank —
+    per-round 1e-{dp} rounding makes every intermediate cross-engine
+    exact (the rounded-Lloyd discipline)."""
+    parts = [
+        "edges AS (SELECT va AS src, vb AS dst FROM prpairs"
+        " UNION ALL SELECT vb, va FROM prpairs)",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+        f"pr0 AS (SELECT vec_id AS node, round(1.0 / cnt.n, {dp}) AS pr"
+        " FROM embeddings CROSS JOIN cnt)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""pr{i + 1} AS (
+  SELECT nd.node,
+         round(({1.0 - damping:.2f}) / c0.n
+               + {damping} * (coalesce(ct.contrib, 0) + dm.m / c0.n), {dp}) AS pr
+  FROM (SELECT node FROM pr0) nd
+  CROSS JOIN cnt c0
+  CROSS JOIN (SELECT coalesce(sum(pr), 0) AS m FROM pr{i}
+              WHERE node NOT IN (SELECT src FROM edges)) dm
+  LEFT JOIN (SELECT e.dst AS node, sum(p.pr / od.outdeg) AS contrib
+             FROM edges e
+             JOIN pr{i} p ON p.node = e.src
+             JOIN outdeg od ON od.src = e.src
+             GROUP BY e.dst) ct ON ct.node = nd.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+from kafka_streaming_polymarket_pipeline_spark.operators import graph as _G  # noqa: E402
+
+G_ITERS = _G.PR_ITERS
+G_DAMPING = _G.DAMPING
+G_DP = _G.ROUND_DP
+
+
+@register(
+    "c2_pagerank",
+    oracle=f"""
+{_kmeans_ctes(_K, _ITERS)},
+prpairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM a{_ITERS} a JOIN a{_ITERS} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= {_SEM_THRESHOLD}
+),
+{_pagerank_ctes(G_ITERS, G_DAMPING, G_DP)}
+SELECT node AS vec_id, pr FROM pr{G_ITERS}
+""",
+)
+def c2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 power iterations, dangling mass redistributed)
+    over the SemDeDup same-cell cosine pair graph — document centrality
+    inside near-dup neighborhoods, the keep-the-canonical-copy signal.
+    Composes THREE iterative subsystems under one hash gate: rounded
+    Lloyd k-means, cell-blocked pair generation, and rounded power
+    iteration, with the oracle unrolling all three as CTEs."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = C.semantic_dedup_pairs(emb, threshold=_SEM_THRESHOLD, k=_K, n_iter=_ITERS)
+    edges = pairs.select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("vec_id_b").alias("src"), F.col("vec_id_a").alias("dst"))
+    )
+    ranks = G.pagerank(emb.select("vec_id"), edges, node_col="vec_id")
+    return ranks.select(F.col("node").alias("vec_id"), "pr")

@@ -68,6 +68,10 @@ ALLOWED_NESTED = {
     "b1_bm25_topk": "crossJoin against the broadcast one-row corpus "
                     "scalars aggregate (N, avgdl); index build, df, and "
                     "scoring joins are all equi-joins",
+    "c2_pagerank": "embeds d8 (c1's k-row centroid crossJoin) plus two "
+                   "one-row broadcast aggregates per iteration (node "
+                   "count, dangling mass); contribution joins are "
+                   "equi-joins on src/dst",
     "d10_semantic_decontam": "crossJoin against the broadcast eval set "
                              "(benchmark suites are small by nature); "
                              "scoring is map-side, the only shuffle is "

@@ -1,0 +1,125 @@
+"""Behavior tests for BM25 retrieval, count-min sketch, and PageRank
+(the oracle battery proves engine-vs-SQL parity; these prove the
+operators do what they claim): ranking sanity on a known corpus, the
+CMS one-sided-error guarantee, and PageRank's stochastic properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+from kafka_streaming_polymarket_pipeline_spark.operators import retrieval as R
+from kafka_streaming_polymarket_pipeline_spark.operators import sketch as SK
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple apple apple apple"),
+        (2, "banana cherry"),
+        (3, "durian durian durian"),
+        (4, "apple banana cherry durian"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBM25:
+    def test_exact_match_doc_ranks_first(self, tiny_docs):
+        got = R.bm25_topk(tiny_docs, [(0, "durian")], k=3).collect()
+        assert got[0]["doc_id"] == 3 and got[0]["rank"] == 1
+        # only docs containing the term appear
+        assert {r["doc_id"] for r in got} == {3, 4}
+
+    def test_multi_term_scores_sum(self, tiny_docs):
+        """score(q='apple banana') == score('apple') + score('banana')
+        per doc (BM25 is additive over query terms)."""
+        both = {
+            r["doc_id"]: r["score"]
+            for r in R.bm25_topk(tiny_docs, [(0, "apple banana")], k=5).collect()
+        }
+        single = {}
+        for qid, term in ((0, "apple"), (1, "banana")):
+            for r in R.bm25_topk(tiny_docs, [(qid, term)], k=5).collect():
+                single[r["doc_id"]] = single.get(r["doc_id"], 0.0) + r["score"]
+        for doc_id, s in both.items():
+            assert math.isclose(s, single[doc_id], abs_tol=2e-6), (doc_id, s, single[doc_id])
+
+    def test_two_level_topk_equals_single_window(self, tiny_docs):
+        """The bucketed partial top-k must return exactly what a plain
+        global ranking would."""
+        got = R.bm25_topk(tiny_docs, [(0, "apple"), (1, "banana cherry")], k=2)
+        rows = sorted(map(tuple, got.collect()))
+        # recompute expected from the k=5 (complete) result
+        full = R.bm25_topk(tiny_docs, [(0, "apple"), (1, "banana cherry")], k=5)
+        expected = sorted(
+            tuple(r) for r in full.collect() if r["rank"] <= 2
+        )
+        assert rows == expected
+
+    def test_length_normalization_prefers_short_doc(self, tiny_docs):
+        """doc 0 (apple tf=2, len 3) must outscore doc 4 (tf=1, len 4)
+        and doc 1 (tf=4, len 4) must outscore doc 0 — tf saturation with
+        length normalization."""
+        got = {r["doc_id"]: r["rank"] for r in R.bm25_topk(tiny_docs, [(0, "apple")], k=5).collect()}
+        assert got[1] < got[0] < got[4]
+
+
+class TestCMS:
+    def test_estimate_never_underestimates(self, spark):
+        rows = [(i % 7,) for i in range(1000)] + [(i,) for i in range(100, 400)]
+        stream = spark.createDataFrame(rows, "key long")
+        got = SK.cms_heavy_hitters(stream, "key", k=10).collect()
+        assert len(got) == 10
+        for r in got:
+            assert r["overestimate"] >= 0, r
+            assert r["cms_est"] >= r["exact_n"]
+
+    def test_exact_on_collision_free_stream(self, spark):
+        """With far fewer keys than buckets and depth 4, at least the
+        min-row estimate of a dominant key should be exact or near."""
+        stream = spark.createDataFrame([(1,)] * 500 + [(2,)] * 100, "key long")
+        got = {r["key"]: r for r in SK.cms_heavy_hitters(stream, "key", k=2).collect()}
+        assert got[1]["exact_n"] == 500 and got[1]["cms_est"] == 500
+        assert got[2]["exact_n"] == 100 and got[2]["cms_est"] == 100
+
+
+class TestPageRank:
+    def test_mass_conserved_and_uniform_on_symmetric_cycle(self, spark):
+        """On a k-regular graph (cycle), PR is exactly uniform; total
+        mass is 1 regardless."""
+        n = 10
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)],
+            "src long, dst long",
+        )
+        got = G.pagerank(nodes, edges, n_iter=3).collect()
+        assert math.isclose(sum(r["pr"] for r in got), 1.0, abs_tol=1e-6)
+        for r in got:
+            assert math.isclose(r["pr"], 1.0 / n, abs_tol=1e-6)
+
+    def test_hub_outranks_leaves_and_isolated(self, spark):
+        """Star graph: the hub collects rank from every leaf; isolated
+        node gets only teleport + dangling share."""
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+        # star: 0 <-> 1..4; node 5 isolated
+        e = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+        edges = spark.createDataFrame(e, "src long, dst long")
+        got = {r["node"]: r["pr"] for r in G.pagerank(nodes, edges, n_iter=3).collect()}
+        assert got[0] > max(got[i] for i in range(1, 5))
+        assert all(got[i] > got[5] for i in range(5))
+        assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+    def test_dangling_mass_not_lost(self, spark):
+        """All-dangling graph (no edges): every round must redistribute
+        the full mass uniformly, not decay it by the damping factor."""
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+        edges = spark.createDataFrame([], "src long, dst long")
+        got = G.pagerank(nodes, edges, n_iter=3).collect()
+        assert math.isclose(sum(r["pr"] for r in got), 1.0, abs_tol=1e-6)
+        for r in got:
+            assert math.isclose(r["pr"], 0.25, abs_tol=1e-6)

@@ -120,9 +120,12 @@ _DRIVER_PRIORITY: list[str] = [
     "p6_explode_filter",
     # p7/p8/p9 and j1/j2/j3 displaced late in round 4 by the new
     # d3c/c1/d8/d9/x6/t15 rows; j4_lag_deltas / j5_latest_scalar
-    # displaced (with a1/a2/a3) by the new m4/m4b/t14/sh2 rows; all
-    # r02-green, battery-checked per commit, and they MUST lead the r05
-    # prefix: a1, a2, a3, j1, j2, j3, j4, j5, p7_positive_filter,
+    # displaced (with a1/a2/a3) by the new m4/m4b/t14/sh2 rows; p1–p6
+    # displaced by the round-4-continuation b1/d10/r7/r8/a15/c2 rows.
+    # All r02-green, battery-checked per commit, and they MUST lead the
+    # r05 prefix: a1, a2, a3, j1, j2, j3, j4, j5, p1_substring_filter,
+    # p2_window_containment, p3_projection_parse, p4_type_filter,
+    # p5_event_dispatch, p6_explode_filter, p7_positive_filter,
     # p8_null_empty_guards, p9_resolution_predicate.
 ]
 

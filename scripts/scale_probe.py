@@ -35,7 +35,8 @@ VOCAB = (
 LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # en-heavy like the driver's
 QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
            "q3_ivf_pq_topk", "s1_ann_bruteforce_topk", "t14_span_scrub",
-           "d3c_minhash_lsh_dfpruned", "c1_kmeans_assign", "d8_semantic_dedup"]
+           "d3c_minhash_lsh_dfpruned", "c1_kmeans_assign", "d8_semantic_dedup",
+           "b1_bm25_topk", "d10_semantic_decontam", "c2_pagerank"]
 SCALES = {"0.1e": (5_000, 2_000), "0.3e": (15_000, 6_000), "1e": (50_000, 20_000)}
 # d3's cost driver is similar-pair mass, quadratic on this templated corpus
 # by construction — cap it at 0.3e unless --d3-full is passed.

@@ -48,7 +48,13 @@ def _with_seed_buckets(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def cms_counters(stream: DataFrame, key_col: str) -> DataFrame:
-    """(seed, bucket, cnt): the d x w counter table for a key stream."""
+    """(seed, bucket, cnt): the d x w counter table for a key stream.
+
+    Works unchanged on a Structured Streaming input — the explode is
+    stateless and the groupBy is a standard streaming aggregation whose
+    state is BOUNDED at d x w rows forever (the defining property of the
+    sketch: no watermark needed, no state growth). Run with outputMode
+    complete/update; tests prove stream == batch counters."""
     return (
         _with_seed_buckets(stream, key_col)
         .groupBy("seed", "bucket")

@@ -123,3 +123,33 @@ class TestPageRank:
         assert math.isclose(sum(r["pr"] for r in got), 1.0, abs_tol=1e-6)
         for r in got:
             assert math.isclose(r["pr"], 0.25, abs_tol=1e-6)
+
+
+class TestCMSStreaming:
+    def test_streaming_counters_equal_batch(self, spark, tmp_path):
+        """The CMS counter build is a standard streaming agg with state
+        bounded at d x w rows: drained over multiple micro-batches it
+        must equal the batch counters on the same data."""
+        import json
+
+        from kafka_streaming_polymarket_pipeline_spark.streaming import jobs
+
+        src = tmp_path / "cms_stream"
+        src.mkdir()
+        for fi in range(3):
+            with open(src / f"f{fi}.jsonl", "w") as f:
+                for i in range(fi * 100, (fi + 1) * 100):
+                    f.write(json.dumps({"key": i % 13}) + "\n")
+
+        stream = (
+            spark.readStream.schema("key long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        got = jobs.run_available_now(
+            SK.cms_counters(stream, "key"), "t_cms", spark, mode="complete"
+        )
+        batch = SK.cms_counters(spark.read.schema("key long").json(str(src)), "key")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+        # state bound: never more than d x w counter rows
+        assert got.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH

@@ -83,3 +83,82 @@ def cms_heavy_hitters(stream: DataFrame, key_col: str, k: int = 10) -> DataFrame
             (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
         )
     )
+
+
+# --- Bloom filter: membership prefilter for decontamination at scale ---
+#
+# t8's exact decontamination joins every training gram against the
+# benchmark gram set. At 100 TB the right shape is a BLOOM PREFILTER:
+# a few KB of bits broadcast to every task answers "definitely clean"
+# for the overwhelming majority of grams map-side, and only the maybe
+# set (true hits + false positives) proceeds to the exact join. Like
+# the CMS above — and unlike library blooms — the md5 bit positions are
+# engine-portable, so the filter CONTENTS and every probe verdict are
+# hash-gated against the DuckDB oracle (Bloom 1970 structure).
+
+BLOOM_WORDS = 512  # 512 x 32-bit words = 16384 bits (~4 KB as BIGINT rows):
+# sized so the sf0.01 bench gram set (~1.3k keys) fills ~21% of bits ->
+# ~1% false-positive rate at k=3; at 100 TB you size m/k from the key
+# count the same way (m ~ 1.44 * k * n_keys for target FP) — the table
+# stays broadcast-trivial into the megabytes
+BLOOM_BITS = BLOOM_WORDS * 32
+BLOOM_K = 3        # hash functions per key
+
+
+def _bloom_pos(key: Column, seed: int) -> tuple[Column, Column]:
+    """(word, bit) for one hash of ``key`` — only bits 0..31 of each
+    word are used so shifted values never touch the sign bit."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), key)), 1, 8), 16, 10
+    ).cast("long") % BLOOM_BITS
+    return F.floor(h / 32).cast("int"), (h % 32).cast("int")
+
+
+def bloom_build(keys: DataFrame, key_col: str = "g") -> DataFrame:
+    """(word, bits): the filter as <= BLOOM_WORDS rows — broadcastable
+    at any input cardinality (the point of the structure)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        _bloom_pos(F.col(key_col), s)[0].alias("word"),
+                        _bloom_pos(F.col(key_col), s)[1].alias("bit"),
+                    )
+                    for s in range(BLOOM_K)
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.word", "_p.bit")
+    return pos.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")
+    )
+
+
+def bloom_probe(items: DataFrame, bloom: DataFrame, key_col: str = "g") -> DataFrame:
+    """items + ``maybe`` flag: False means DEFINITELY absent (the Bloom
+    guarantee); True means present-or-false-positive. The bloom side is
+    broadcast; probing is map-side apart from the tiny word join."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        _bloom_pos(F.col(key_col), s)[0].alias("word"),
+                        _bloom_pos(F.col(key_col), s)[1].alias("bit"),
+                    )
+                    for s in range(BLOOM_K)
+                ]
+            )
+        ).alias("_p"),
+    ).select("*", F.col("_p.word").alias("word"), F.col("_p.bit").alias("bit"))
+    hit = (
+        F.expr("(shiftright(coalesce(bits, 0L), bit) & 1) = 1")
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn("_hit", hit)
+        .groupBy(*items.columns)
+        .agg(F.bool_and("_hit").alias("maybe"))
+    )

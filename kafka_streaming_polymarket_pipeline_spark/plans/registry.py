@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "r8_market_share",
     "a15_cms_heavy_hitters",
     "c2_pagerank",
+    "a16_bloom_decontam",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",

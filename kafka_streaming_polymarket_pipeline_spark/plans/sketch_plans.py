@@ -53,3 +53,111 @@ def a15_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with CMS estimates and the per-row one-sided error, all hash-gated
     (md5 bucket hashing reproduced verbatim by the oracle)."""
     return SK.cms_heavy_hitters(load(spark, sf_dir, "events"), "user_id", k=10)
+
+
+_GRAMS_SQL = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+                                 i -> array_to_string(tk[i:i+7], ' '))) AS g
+    FROM toks)
+)"""
+
+_BPOS = (
+    "('0x' || substr(md5(concat_ws(':', CAST({seed} AS VARCHAR), {g})), 1, 8))"
+    "::BIGINT % " + str(SK.BLOOM_BITS)
+)
+
+
+@register(
+    "a16_bloom_decontam",
+    oracle=f"""
+WITH {_GRAMS_SQL},
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3),
+bseeds AS (SELECT unnest(range(0, {SK.BLOOM_K})) AS seed),
+bpos AS (
+  SELECT h // 32 AS word, h % 32 AS bit FROM (
+    SELECT {_BPOS.format(seed='s.seed', g='b.g')} AS h
+    FROM bench b CROSS JOIN bseeds s)
+),
+bloom AS (SELECT word, bit_or(1::BIGINT << bit) AS bits FROM bpos GROUP BY word),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 3),
+probe AS (
+  SELECT doc_id, g,
+         min(CASE WHEN ((coalesce(bl.bits, 0) >> (p.h % 32)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS all_hit
+  FROM (
+    SELECT t.doc_id, t.g, {_BPOS.format(seed='s.seed', g='t.g')} AS h
+    FROM train t CROSS JOIN bseeds s) p
+  LEFT JOIN bloom bl ON bl.word = p.h // 32
+  GROUP BY doc_id, g
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(all_hit) AS BIGINT) AS n_bloom_maybe
+  FROM probe GROUP BY doc_id
+),
+exact AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+  FROM train t JOIN bench b ON t.g = b.g GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_bloom_maybe, 0) AS n_bloom_maybe,
+       coalesce(e.n_exact_hits, 0) AS n_exact_hits
+FROM documents d
+LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+WHERE d.doc_id % 17 <> 3
+""",
+)
+def a16_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: t8's exact benchmark-gram scan
+    with the 100 TB shape made explicit — the benchmark gram set folds
+    into a 4 KB broadcast bit array answering 'definitely clean'
+    map-side; per doc: distinct grams, bloom maybes, exact hits. The
+    oracle rebuilds the identical filter, so the Bloom guarantee
+    (n_bloom_maybe >= n_exact_hits, no false negatives) is hash-gated
+    row-by-row."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import text as T
+    from kafka_streaming_polymarket_pipeline_spark.tables import load as _load
+
+    docs = _load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 17 == 3
+    grams = docs.select(
+        "doc_id", F.explode(T.token_ngrams(F.col("text"), 8)).alias("g")
+    )
+    bench = grams.filter(is_bench).select("g").distinct()
+    train = grams.filter(~is_bench)
+
+    bloom = SK.bloom_build(bench, "g")
+    probed = SK.bloom_probe(train, bloom, "g")
+    perdoc = probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("maybe").cast("long")).alias("n_bloom_maybe"),
+    )
+    exact = (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_hits"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", zero).alias("n_grams"),
+            F.coalesce("n_bloom_maybe", zero).alias("n_bloom_maybe"),
+            F.coalesce("n_exact_hits", zero).alias("n_exact_hits"),
+        )
+    )

@@ -153,3 +153,20 @@ class TestCMSStreaming:
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
         # state bound: never more than d x w counter rows
         assert got.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self, spark):
+        keys = spark.createDataFrame([(f"key{i}",) for i in range(200)], "g string")
+        bloom = SK.bloom_build(keys, "g")
+        # every inserted key must probe True
+        probed_in = SK.bloom_probe(keys, bloom, "g")
+        assert all(r["maybe"] for r in probed_in.collect())
+        # absent keys: overwhelmingly False (fp rate ~ (fill)^k, tiny here)
+        absent = spark.createDataFrame([(f"other{i}",) for i in range(500)], "g string")
+        fp = sum(r["maybe"] for r in SK.bloom_probe(absent, bloom, "g").collect())
+        assert fp <= 10, fp
+
+    def test_filter_is_bounded(self, spark):
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(5000)], "g string")
+        assert SK.bloom_build(keys, "g").count() <= SK.BLOOM_WORDS

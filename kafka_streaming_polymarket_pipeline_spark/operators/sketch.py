@@ -162,3 +162,60 @@ def bloom_probe(items: DataFrame, bloom: DataFrame, key_col: str = "g") -> DataF
         .groupBy(*items.columns)
         .agg(F.bool_and("_hit").alias("maybe"))
     )
+
+
+# --- Portable HyperLogLog: the fully hash-gated distinct-count sketch ---
+#
+# a13 uses Spark's built-in HLL++, whose estimates are engine-specific —
+# the registry's one permanently rows-only row. This HLL (Flajolet et
+# al. 2007) is built from the same md5 hashing as the CMS/Bloom above,
+# so registers AND estimates are bit-identical across engines and the
+# whole sketch is hash-gated. Error ~ 1.04/sqrt(m) ≈ 6.5% at m=256.
+#
+# Determinism note: sum(2^-R) over registers is a sum of exact powers of
+# two with rank <= 25 — every partial sum fits in < 53 mantissa bits, so
+# the aggregation is EXACT and order-independent; the only libm call
+# (ln, in the small-range correction) lands under the 6-dp output round.
+
+HLL_P = 8           # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard bias constant
+
+
+def hll_distinct(stream: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, hll_est): portable HLL distinct-count per group.
+
+    Scale shape: one groupBy(group, bucket) max — map-side partials
+    collapse every task to <= groups x m rows — then a groups-sized
+    aggregate. Registers never exceed m rows per group however many
+    keys stream through (the sketch property; mergeable across
+    partitions/streams by max, which is what the partial agg does).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bucket = (h / F.lit(1 << 24)).cast("long")  # top 8 of 32 bits
+    w = h % F.lit(1 << 24)                      # low 24 bits
+    rank = F.when(w == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        stream.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rank.alias("r"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("rmax"))
+    )
+    per_group = regs.groupBy("grp").agg(
+        F.count("*").alias("n_present"),
+        # 1.0 / 2^r, not pow(2.0, -r): the shift+divide is IEEE-exact
+        # (libm pow may be off by an ulp), preserving the exact-sum
+        # argument above.
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1L, rmax)")).alias("s_present"),
+    )
+    m = F.lit(float(HLL_M))
+    s = (m - F.col("n_present")) + F.col("s_present")  # empty registers add 2^0
+    e_raw = F.lit(HLL_ALPHA) * m * m / s
+    v = m - F.col("n_present")  # empty-register count
+    est = F.when((e_raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(e_raw)
+    return per_group.select(
+        F.col("grp").alias(group_col), F.round(est, 6).alias("hll_est")
+    )

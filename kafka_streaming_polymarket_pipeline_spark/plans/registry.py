@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "a15_cms_heavy_hitters",
     "c2_pagerank",
     "a16_bloom_decontam",
+    "a17_portable_hll",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",

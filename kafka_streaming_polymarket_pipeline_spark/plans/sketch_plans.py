@@ -161,3 +161,73 @@ def a16_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_exact_hits", zero).alias("n_exact_hits"),
         )
     )
+
+
+_HLL_ALPHA = repr(SK.HLL_ALPHA)
+
+
+@register(
+    "a17_portable_hll",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+rb AS (
+  SELECT event_type, h // 16777216 AS bucket,
+         CASE WHEN h % 16777216 = 0 THEN 25
+              ELSE 25 - length(bin(h % 16777216)) END AS r
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(r) AS rmax
+  FROM rb GROUP BY event_type, bucket
+),
+pg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+         sum(1.0 / (1::BIGINT << rmax)) AS s_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN (CAST({_HLL_ALPHA} AS DOUBLE) * {SK.HLL_M}.0 * {SK.HLL_M}.0
+                    / (({SK.HLL_M}.0 - n_present) + s_present)) <= 2.5 * {SK.HLL_M}.0
+                   AND ({SK.HLL_M}.0 - n_present) > 0
+              THEN {SK.HLL_M}.0 * ln({SK.HLL_M}.0 / ({SK.HLL_M}.0 - n_present))
+              ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {SK.HLL_M}.0 * {SK.HLL_M}.0
+                   / (({SK.HLL_M}.0 - n_present) + s_present)
+         END AS e
+  FROM pg
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT x.event_type, x.exact_users, round(e.e, 6) AS hll_est,
+       round(abs(e.e - x.exact_users) / x.exact_users, 6) AS rel_err
+FROM exact x JOIN est e USING (event_type)
+""",
+)
+def a17_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-users per event type, with the
+    exact count and relative error — the fully hash-gated complement of
+    a13's built-in HLL++ (whose estimates are engine-specific): same md5
+    hashing as the CMS/Bloom family, so registers AND estimates are
+    bit-identical across engines. Sum(2^-rank) uses shift+divide
+    (IEEE-exact powers of two, order-independent)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    est = SK.hll_distinct(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("exact_users")) / F.col("exact_users"), 6
+        ).alias("rel_err"),
+    )

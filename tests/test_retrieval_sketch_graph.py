@@ -170,3 +170,23 @@ class TestBloom:
     def test_filter_is_bounded(self, spark):
         keys = spark.createDataFrame([(f"k{i}",) for i in range(5000)], "g string")
         assert SK.bloom_build(keys, "g").count() <= SK.BLOOM_WORDS
+
+
+class TestHLL:
+    def test_error_within_band_across_cardinalities(self, spark):
+        """1.04/sqrt(256) ~ 6.5% standard error; assert within 4 sigma
+        at several cardinalities (deterministic hashing -> fixed error)."""
+        for n in (50, 500, 5000):
+            df = spark.createDataFrame([(1, i) for i in range(n)], "grp int, key long")
+            est = SK.hll_distinct(df, "grp", "key").collect()[0]["hll_est"]
+            assert abs(est - n) / n < 0.26, (n, est)
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        """Distinct-count property: multiplicity must not change registers."""
+        once = spark.createDataFrame([(1, i) for i in range(300)], "grp int, key long")
+        tenx = spark.createDataFrame(
+            [(1, i) for i in range(300) for _ in range(10)], "grp int, key long"
+        )
+        a = SK.hll_distinct(once, "grp", "key").collect()[0]["hll_est"]
+        b = SK.hll_distinct(tenx, "grp", "key").collect()[0]["hll_est"]
+        assert a == b

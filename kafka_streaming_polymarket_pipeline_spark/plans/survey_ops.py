@@ -1127,3 +1127,45 @@ def a14_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("a95").between(F.col("lo95"), F.col("hi95"))
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "w3_rank_battery",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6)     AS prnk,
+       round(cume_dist()    OVER w, 6)     AS cdist,
+       CAST(ntile(4) OVER w AS INT)        AS quartile
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-02-01 00:00:00'
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber)
+""",
+)
+def w3_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery: rank / dense_rank / percent_rank /
+    cume_dist / ntile in one window pass (one sort-shuffle on the
+    partition key). The ORDER BY ends in the (orderkey, linenumber)
+    unique key so even ntile — whose buckets depend on ROW order, not
+    value order — is engine-deterministic; rank/dense_rank tie on equal
+    quantities by SQL semantics identically in both engines."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

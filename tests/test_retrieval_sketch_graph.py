@@ -190,3 +190,46 @@ class TestHLL:
         a = SK.hll_distinct(once, "grp", "key").collect()[0]["hll_est"]
         b = SK.hll_distinct(tenx, "grp", "key").collect()[0]["hll_est"]
         assert a == b
+
+
+# --- Property tests (hypothesis): invariants under random inputs ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_doc = st.lists(_words, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=2, max_size=12), qwords=st.lists(_words, min_size=1, max_size=3))
+def test_bm25_bucketing_invariance(spark, texts, qwords):
+    """The two-level top-k must be invariant to TOPK_BUCKETS — 1 bucket
+    (degenerate single window) and 64 buckets give identical results."""
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    q = [(0, " ".join(qwords))]
+    orig = R.TOPK_BUCKETS
+    try:
+        R.TOPK_BUCKETS = 1
+        one = sorted(map(tuple, R.bm25_topk(docs, q, k=4).collect()))
+        R.TOPK_BUCKETS = 64
+        many = sorted(map(tuple, R.bm25_topk(docs, q, k=4).collect()))
+    finally:
+        R.TOPK_BUCKETS = orig
+    assert one == many
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60))
+def test_cms_one_sided_error_property(spark, keys):
+    stream = spark.createDataFrame([(k,) for k in keys], "key long")
+    for r in SK.cms_heavy_hitters(stream, "key", k=5).collect():
+        assert r["cms_est"] >= r["exact_n"], r
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=40))
+def test_bloom_never_false_negative_property(spark, keys):
+    df = spark.createDataFrame([(k,) for k in set(keys)], "g string")
+    bloom = SK.bloom_build(df, "g")
+    assert all(r["maybe"] for r in SK.bloom_probe(df, bloom, "g").collect())

@@ -183,14 +183,19 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard bias constant
 
 
 def hll_distinct(stream: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """(group, hll_est): portable HLL distinct-count per group.
+    """(group, hll_est): portable HLL distinct-count per group —
+    ``hll_registers`` + ``hll_estimate`` composed (batch form)."""
+    return hll_estimate(hll_registers(stream, group_col, key_col), group_col)
 
-    Scale shape: one groupBy(group, bucket) max — map-side partials
-    collapse every task to <= groups x m rows — then a groups-sized
-    aggregate. Registers never exceed m rows per group however many
-    keys stream through (the sketch property; mergeable across
-    partitions/streams by max, which is what the partial agg does).
-    """
+
+def hll_registers(stream: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(grp, bucket, rmax): the register table — the part a STREAM
+    maintains. One groupBy(group, bucket) max: map-side partials collapse
+    every task to <= groups x m rows, and as a streaming aggregation the
+    state is bounded there forever (mergeable by max — which is also why
+    a single stateful operator suffices; the estimate finalization is a
+    query-time batch step over the tiny register table, see
+    ``hll_estimate``)."""
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -199,11 +204,15 @@ def hll_distinct(stream: DataFrame, group_col: str, key_col: str) -> DataFrame:
     rank = F.when(w == 0, F.lit(25)).otherwise(
         F.lit(25) - F.length(F.conv(w.cast("string"), 10, 2))
     )
-    regs = (
+    return (
         stream.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rank.alias("r"))
         .groupBy("grp", "bucket")
         .agg(F.max("r").alias("rmax"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Finalize (grp, bucket, rmax) registers into (group, hll_est)."""
     per_group = regs.groupBy("grp").agg(
         F.count("*").alias("n_present"),
         # 1.0 / 2^r, not pow(2.0, -r): the shift+divide is IEEE-exact

@@ -233,3 +233,38 @@ def test_bloom_never_false_negative_property(spark, keys):
     df = spark.createDataFrame([(k,) for k in set(keys)], "g string")
     bloom = SK.bloom_build(df, "g")
     assert all(r["maybe"] for r in SK.bloom_probe(df, bloom, "g").collect())
+
+
+class TestHLLStreaming:
+    def test_streaming_registers_equal_batch(self, spark, tmp_path):
+        """HLL registers are ONE max-aggregation — streaming state
+        bounded at groups x m rows with a single stateful operator (the
+        estimate finalization is a query-time batch step); drained over
+        micro-batches, registers AND the finalized estimate must equal
+        the batch build exactly (mergeable-by-max property)."""
+        import json
+
+        from kafka_streaming_polymarket_pipeline_spark.streaming import jobs
+
+        src = tmp_path / "hll_stream"
+        src.mkdir()
+        for fi in range(3):
+            with open(src / f"f{fi}.jsonl", "w") as f:
+                for i in range(fi * 200, (fi + 1) * 200):
+                    f.write(json.dumps({"grp": i % 2, "key": i % 150}) + "\n")
+
+        stream = (
+            spark.readStream.schema("grp int, key long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        regs = jobs.run_available_now(
+            SK.hll_registers(stream, "grp", "key"), "t_hll", spark, mode="complete"
+        )
+        batch_df = spark.read.schema("grp int, key long").json(str(src))
+        batch_regs = SK.hll_registers(batch_df, "grp", "key")
+        assert sorted(map(tuple, regs.collect())) == sorted(map(tuple, batch_regs.collect()))
+        # finalizing the streamed registers gives the batch estimate exactly
+        got_est = SK.hll_estimate(regs, "grp")
+        batch_est = SK.hll_distinct(batch_df, "grp", "key")
+        assert sorted(map(tuple, got_est.collect())) == sorted(map(tuple, batch_est.collect()))

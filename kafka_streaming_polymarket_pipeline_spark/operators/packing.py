@@ -29,7 +29,7 @@ use the naive global form, proving the equivalence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streaming_polymarket_pipeline_spark.operators.text import token_count
@@ -239,4 +239,62 @@ def epoch_shuffle(
             F.col("_offset") + F.col("_cum") - 1 - F.col("epoch").cast("long") * F.col("_n"),
         )
         .select(F.col(id_col), F.col("epoch").cast("int").alias("epoch"), "epoch_pos")
+    )
+
+
+# --- Z-order (morton) file layout: multi-dimensional data skipping ---
+
+Z_ROWS_PER_FILE = 1000
+Z_BLOCK_SHIFT = 22  # top 10 bits of the 32-bit key -> 1024 spatial blocks
+
+_MORTON_EXPR = (
+    "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+    " + shiftleft((_za >> i) & 1, 2 * i)"
+    " + shiftleft((_zb >> i) & 1, 2 * i + 1))"
+)
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_col: Column,
+    b_col: Column,
+    rows_per_file: int = Z_ROWS_PER_FILE,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-file (file_id, n_rows, a_min/a_max, b_min/b_max) after laying
+    the rows out in morton (Z-curve) order of two 16-bit dimensions —
+    what Delta's OPTIMIZE ZORDER / Iceberg's sort-order rewrite does,
+    re-expressed as a first-class query so the layout AND the file-level
+    min/max stats (the data-skipping contract readers prune on) are
+    oracle-checkable.
+
+    Shuffle shape: the global morton rank is two-phase — the Z-prefix
+    (top 10 bits) partitions rows into 1024 spatial blocks that are
+    CONTIGUOUS in morton order, so a per-block window rank plus the
+    rolled-up block offsets (``_bucket_offsets``, the sh1/pk1 machinery)
+    reconstructs the exact global ordering with parallelism 1024 and no
+    data-scale unpartitioned window. Both dims clamp to 16 bits; the
+    interleave is a JVM-side fold (exact integer ops both engines).
+    """
+    keyed = (
+        df.withColumn("_za", a_col.cast("long") % 65536)
+        .withColumn("_zb", b_col.cast("long") % 65536)
+        .withColumn("_zm", F.expr(_MORTON_EXPR))
+        .withColumn("_blk", F.shiftright(F.col("_zm"), Z_BLOCK_SHIFT))
+    )
+    wlocal = Window.partitionBy("_blk").orderBy("_zm", order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = keyed.withColumn("_cum", F.count("*").over(wlocal))
+    totals = keyed.groupBy("_blk").agg(F.count("*").alias("_tot"))
+    offsets = _bucket_offsets(totals, "_blk", "_tot")
+    placed = local.join(F.broadcast(offsets), "_blk").withColumn(
+        "file_id", F.floor((F.col("_offset") + F.col("_cum") - 1) / rows_per_file)
+    )
+    return placed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("_za").alias("a_min"),
+        F.max("_za").alias("a_max"),
+        F.min("_zb").alias("b_min"),
+        F.max("_zb").alias("b_max"),
     )

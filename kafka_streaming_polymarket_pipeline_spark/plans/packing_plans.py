@@ -110,3 +110,45 @@ def sh2_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-epoch window, proving the bucketed form's equivalence."""
     docs = load(spark, sf_dir, "documents")
     return P.epoch_shuffle(docs, n_epochs=3)
+
+
+@register(
+    "z1_zorder_layout",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id % 65536 AS za,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 65536 AS zb
+  FROM events
+),
+m AS (
+  SELECT event_id, za, zb,
+         list_sum(list_transform(range(0, 16),
+           i -> (((za >> i) & 1)::BIGINT << (2 * i))
+              + (((zb >> i) & 1)::BIGINT << (2 * i + 1)))) AS zm
+  FROM e
+),
+r AS (SELECT *, row_number() OVER (ORDER BY zm, event_id) AS rn FROM m)
+SELECT (rn - 1) // {P.Z_ROWS_PER_FILE} AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(za) AS a_min, max(za) AS a_max,
+       min(zb) AS b_min, max(zb) AS b_max
+FROM r GROUP BY 1
+""",
+)
+def z1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (morton) file layout over events by (user_id, hour):
+    Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite as a first-class
+    query — per-file min/max stats (the data-skipping contract) are the
+    output, hash-gated. The oracle ranks with one naive global window;
+    the Spark side uses the two-phase Z-prefix-block rank (1024-way
+    parallel, no data-scale unpartitioned window) — hash equality proves
+    the two orderings identical."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    return P.zorder_layout(
+        ev,
+        F.col("user_id"),
+        F.floor(F.unix_timestamp("ts") / 3600),
+        order_col="event_id",
+    )

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: list[str] = [
     "a16_bloom_decontam",
     "a17_portable_hll",
     "w3_rank_battery",
+    "z1_zorder_layout",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",

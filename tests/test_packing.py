@@ -230,3 +230,27 @@ def test_epoch_shuffle_distinct_permutations(spark, sf_smoke):
     for k, pos in by_epoch.items():
         for d, p in pos.items():
             assert again[(d, k)] == p
+
+
+class TestZOrder:
+    def test_zorder_tightens_file_spans_vs_natural_order(self, spark):
+        """The point of the layout: per-file bounding boxes (what readers
+        prune on) must be far tighter under Z-order than insertion order.
+        Grid data: 4096 rows over a 64x64 (a,b) grid, 256 rows/file ->
+        natural order by id sweeps b fully per file (span ~63) while
+        Z-order keeps both spans ~sqrt(256)=16."""
+        from pyspark.sql import functions as F
+
+        from kafka_streaming_polymarket_pipeline_spark.operators import packing as P
+
+        rows = [(i, i % 64, i // 64) for i in range(4096)]  # id, a, b
+        df = spark.createDataFrame(rows, "event_id long, a long, b long")
+        z = P.zorder_layout(
+            df, F.col("a"), F.col("b"), rows_per_file=256, order_col="event_id"
+        ).collect()
+        # natural order: files of 256 consecutive ids
+        z_vol = sum((r["a_max"] - r["a_min"] + 1) * (r["b_max"] - r["b_min"] + 1) for r in z) / len(z)
+        nat_vol = 64 * 4  # 256 consecutive ids = full a-sweep x 4 b values
+        assert len(z) == 16 and all(r["n_rows"] == 256 for r in z)
+        assert z_vol == 256, z_vol  # perfect 16x16 tiles on a power-of-two grid
+        assert z_vol <= nat_vol  # and never worse than insertion order

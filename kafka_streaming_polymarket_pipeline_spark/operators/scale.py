@@ -93,3 +93,28 @@ def has_exchange(df: DataFrame) -> bool:
     tests to prove bucketed joins are co-located."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" in plan
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, salt_n: int = 16
+) -> DataFrame:
+    """Skew-tolerant shuffle join: the hot-key weapon for joins too big
+    to broadcast. Fact rows take a deterministic salt in [0, salt_n);
+    the dim side replicates each row salt_n times; the join runs on
+    (key, salt) so a hot key's rows spread over salt_n reducers instead
+    of melting one. Cost: dim shuffle volume x salt_n — use when the dim
+    is mid-sized (too big to broadcast, small enough to replicate) and
+    AQE's skew splitting can't apply (e.g. the join feeds a co-partitioned
+    downstream op). The shuffle_hash hint keeps Catalyst from
+    de-salting the plan by broadcasting the replicated dim. Result is
+    exactly the plain join (k2's oracle contract)."""
+    f = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt_n)).cast("int")
+    )
+    d = dim.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<int>")).alias(
+            "_salt"
+        ),
+    )
+    return f.join(d.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")

@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "a17_portable_hll",
     "w3_rank_battery",
     "z1_zorder_layout",
+    "k2_salted_join",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",

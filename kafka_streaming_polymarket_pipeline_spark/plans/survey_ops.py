@@ -1169,3 +1169,30 @@ def w3_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "k2_salted_join",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def k2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join under the correctness gate (k1's sibling for
+    joins): fact side salted, dim side replicated salt_n times, joined
+    on (key, salt) with a shuffle_hash hint so the plan actually
+    exercises the salted path. The oracle is the PLAIN join — hash
+    equality proves salting is result-invariant."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.scale import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    joined = salted_join(orders, cust, key="o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -131,3 +131,27 @@ def test_filter_and_projection_reach_parquet_scan(spark, sf_correct):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"event_id", "user_id", "value", "event_type"}
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain(spark):
+    """A 10k-row hot key must land on many salt partitions, and the
+    salted join must equal the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.scale import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(10_000)] + [(k, 0) for k in range(2, 50)],
+        "key long, payload long",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 50)], "key long, name string")
+    got = salted_join(fact, dim, key="key")
+    plain = fact.join(dim, "key")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # the hot key's rows carry >= half the salt space
+    n_salts = (
+        fact.filter(F.col("key") == 1)
+        .withColumn("_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(16)))
+        .select("_salt").distinct().count()
+    )
+    assert n_salts >= 8, n_salts

@@ -131,7 +131,9 @@ _DRIVER_PRIORITY: list[str] = [
     # r05 prefix: a1, a2, a3, j1, j2, j3, j4, j5, p1_substring_filter,
     # p2_window_containment, p3_projection_parse, p4_type_filter,
     # p5_event_dispatch, p6_explode_filter, p7_positive_filter,
-    # p8_null_empty_guards, p9_resolution_predicate.
+    # p8_null_empty_guards, p9_resolution_predicate — plus, displaced by
+    # the continuation's w3/z1/k2/a16/a17 rows: s1_ann_bruteforce_topk,
+    # s2_ann_ivf_topk, s3_ann_lsh_topk, s2_recall, s3_recall.
 ]
 
 

@@ -79,6 +79,9 @@ _DRIVER_PRIORITY: list[str] = [
     "w3_rank_battery",
     "z1_zorder_layout",
     "k2_salted_join",
+    "r12_priority_lines",
+    "r14_promo_share",
+    "r18_large_orders",
     # changed this round, newest green r02 (packing/shard roll-up rewrite)
     "pk1_pack_assignments",
     "pk2_sequence_fill",

@@ -429,3 +429,108 @@ def r7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("supp_nation", "cust_nation", "o_year").agg(
         F.round(F.sum("volume"), 2).alias("revenue")
     )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("r12_priority_lines", oracle=_Q12_ORACLE)
+def r12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation after a fact-fact join:
+    the filter prunes lineitem at the scan (pushed to parquet), the
+    orderkey join shuffles once, and both counts fold in a single
+    grouped pass (no second scan for the complement)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+"""
+
+
+@register("r14_promo_share", oracle=_Q14_ORACLE)
+def r14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: one broadcast join against
+    part, one global aggregate; the ratio divides two sums over the SAME
+    row set so accumulation-order noise cancels (the r8 discipline) and
+    6-dp rounding is safely cross-engine."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, t.sum_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+) t ON t.l_orderkey = o.o_orderkey
+"""
+
+
+@register("r18_large_orders", oracle=_Q18_ORACLE)
+def r18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: the HAVING subquery is an
+    aggregate-then-semi-join — the quantity rollup happens BEFORE the
+    order/customer joins, so only qualifying orderkeys (a tiny set)
+    reach the wide join. sum_qty is an exact integer-valued double sum
+    (quantities are whole numbers), so no rounding is needed."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )

@@ -603,3 +603,44 @@ def passage_chunks(
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText-style inference)
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_WEIGHT_MOD = 2001  # md5-derived stand-in weight table (see below)
+
+
+def _feature_weight(gram: Column) -> Column:
+    """Deterministic weight in [-1, 1] for one hashed feature: the first 8
+    md5 hex chars as an integer, mod 2001, recentred. Stands in for a
+    trained weight vector — inference cost and plan shape are identical to
+    a real fastText/logreg model whose weights would arrive as a broadcast
+    lookup or a hash-indexed expression like this one."""
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    return (h % CLASSIFIER_WEIGHT_MOD - F.lit(1000)) / 1000.0
+
+
+def quality_classifier_features(text: Column) -> dict[str, Column]:
+    """fastText-style (Joulin et al. 2016) hashed unigram+bigram linear
+    scorer, fully row-local: tokenize, build the gram bag, fold the
+    md5-hashed feature weights into a mean logit, squash to a probability.
+
+    Zero shuffle, zero UDF — at 100 TB this is a map-only pass inside
+    whole-stage codegen, the same plan a learned quality filter (e.g. the
+    CCNet/GPT-3 quality classifiers) runs at inference time.
+    """
+    toks = tokens(F.lower(text))
+    bigrams = F.when(F.size(toks) >= 2, _gram_join(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = F.concat(toks, bigrams)
+    n = F.greatest(F.size(grams).cast("long"), F.lit(1))
+    total = F.aggregate(grams, F.lit(0.0), lambda acc, g: acc + _feature_weight(g))
+    logit = total / n
+    return {
+        "n_features": F.size(grams).cast("long"),
+        "quality_logit": logit,
+        "quality_prob": F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)),
+    }

@@ -51,6 +51,17 @@ _REGISTRY: dict[str, Query] = {}
 # Union coverage across rounds is tracked in COVERAGE.md. Names absent
 # from this list keep registration order after the prioritized prefix.
 _DRIVER_PRIORITY: list[str] = [
+    # NEW (latest): TPC-H Q15/Q16/Q17/Q19/Q22-style heads (scalar
+    # subqueries, NOT IN anti-join, decorrelated per-part AVG, disjunctive
+    # join predicate, NOT EXISTS + scalar AVG), explicit-values PIVOT, and
+    # the fastText-style hashed-feature quality classifier
+    "r15_top_supplier",
+    "r16_supplier_counts",
+    "r17_small_qty_revenue",
+    "r19_disjunctive_join",
+    "r22_idle_balances",
+    "u6_pivot_status",
+    "t16_quality_classifier",
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite
@@ -136,7 +147,11 @@ _DRIVER_PRIORITY: list[str] = [
     # p5_event_dispatch, p6_explode_filter, p7_positive_filter,
     # p8_null_empty_guards, p9_resolution_predicate — plus, displaced by
     # the continuation's w3/z1/k2/a16/a17 rows: s1_ann_bruteforce_topk,
-    # s2_ann_ivf_topk, s3_ann_lsh_topk, s2_recall, s3_recall.
+    # s2_ann_ivf_topk, s3_ann_lsh_topk, s2_recall, s3_recall — plus, as
+    # the new r15/r16/r17/r19/r22/u6/t16 rows push the prefix window
+    # forward another 7: x1_hash_split, x2_stratified_sample,
+    # x3_mixture_sample, market_candles_15m, pricing_summary,
+    # g3_concentration, g4_winner_label.
 ]
 
 

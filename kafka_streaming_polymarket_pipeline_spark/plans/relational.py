@@ -534,3 +534,191 @@ def r18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@register("r15_top_supplier", oracle=_Q15_ORACLE)
+def r15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: the revenue "view" is one grouped agg
+    over a scan-pruned quarter; the MAX scalar subquery becomes a broadcast
+    1-row aggregate crossJoin (never a second shuffle of the fact). The
+    equality compares the 2-dp-ROUNDED revenue on BOTH sides, so a sub-cent
+    cross-engine accumulation difference cannot flip max/tie membership."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("r16_supplier_counts", oracle=_Q16_ORACLE)
+def r16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style distinct-supplier counts: the NOT IN subquery is a
+    broadcast left-anti join against the (tiny) excluded-supplier set —
+    NULL-safe here because s_suppkey is a key column; the part predicates
+    prune at the broadcast dim before the fact join; count(DISTINCT) runs
+    as Spark's two-level distinct aggregate (partial per-partition dedup,
+    so the shuffle carries distinct (group, suppkey) pairs, not rows)."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey AS pk, round(avg(l_quantity), 6) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("r17_small_qty_revenue", oracle=_Q17_ORACLE)
+def r17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: the correlated per-part AVG
+    subquery is decorrelated into one grouped aggregate joined back on
+    partkey — the agg and the probe co-partition on l_partkey so AQE can
+    plan a single exchange reuse; part is a broadcast dim. The threshold
+    compares against the 6-dp-ROUNDED avg on BOTH sides so a ~1e-15
+    accumulation-order difference cannot flip a borderline row."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("r19_disjunctive_join", oracle=_Q19_ORACLE)
+def r19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate across a join: the OR spans
+    both sides, so only the derivable per-side envelopes are pushed to the
+    scans (l_quantity BETWEEN 1 AND 30; the part brand/size union) — Spark
+    derives these via constraint propagation; the residual OR evaluates
+    post-join inside codegen. part stays a broadcast dim."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#24") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(disj).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+_Q22_ORACLE = """
+WITH ab AS (
+  SELECT round(avg(c_acctbal), 6) AS avg_bal FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT)  AS numcust,
+       round(sum(c_acctbal), 2)  AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+@register("r22_idle_balances", oracle=_Q22_ORACLE)
+def r22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style dormant high-balance customers (the spec's "no
+    orders for 7 years" dormancy test, scoped to the 1998+ window so the
+    result is non-degenerate on this data): the scalar AVG subquery is a
+    broadcast 1-row crossJoin; NOT EXISTS is a left-anti join where the
+    ORDERS side is date-pruned at the scan, then shuffles on custkey (at
+    100 TB orders is the big side — shuffled-hash, never broadcast). The
+    balance threshold compares the 6-dp-ROUNDED average on both sides."""
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

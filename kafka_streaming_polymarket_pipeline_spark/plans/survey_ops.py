@@ -867,6 +867,43 @@ def u5_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u6_pivot_status",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def u6_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on line status: wide per-status quantity/count columns per
+    return flag. The pivot values are passed EXPLICITLY, so Spark skips the
+    extra distinct-values job and the plan is a single grouped aggregation
+    with conditional folds (exactly the CASE WHEN expansion the oracle
+    writes) — one shuffle at any scale, and the output schema is static,
+    which a 1000-executor job needs for downstream contract stability."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("qty_f"),
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("qty_o"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+    )
+
+
+@register(
     "w1_running_sum",
     oracle="""
 SELECT user_id, ts, value,

@@ -764,3 +764,52 @@ def t15_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines."""
     docs = load(spark, sf_dir, "documents")
     return T.passage_chunks(docs, size=32, stride=24)
+
+
+_T16_WEIGHT_SQL = "((('0x' || substr(md5(t), 1, 8))::BIGINT % 2001) - 1000) / 1000.0"
+
+
+@register(
+    "t16_quality_classifier",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         toks || CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+           ELSE [] END AS grams
+  FROM base
+), s AS (
+  SELECT doc_id,
+         CAST(len(grams) AS BIGINT) AS n_features,
+         round(coalesce(list_sum(list_transform(grams, t -> {_T16_WEIGHT_SQL})), 0.0)
+               / greatest(CAST(len(grams) AS BIGINT), 1), 6) AS quality_logit
+  FROM g
+)
+SELECT doc_id, n_features, quality_logit,
+       round(1.0 / (1.0 + exp(-quality_logit)), 6) AS quality_prob,
+       quality_logit >= 0 AS keep
+FROM s
+""",
+)
+def t16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed unigram+bigram linear quality scorer (Joulin
+    et al. 2016; the CCNet/GPT-3 quality-filter inference shape): md5
+    feature hashing, mean-pooled logit, sigmoid probability, keep flag.
+    Row-local and UDF-free — a map-only whole-stage-codegen pass at any
+    corpus size. The sigmoid is applied to the 6-dp-ROUNDED logit on both
+    engines so libm exp() differences operate on identical inputs, and the
+    keep flag thresholds the same rounded value."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.quality_classifier_features(F.col("text"))
+    logit = F.round(f["quality_logit"], 6)
+    return docs.select(
+        "doc_id",
+        f["n_features"].alias("n_features"),
+        logit.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
+        (logit >= 0).alias("keep"),
+    )

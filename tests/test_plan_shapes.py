@@ -76,6 +76,10 @@ ALLOWED_NESTED = {
                              "(benchmark suites are small by nature); "
                              "scoring is map-side, the only shuffle is "
                              "the |eval|-row-group argmax window",
+    "r15_top_supplier": "crossJoin against the broadcast one-row MAX "
+                        "revenue aggregate (TPC-H Q15's scalar subquery)",
+    "r22_idle_balances": "crossJoin against the broadcast one-row AVG "
+                         "balance aggregate (TPC-H Q22's scalar subquery)",
 }
 
 

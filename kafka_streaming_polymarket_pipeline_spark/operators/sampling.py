@@ -122,3 +122,51 @@ def stratified_exact_sample(
         .filter(F.col("_rn") <= F.ceil(fraction * F.col("_n")))
         .select(id_col, stratum_col)
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    train: int = 80,
+    validation: int = 10,
+) -> DataFrame:
+    """Leakage-safe split: the bucket hashes ONLY the group key, so every
+    row of a group (a crawl domain, a document source) lands in the same
+    split — near-duplicates that share provenance cannot straddle
+    train/test (the GroupShuffleSplit contract). Map-only: no join against
+    a group table, no shuffle, identical assignment on every engine."""
+    b = F.conv(F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % NUM_BUCKETS
+    return df.select(
+        "doc_id",
+        group_col,
+        F.when(b < train, "train")
+        .when(b < train + validation, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    (2006) exponential-key trick: u = deterministic uniform from md5(id),
+    key = ln(u) / w, keep the k largest keys. One distributed top-k
+    (TakeOrderedAndProject: per-partition heaps merged at the driver —
+    never a global sort), so a 1B-row corpus draws a k-row sample with
+    map-side work plus a k-row merge. The key is ROUNDED to 9 dp with an
+    id tie-break so libm-vs-JVM log() ulp differences cannot reorder the
+    cut on any engine."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    key = F.round(F.log(u) / weight_col, 9)
+    return (
+        df.select(F.col(id_col), weight_col.alias("weight"), key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

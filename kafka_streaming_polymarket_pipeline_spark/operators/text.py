@@ -644,3 +644,26 @@ def quality_classifier_features(text: Column) -> dict[str, Column]:
         "quality_logit": logit,
         "quality_prob": F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)),
     }
+
+
+def char_entropy_features(text: Column) -> dict[str, Column]:
+    """Shannon entropy of the character distribution plus distinct-char
+    count — the low-entropy/gibberish quality filter (binary junk scores
+    near 0 bits; natural language sits ~4 bits/char). Row-local: the
+    distinct alphabet is sorted before the probability fold so BOTH
+    engines sum the same terms in the same order, and the per-doc cost is
+    O(alphabet x len) with alphabet bounded by the charset (~100)."""
+    chars = F.split(text, "")
+    n = F.greatest(F.size(chars).cast("long"), F.lit(1))
+    alphabet = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(alphabet, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n),
+    )
+    return {
+        "n_chars_split": F.size(chars).cast("long"),
+        "n_distinct_chars": F.size(alphabet).cast("long"),
+        "char_entropy_bits": entropy,
+    }

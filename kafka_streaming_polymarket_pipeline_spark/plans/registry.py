@@ -62,6 +62,11 @@ _DRIVER_PRIORITY: list[str] = [
     "r22_idle_balances",
     "u6_pivot_status",
     "t16_quality_classifier",
+    # NEW (latest): leakage-safe group split, Efraimidis-Spirakis weighted
+    # sampling, Shannon char-entropy quality gate
+    "x7_group_split",
+    "x8_weighted_sample",
+    "t17_char_entropy",
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite
@@ -148,10 +153,12 @@ _DRIVER_PRIORITY: list[str] = [
     # p8_null_empty_guards, p9_resolution_predicate — plus, displaced by
     # the continuation's w3/z1/k2/a16/a17 rows: s1_ann_bruteforce_topk,
     # s2_ann_ivf_topk, s3_ann_lsh_topk, s2_recall, s3_recall — plus, as
-    # the new r15/r16/r17/r19/r22/u6/t16 rows push the prefix window
-    # forward another 7: x1_hash_split, x2_stratified_sample,
-    # x3_mixture_sample, market_candles_15m, pricing_summary,
-    # g3_concentration, g4_winner_label.
+    # the new r15/r16/r17/r19/r22/u6/t16/x7/x8/t17 rows push the prefix
+    # window forward another 10 (the r04 prefix now ends at
+    # d5b_embedding_neardup_blocked): g1_momentum_volatility,
+    # g2_whale_deltas, g3_concentration, g4_winner_label, x1_hash_split,
+    # x2_stratified_sample, x3_mixture_sample, market_candles_15m,
+    # pricing_summary, shipping_priority_top10.
 ]
 
 

@@ -265,3 +265,53 @@ def x6_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("capped"), F.lit(1.0)).otherwise(fill / F.col("n_docs")), 6
         ).alias("epochs"),
     )
+
+
+@register(
+    "x7_group_split",
+    oracle="""
+SELECT doc_id, source,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+)
+""",
+)
+def x7_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP split: the bucket hashes only the source key, so
+    every doc from one provenance group lands in the same split and
+    shared-boilerplate near-dups cannot straddle train/test (the
+    GroupShuffleSplit contract). Map-only at any corpus size."""
+    return S.group_split(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "x8_weighted_sample",
+    oracle="""
+SELECT doc_id, weight, sample_key FROM (
+  SELECT doc_id,
+         greatest(n_chars, 1) AS weight,
+         round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                  / 4294967296.0) / greatest(n_chars, 1), 9) AS sample_key,
+         row_number() OVER (
+           ORDER BY round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                            / 4294967296.0) / greatest(n_chars, 1), 9) DESC,
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 500
+""",
+)
+def x8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006),
+    length-weighted: key = ln(u)/w from a deterministic md5 uniform, keep
+    the 500 largest. Compiles to TakeOrderedAndProject (per-partition
+    heaps, k-row driver merge — no global sort); the 9-dp-rounded key +
+    doc_id tie-break keeps the cut engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    return S.weighted_sample_topk(
+        docs, k=500, weight_col=F.greatest(F.col("n_chars"), F.lit(1))
+    )

@@ -813,3 +813,40 @@ def t16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
         (logit >= 0).alias("keep"),
     )
+
+
+@register(
+    "t17_char_entropy",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, string_split(text, '') AS chars FROM documents
+), a AS (
+  SELECT doc_id, chars,
+         CAST(greatest(len(chars), 1) AS DOUBLE) AS n,
+         list_sort(list_distinct(chars)) AS alphabet
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(chars) AS BIGINT)    AS n_chars_split,
+       CAST(len(alphabet) AS BIGINT) AS n_distinct_chars,
+       round(-coalesce(list_sum(list_transform(alphabet,
+             ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)
+                   * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n))),
+             0.0), 6) + 0.0 AS char_entropy_bits
+FROM a
+""",
+)
+def t17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the low-entropy/gibberish
+    quality gate (binary junk ~0 bits, natural text ~4 bits/char).
+    Row-local map-only pass; the alphabet is SORTED before the probability
+    fold so both engines sum identical terms in identical order, and
+    `+ 0.0` canonicalizes the single-char doc's -0.0."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.char_entropy_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars_split"].alias("n_chars_split"),
+        f["n_distinct_chars"].alias("n_distinct_chars"),
+        (F.round(f["char_entropy_bits"], 6) + F.lit(0.0)).alias("char_entropy_bits"),
+    )

@@ -723,3 +723,86 @@ def semantic_decontam(
             (F.col("_cos") >= threshold).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (1-bit sign codes) + Hamming scan + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def binary_codes(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """1-bit sign quantization: dim d contributes bit (v[d] > 0), packed
+    into two 32-bit halves (two BIGINTs, not one: a 64-bit pack would
+    overflow the sign bit, which DuckDB rejects and Java silently wraps —
+    the split keeps the fold portable AND overflow-free on both engines).
+    512x compression over float64; map-only."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def pack(start: int) -> Column:
+        idx = F.sequence(F.lit(start + 1), F.lit(start + 32))
+        return F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(v, i.cast("int")) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+
+    return df.select(F.col(id_col), pack(0).alias("code_hi"), pack(32).alias("code_lo"))
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-rescoring ANN tier: Hamming distance over 64-bit sign codes
+    picks a `pool`-size candidate set per query (two XOR + popcount per
+    pair — the cheapest possible scan, and the codes table is 512x smaller
+    than the vectors, so at 1B vectors it stays executor-resident where
+    floats cannot); exact cosine reranks only |Q| x pool rows. Candidate
+    selection is pure integer arithmetic (engine-exact, no rounding
+    needed); only the rerank touches floats. The scan is a broadcast
+    non-equi pass like s1's exact baseline — the production variant
+    shards the code table and replicates the (tiny) query codes, which is
+    the same plan Spark executes here."""
+    cc = binary_codes(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("code_hi").alias("_ch"),
+        F.col("code_lo").alias("_cl"),
+    )
+    qc = binary_codes(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("code_hi").alias("_qh"),
+        F.col("code_lo").alias("_ql"),
+    )
+    ham = (
+        F.bit_count(F.col("_qh").bitwiseXOR(F.col("_ch")))
+        + F.bit_count(F.col("_ql").bitwiseXOR(F.col("_cl")))
+    ).cast("int")
+    cand = (
+        cc.join(F.broadcast(qc), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    wpool = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    pooled = cand.withColumn("_pr", F.row_number().over(wpool)).filter(F.col("_pr") <= pool)
+    c = _prep(corpus, id_col, vec_col, "_nid", "_vc")
+    q = _prep(queries, id_col, vec_col, "_qid", "_vq")
+    scored = (
+        pooled.join(c, pooled.neighbor_id == F.col("_nid"))
+        .join(F.broadcast(q), pooled.query_id == F.col("_qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_vq_n") * F.col("_vc_n"))).alias("_c"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", F.round("_c", 6).alias("cosine"), "rank")
+    )

@@ -542,3 +542,92 @@ def d10_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = emb.filter(F.col("vec_id") < N_EVAL)
     corpus = emb.filter(F.col("vec_id") >= N_EVAL)
     return S.semantic_decontam(corpus, eval_set, threshold=DECONTAM_THRESHOLD)
+
+
+# Binary sign-bit codes replicated in SQL: two 32-bit halves folded
+# MSB-first (list_reduce, the t4 rolling-hash idiom), integer Hamming
+# candidate pool, exact-cosine rerank.
+_BQ_POOL = 100  # recall@10: 0.64 at pool=50, 0.80 at 100, 0.90 at 150 (sf0.01)
+
+
+def _bq_sql() -> str:
+    def pack(lo: int, hi: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(generate_series({lo}, {hi}), "
+            "i -> CAST(CASE WHEN e[i] > 0 THEN 1 ELSE 0 END AS BIGINT))), "
+            "(acc, b) -> acc * 2 + b)"
+        )
+
+    return f"""
+bq_codes AS (
+  SELECT vec_id, {pack(1, 32)} AS code_hi, {pack(33, 64)} AS code_lo FROM v
+),
+bq_qcodes AS (SELECT * FROM bq_codes WHERE vec_id < {N_QUERIES}),
+bq_ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.code_hi, c.code_hi))
+              + bit_count(xor(q.code_lo, c.code_lo)) AS INTEGER) AS hamming
+  FROM bq_qcodes q JOIN bq_codes c ON q.vec_id <> c.vec_id
+),
+bq_pool AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT query_id, neighbor_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS pr
+    FROM bq_ham
+  ) WHERE pr <= {_BQ_POOL}
+),
+bq_scored AS (
+  SELECT p.query_id, p.neighbor_id, p.hamming,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS c
+  FROM bq_pool p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN v c ON c.vec_id = p.neighbor_id
+),
+bq_topk AS (
+  SELECT query_id, neighbor_id, hamming, c, rn FROM (
+    SELECT query_id, neighbor_id, hamming, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+    FROM bq_scored
+  ) WHERE rn <= {TOP_K}
+)"""
+
+
+@register(
+    "q4_binary_hamming_topk",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_bq_sql()}
+SELECT query_id, neighbor_id, hamming, round(c, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM bq_topk
+""",
+)
+def q4_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-rescoring ANN: 1-bit sign codes (512x compression — the tier
+    that stays executor-resident at 1B vectors), integer Hamming candidate
+    pool (engine-exact, no rounding anywhere in selection), exact-cosine
+    rerank of |Q| x pool rows. The whole pipeline is SQL-replicated."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.binary_hamming_topk(emb, queries, k=TOP_K, pool=_BQ_POOL)
+
+
+@register(
+    "q4_recall",
+    oracle=f"""
+WITH {_BRUTE_SQL}, {_bq_sql()},
+hits AS (
+  SELECT b.query_id, b.neighbor_id FROM brute_topk b
+  JOIN bq_topk a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+{_RECALL_SELECT}
+""",
+)
+def q4_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable binary-quantization quality gate: recall@10 of q4
+    against the exact s1 baseline, from integer hit counts."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    approx = S.binary_hamming_topk(emb, queries, k=TOP_K, pool=_BQ_POOL)
+    return _recall_frame(spark, sf_dir, approx)

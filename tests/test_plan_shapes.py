@@ -76,6 +76,12 @@ ALLOWED_NESTED = {
                              "(benchmark suites are small by nature); "
                              "scoring is map-side, the only shuffle is "
                              "the |eval|-row-group argmax window",
+    "q4_binary_hamming_topk": "Hamming scan: broadcast 100-row query codes "
+                              "against the corpus codes on a non-equi "
+                              "self-exclusion predicate (s1's regime, but "
+                              "over 512x-compressed codes that stay "
+                              "executor-resident at 1B vectors)",
+    "q4_recall": "embeds s1 (exact baseline) and q4 (broadcast code scan)",
     "r15_top_supplier": "crossJoin against the broadcast one-row MAX "
                         "revenue aggregate (TPC-H Q15's scalar subquery)",
     "r22_idle_balances": "crossJoin against the broadcast one-row AVG "

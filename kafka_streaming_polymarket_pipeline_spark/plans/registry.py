@@ -67,9 +67,12 @@ _DRIVER_PRIORITY: list[str] = [
     "x7_group_split",
     "x8_weighted_sample",
     "t17_char_entropy",
-    # NEW (latest): binary sign-bit quantization ANN tier + recall gate
+    # NEW (latest): binary sign-bit quantization ANN tier + recall gate,
+    # set-op completion (INTERSECT distinct / EXCEPT ALL multiset)
     "q4_binary_hamming_topk",
     "q4_recall",
+    "u7_intersect_users",
+    "u8_except_all_pairs",
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite

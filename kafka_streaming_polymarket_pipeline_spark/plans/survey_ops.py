@@ -904,6 +904,51 @@ def u6_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u7_intersect_users",
+    oracle="""
+SELECT user_id, event_type
+FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+INTERSECT
+SELECT user_id, event_type
+FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+""",
+)
+def u7_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): (user, event_type) pairs active
+    in BOTH halves of the month — retention overlap. Spark plans this as
+    partial-distinct then a single hash join on the full row, one shuffle
+    per side; no row explosion at any scale."""
+    ev = load(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    a = ev.filter(F.col("ts") < mid).select("user_id", "event_type")
+    b = ev.filter(F.col("ts") >= mid).select("user_id", "event_type")
+    return a.intersect(b)
+
+
+@register(
+    "u8_except_all_pairs",
+    oracle="""
+SELECT user_id, event_type
+FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+EXCEPT ALL
+SELECT user_id, event_type
+FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+""",
+)
+def u8_except_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): per-pair activity surplus of the
+    first half over the second — each (user, type) emits
+    max(m1 - m2, 0) duplicate rows. Spark's ExceptAll rewrites to a
+    count-per-side aggregate + generate, so the shuffle carries distinct
+    pairs with counts, never the raw duplicated rows."""
+    ev = load(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    a = ev.filter(F.col("ts") < mid).select("user_id", "event_type")
+    b = ev.filter(F.col("ts") >= mid).select("user_id", "event_type")
+    return a.exceptAll(b)
+
+
+@register(
     "w1_running_sum",
     oracle="""
 SELECT user_id, ts, value,

@@ -73,6 +73,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q4_recall",
     "u7_intersect_users",
     "u8_except_all_pairs",
+    # NEW (latest): time-based RANGE frame, ordered funnel, cohort
+    # retention — the analytics-engine trio
+    "w4_trailing_range_window",
+    "a18_funnel_stages",
+    "a19_cohort_retention",
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite

@@ -1278,3 +1278,146 @@ def k2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "w4_trailing_range_window",
+    oracle="""
+SELECT user_id, ts, value,
+       round(sum(value) OVER w, 2)          AS trailing_1h_sum,
+       CAST(count(*) OVER w AS BIGINT)      AS trailing_1h_n
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def w4_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame trailing window: per-user 1-hour trailing volume — the
+    time-based frame w1's ROWS frame can't express (ties and gaps in event
+    time change the frame contents). Ordered on integer MICROSECONDS
+    (unix_micros / epoch_us) so the frame boundary arithmetic is exact and
+    identical on both engines; one sort-shuffle per user partition."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000 * 1000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_n"),
+    )
+
+
+@register(
+    "a18_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase,
+       round((SELECT count(*) FROM p) * 1.0
+             / greatest((SELECT count(*) FROM v), 1), 6) AS conversion
+""",
+)
+def a18_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> later click -> later purchase): three
+    chained per-user aggregations, all partitioned on user_id so the
+    exchanges co-locate and AQE reuses them; stage timestamps are exact
+    event-time minima (no floats until the final rounded ratio). The
+    sequencing predicate (strictly-later) is the part a naive
+    count-per-type 'funnel' gets wrong."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click_purchase")
+                / F.greatest(F.col("n_view"), F.lit(1)),
+                6,
+            ).alias("conversion"),
+        )
+    )
+
+
+@register(
+    "a19_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+         AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN first_seen f ON f.user_id = e.user_id
+GROUP BY 1, 2
+""",
+)
+def a19_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    distinct on each later activity day offset. One aggregate for first
+    touch, one fact-side join on user_id (co-partitioned with the
+    aggregate's exchange), one distinct-count aggregate — the layout a
+    1000-executor retention job wants: no window over the whole fact, no
+    per-cohort scans. Offsets are integer day arithmetic, engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

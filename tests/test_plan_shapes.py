@@ -82,6 +82,8 @@ ALLOWED_NESTED = {
                               "over 512x-compressed codes that stay "
                               "executor-resident at 1B vectors)",
     "q4_recall": "embeds s1 (exact baseline) and q4 (broadcast code scan)",
+    "a18_funnel_stages": "two crossJoins of broadcast ONE-ROW stage-count "
+                         "aggregates (funnel summary row assembly)",
     "r15_top_supplier": "crossJoin against the broadcast one-row MAX "
                         "revenue aggregate (TPC-H Q15's scalar subquery)",
     "r22_idle_balances": "crossJoin against the broadcast one-row AVG "

@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "w4_trailing_range_window",
     "a18_funnel_stages",
     "a19_cohort_retention",
+    "w5_scd2_intervals",
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite

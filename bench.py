@@ -55,6 +55,12 @@ HEADLINE = [
     "w1_running_sum",         # frame-based running window
     "w2_session_windows",     # gap-based session windows
     "a12_percentiles",        # exact percentile distribution
+    "q4_binary_hamming_topk", # binary sign-bit ANN (integer Hamming scan)
+    "t16_quality_classifier", # hashed-feature linear quality scorer
+    "a18_funnel_stages",      # ordered funnel (chained co-partitioned aggs)
+    "a19_cohort_retention",   # cohort retention triangle
+    "r17_small_qty_revenue",  # decorrelated per-part AVG head
+    "x8_weighted_sample",     # Efraimidis-Spirakis weighted top-k draw
 ]
 
 

@@ -630,10 +630,12 @@ WHERE p_brand = 'Brand#23'
 def r17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style small-quantity revenue: the correlated per-part AVG
     subquery is decorrelated into one grouped aggregate joined back on
-    partkey — the agg and the probe co-partition on l_partkey so AQE can
-    plan a single exchange reuse; part is a broadcast dim. The threshold
-    compares against the 6-dp-ROUNDED avg on BOTH sides so a ~1e-15
-    accumulation-order difference cannot flip a borderline row."""
+    partkey — agg output and probe side hash-partition on the same key,
+    so the join adds no THIRD repartition of either side (the two
+    l_partkey exchanges are the floor for an agg-join-self shape); part
+    is a broadcast dim. The threshold compares against the 6-dp-ROUNDED
+    avg on BOTH sides so a ~1e-15 accumulation-order difference cannot
+    flip a borderline row."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(

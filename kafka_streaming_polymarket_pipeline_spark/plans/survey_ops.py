@@ -1389,11 +1389,12 @@ def a18_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a19_cohort_retention",
     oracle="""
 WITH first_seen AS (
-  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
   FROM events GROUP BY user_id
 )
 SELECT f.cohort_day,
-       CAST(date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+       CAST(date_diff('day', CAST(f.cohort_day AS DATE),
+                       CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
          AS day_offset,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
 FROM events e JOIN first_seen f ON f.user_id = e.user_id
@@ -1408,14 +1409,19 @@ def a19_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor retention job wants: no window over the whole fact, no
     per-cohort scans. Offsets are integer day arithmetic, engine-exact."""
     ev = load(spark, sf_dir, "events")
+    # cohort_day stays a TIMESTAMP (midnight) rather than a DATE: the
+    # date/timestamp distinction survives Arrow->pandas differently per
+    # engine, and the midnight timestamp is the portable representation.
     first_seen = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
     )
     return (
         ev.join(first_seen, "user_id")
         .groupBy(
             "cohort_day",
-            F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("cohort_day"))
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))), F.to_date("cohort_day")
+            )
             .cast("long")
             .alias("day_offset"),
         )

@@ -40,13 +40,12 @@ _REGISTRY: dict[str, Query] = {}
 # round (CORRECTNESS_r01..r03 are each exactly the registry's 50-entry
 # prefix). With >50 registered queries, iteration order decides which get
 # an official audited row, so the order rotates per round so that every
-# query's newest green row stays <=2 rounds old. Round-4 prefix = the 48
-# queries whose newest green row is r02 (everything r03 re-audited is 1
-# round old already) + the two r03-green queries whose code changed this
-# round (t11 rank-rounding fix, e2e_corpus_build_t repeat-clamp fix).
-# pk1/pk2/sh1 also changed this round (two-level offset roll-up) and are
-# in the stale-48. a13_approx_count_distinct stays OUT of the prefix: its
-# row is permanently rows-only (HLL estimates are engine-specific) and its
+# query's newest green row stays <=2 rounds old. Round-4 prefix policy:
+# every query that has NEVER held an official row leads (the round-4
+# additions, newest first), then queries whose code changed this round,
+# then everything whose newest green row is r02.
+# a13_approx_count_distinct stays OUT of the prefix: its row is
+# permanently rows-only (HLL estimates are engine-specific) and its
 # error bound is hash-gated by a13b, which holds a green r03 row.
 # Union coverage across rounds is tracked in COVERAGE.md. Names absent
 # from this list keep registration order after the prioritized prefix.

@@ -140,3 +140,46 @@ def test_r22_returned_customers_have_no_recent_orders(spark, sf_correct):
         .count()
     )
     assert total == expect > 0
+
+
+def _plan(spark, sf, name):
+    df = plans.all_queries()[name](spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_x8_is_take_ordered_no_shuffle(spark, sf_smoke):
+    """The weighted draw must compile to TakeOrderedAndProject with ZERO
+    exchanges — per-partition heaps merged at the driver. Any regression
+    to a global sort or a row_number window would show up here."""
+    p = _plan(spark, sf_smoke, "x8_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_w5_scd2_reuses_one_sort(spark, sf_smoke):
+    """lag-collapse and lead-close share the (user, ts, event_id) order:
+    the executed plan must hold exactly one shuffle and one sort feeding
+    both Window nodes."""
+    import re
+
+    p = _plan(spark, sf_smoke, "w5_scd2_intervals")
+    assert len(re.findall(r"Exchange", p)) == 1
+    assert len(re.findall(r"\bSort\b", p)) == 1
+    assert len(re.findall(r"\bWindow\b", p)) == 2
+
+
+def test_a19_has_no_window_over_fact(spark, sf_smoke):
+    """Cohort retention is aggregate + join + aggregate — never a window
+    pass over the event fact."""
+    p = _plan(spark, sf_smoke, "a19_cohort_retention")
+    assert "Window" not in p
+
+
+def test_r17_exchange_floor(spark, sf_smoke):
+    """The decorrelated per-part AVG shape: 2 data shuffles on l_partkey +
+    1 broadcast + the final 1-row aggregate exchange = 4. A fifth exchange
+    means the join stopped aligning with the aggregate's partitioning."""
+    import re
+
+    p = _plan(spark, sf_smoke, "r17_small_qty_revenue")
+    assert len(re.findall(r"Exchange", p)) <= 4

@@ -646,24 +646,47 @@ def quality_classifier_features(text: Column) -> dict[str, Column]:
     }
 
 
-def char_entropy_features(text: Column) -> dict[str, Column]:
-    """Shannon entropy of the character distribution plus distinct-char
-    count — the low-entropy/gibberish quality filter (binary junk scores
-    near 0 bits; natural language sits ~4 bits/char). Row-local: the
-    distinct alphabet is sorted before the probability fold so BOTH
-    engines sum the same terms in the same order, and the per-doc cost is
-    O(alphabet x len) with alphabet bounded by the charset (~100)."""
-    chars = F.split(text, "")
-    n = F.greatest(F.size(chars).cast("long"), F.lit(1))
-    alphabet = F.array_sort(F.array_distinct(chars))
-    counts = F.transform(alphabet, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+def char_entropy_frame(df, text_col: str = "text"):
+    """Attach `n_chars_split`, `n_distinct_chars`, `char_entropy_bits`
+    (unrounded) for the Shannon character entropy of ``text_col`` — the
+    low-entropy/gibberish quality filter (binary junk scores near 0 bits;
+    natural language sits ~4 bits/char).
+
+    O(len log len) per document: the sorted char array is MATERIALIZED as
+    a column (an expression referenced from inside a lambda is re-evaluated
+    per element — the same transform+slice trap `_gram_join` documents, and
+    a naive alphabet x len membership count measured 45 s at 50k docs,
+    while an inlined get(sort(...), i) boundary scan degraded to
+    O(len^2 log len); the materialized form is a run-boundary scan over one
+    sort). Run lengths emerge in sorted-char order — the SAME order the
+    oracle's sorted-alphabet transform uses — so the probability fold sums
+    identical terms in identical order on both engines. get() is
+    OOB-null-safe under ANSI, and `i == size-1` ORs TRUE before the null
+    comparison can matter."""
+    chars = F.split(F.col(text_col), "")
+    d = df.withColumn("_t17_srt", F.array_sort(chars))
+    srt = F.col("_t17_srt")
+    size = F.size(srt)
+    # 0-based positions i where a run ends: last index, or srt[i] != srt[i+1].
+    d = d.withColumn(
+        "_t17_bounds",
+        F.filter(
+            F.sequence(F.lit(0), size - 1),
+            lambda i: (i == size - 1) | (F.get(srt, i) != F.get(srt, i + 1)),
+        ),
+    )
+    bounds = F.col("_t17_bounds")
+    n = F.greatest(size.cast("long"), F.lit(1))
+    prev = F.concat(F.array(F.lit(-1)), F.slice(bounds, 1, F.size(bounds) - 1))
+    counts = F.zip_with(bounds, prev, lambda b, p: b - p)
     entropy = -F.aggregate(
         counts,
         F.lit(0.0),
         lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n),
     )
-    return {
-        "n_chars_split": F.size(chars).cast("long"),
-        "n_distinct_chars": F.size(alphabet).cast("long"),
-        "char_entropy_bits": entropy,
-    }
+    return (
+        d.withColumn("n_chars_split", size.cast("long"))
+        .withColumn("n_distinct_chars", F.size(bounds).cast("long"))
+        .withColumn("char_entropy_bits", entropy)
+        .drop("_t17_srt", "_t17_bounds")
+    )

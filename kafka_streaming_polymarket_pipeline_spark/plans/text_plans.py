@@ -843,10 +843,10 @@ def t17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold so both engines sum identical terms in identical order, and
     `+ 0.0` canonicalizes the single-char doc's -0.0."""
     docs = load(spark, sf_dir, "documents")
-    f = T.char_entropy_features(F.col("text"))
-    return docs.select(
+    f = T.char_entropy_frame(docs)
+    return f.select(
         "doc_id",
-        f["n_chars_split"].alias("n_chars_split"),
-        f["n_distinct_chars"].alias("n_distinct_chars"),
-        (F.round(f["char_entropy_bits"], 6) + F.lit(0.0)).alias("char_entropy_bits"),
+        "n_chars_split",
+        "n_distinct_chars",
+        (F.round(F.col("char_entropy_bits"), 6) + F.lit(0.0)).alias("char_entropy_bits"),
     )

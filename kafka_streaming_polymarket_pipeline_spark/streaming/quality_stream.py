@@ -35,10 +35,9 @@ def quality_features_frame(docs: DataFrame, entropy_min: float = ENTROPY_MIN_BIT
     entropy above the gibberish floor (low-entropy filter).
     """
     clf = T.quality_classifier_features(F.col("text"))
-    ent = T.char_entropy_features(F.col("text"))
     logit = F.round(clf["quality_logit"], 6)
-    entropy = F.round(ent["char_entropy_bits"], 6) + F.lit(0.0)
-    return docs.select(
+    entropy = F.round(F.col("char_entropy_bits"), 6) + F.lit(0.0)
+    return T.char_entropy_frame(docs).select(
         "doc_id",
         "lang",
         "source",

@@ -36,7 +36,9 @@ LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # en-heavy like the driver's
 QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
            "q3_ivf_pq_topk", "s1_ann_bruteforce_topk", "t14_span_scrub",
            "d3c_minhash_lsh_dfpruned", "c1_kmeans_assign", "d8_semantic_dedup",
-           "b1_bm25_topk", "d10_semantic_decontam", "c2_pagerank"]
+           "b1_bm25_topk", "d10_semantic_decontam", "c2_pagerank",
+           "q4_binary_hamming_topk", "t16_quality_classifier",
+           "t17_char_entropy", "x8_weighted_sample"]
 SCALES = {"0.1e": (5_000, 2_000), "0.3e": (15_000, 6_000), "1e": (50_000, 20_000)}
 # d3's cost driver is similar-pair mass, quadratic on this templated corpus
 # by construction — cap it at 0.3e unless --d3-full is passed.
@@ -55,6 +57,7 @@ def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:
         "lang": pa.array([LANGS[i] for i in rng.randint(0, len(LANGS), n_docs)]),
         "source": pa.array([f"src{i}" for i in rng.randint(0, 20, n_docs)]),
         "text": pa.array(texts),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     os.makedirs(dirpath, exist_ok=True)
     pq.write_table(docs, os.path.join(dirpath, "documents.parquet"))
@@ -75,7 +78,16 @@ def main() -> None:
 
     for label, (nd, ne) in SCALES.items():
         d = os.path.join(BASE, label)
-        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        docs_path = os.path.join(d, "documents.parquet")
+        stale = True
+        if os.path.exists(docs_path) and os.path.exists(os.path.join(d, "embeddings.parquet")):
+            import pyarrow.parquet as _pq
+
+            # A --keep dir from an older generator version may lack newer
+            # columns (n_chars bit us once) — regenerate on schema drift.
+            stale = "n_chars" not in _pq.read_schema(docs_path).names
+        if stale:
+            shutil.rmtree(d, ignore_errors=True)
             gen(d, nd, ne)
 
     registry = plans.all_queries()

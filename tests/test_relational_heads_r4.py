@@ -111,10 +111,11 @@ def test_t17_entropy_known_values(spark):
     df = spark.createDataFrame(
         [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "a")], ["doc_id", "text"]
     )
-    f = T.char_entropy_features(F.col("text"))
     got = {
         r.doc_id: r.h
-        for r in df.select("doc_id", F.round(f["char_entropy_bits"], 9).alias("h")).collect()
+        for r in T.char_entropy_frame(df)
+        .select("doc_id", F.round(F.col("char_entropy_bits"), 9).alias("h"))
+        .collect()
     }
     assert got[1] == 0.0
     assert got[2] == 1.0  # two symbols, uniform

@@ -78,6 +78,11 @@ _DRIVER_PRIORITY: list[str] = [
     "a18_funnel_stages",
     "a19_cohort_retention",
     "w5_scd2_intervals",
+    # NEW (latest): the last reachable TPC-H shapes (Q6 scan-agg, Q9
+    # profit rollup, Q10 returned-item top-20)
+    "r6_forecast_revenue",
+    "r9_profit_by_nation_year",
+    "r10_returned_top20",
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite

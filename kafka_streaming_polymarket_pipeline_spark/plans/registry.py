@@ -83,6 +83,11 @@ _DRIVER_PRIORITY: list[str] = [
     "r6_forecast_revenue",
     "r9_profit_by_nation_year",
     "r10_returned_top20",
+    # NEW (latest): gap-fill/ffill resample, value histogram, statistical
+    # aggregate family (corr/covar/stddev)
+    "a20_gap_fill_ffill",
+    "a21_value_histogram",
+    "a22_type_trend_corr",
     # NEW this round, never audited: real video decode (rows-only by
     # nature — JPEG pixel math is not SQL-expressible; pixel exactness is
     # asserted in tests/test_multimodal.py) and the span-scrub rewrite

@@ -1474,3 +1474,131 @@ def w5_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "a20_gap_fill_ffill",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, hr, any_value(lv) AS last_value FROM (
+    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+           last_value(value) OVER (
+             PARTITION BY user_id, date_trunc('hour', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+    FROM events WHERE user_id < 10
+  )
+  GROUP BY user_id, hr
+), grid AS (
+  SELECT u.user_id, g.g AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) u,
+       generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-30 23:00:00',
+                       INTERVAL 1 HOUR) AS g(g)
+)
+SELECT g.user_id, g.grid_ts,
+       last_value(h.last_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.grid_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       (h.last_value IS NULL) AS was_gap
+FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.grid_ts
+""",
+)
+def a20_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill: downsample to hourly
+    last-wins values, explode a fixed hourly grid per key, left-join, and
+    carry the last observation forward (last(ignorenulls) over an ordered
+    frame). The resample-and-ffill primitive every feature pipeline needs
+    when sensors/markets go quiet. The grid explode is per-key and
+    calendar-bounded (720 rows/key/month regardless of corpus size) and
+    the ffill is one sort-shuffle per key — no global pass. Values are
+    exact max_by passthroughs, so nothing needs rounding."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        F.col("user_id").alias("h_user"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("last_value"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    joined = grid.join(
+        hourly,
+        (F.col("user_id") == F.col("h_user")) & (F.col("grid_ts") == F.col("hr")),
+        "left",
+    ).select("user_id", "grid_ts", "last_value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "grid_ts",
+        F.last("last_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("last_value").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "a21_value_histogram",
+    oracle="""
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM events
+GROUP BY 1
+""",
+)
+def a21_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width 10): one map-side-combined
+    groupBy on the computed bucket — the distribution profile that sizes
+    skew salts and validates quality-score cuts. Bucket arithmetic is
+    floor division (engine-exact); min/max are raw passthroughs rounded
+    only for display."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 10.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "a22_type_trend_corr",
+    oracle="""
+SELECT event_type,
+       round(corr(value, epoch_us(ts) / 1000000.0), 4) AS trend_corr,
+       round(covar_samp(value, epoch_us(ts) / 1000000.0), 2) AS trend_covar,
+       round(stddev_samp(value), 4) AS value_stddev
+FROM events
+GROUP BY event_type
+""",
+)
+def a22_type_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-vs-time correlation, sample covariance, and stddev
+    — the statistical-aggregate family (Pearson co-moments) in one
+    grouped pass. Both engines use streaming co-moment updates whose
+    merge order differs at ~1e-12 relative, so outputs round at 4/2/4 dp
+    (covar magnitudes here are ~1e5, hence the coarser 2 dp)."""
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", t), 4).alias("trend_corr"),
+        F.round(F.covar_samp("value", t), 2).alias("trend_covar"),
+        F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+    )

@@ -111,11 +111,26 @@ def test_pq_seed_window_input_is_bounded(spark, sf_smoke):
     assert seeds.count() == min(k, load(spark, sf_smoke, "embeddings").count())
 
 
+# The only sanctioned Python-side compute in registered queries: the
+# multimodal decode stages run Arrow-batched mapInPandas (codecs are
+# genuinely non-relational). Everything else must stay JVM-side.
+PANDAS_ALLOWED_PREFIXES = ("m1_", "m2_", "m3_", "m4_", "m4b_")
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(plans.all_queries()))
 def test_no_unapproved_quadratic_join(spark, sf_smoke, name):
     df = plans.all_queries()[name](spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # §2.9 JVM-purity guard, enforced registry-wide: no row-at-a-time
+    # Python UDFs ever; no Pandas UDFs outside the multimodal codecs.
+    assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
+    if not name.startswith(PANDAS_ALLOWED_PREFIXES):
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, (
+                f"{name} plans {node} — Python-side compute is sanctioned "
+                "only for the multimodal codec queries"
+            )
     if name in ALLOWED_NESTED:
         return  # documented exception
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"

@@ -54,3 +54,68 @@ def bucketed_interval_join(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("_bk")
     )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    ts_col: str,
+    build_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: each probe row picks up the build row with the
+    greatest ``ts_col`` <= the probe's ``ts_col`` within the same ``on`` key
+    (equal timestamps match, kdb/pandas ``merge_asof`` direction='backward').
+
+    Implementation is the union-marker scan, not a range join: tag build
+    rows 0 and probe rows 1, sort each key partition by (ts, marker), and
+    propagate the last non-null build payload with an unbounded-preceding
+    ``last(ignorenulls)`` window. One shuffle on the key, no interval
+    explosion, no BroadcastNestedLoopJoin — the plan is a single
+    sort-partial per key partition regardless of how far back the match
+    lies, which is what makes it the 100 TB form (a bucketed interval join
+    must pick a max-staleness horizon; this form has none).
+
+    ``build`` must be unique per (key, ts) — ambiguous same-instant build
+    rows have no defined winner in any as-of engine; callers dedupe first
+    (see j6's row_number guard). ``how='left'`` keeps unmatched probe rows
+    with null build columns; ``'inner'`` drops them.
+
+    Mirrors the reference's latest-price lookup against the most recent
+    book snapshot (reference consumers/db_writer.py upsert-latest pattern),
+    generalized to any (key, time) pair of tables.
+    """
+    from pyspark.sql import Window
+
+    payload = F.struct(*[F.col(c) for c in build_cols])
+    b = build.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_m"),
+        payload.alias("_b"),
+    )
+    probe_cols = probe.columns
+    p = probe.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_m"),
+        F.lit(None).cast(b.schema["_b"].dataType).alias("_b"),
+        *[F.col(c) for c in probe_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        b.unionByName(p, allowMissingColumns=True)
+        .withColumn("_match", F.last("_b", ignorenulls=True).over(w))
+        .filter(F.col("_m") == 1)
+    )
+    if how == "inner":
+        joined = joined.filter(F.col("_match").isNotNull())
+    return joined.select(
+        *[F.col(c) for c in probe_cols],
+        *[F.col("_match")[c].alias(c) for c in build_cols],
+    )

@@ -221,3 +221,41 @@ def c2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = G.pagerank(emb.select("vec_id"), edges, node_col="vec_id")
     return ranks.select(F.col("node").alias("vec_id"), "pr")
+
+
+@register(
+    "c3_triangle_count",
+    oracle=f"""
+{_kmeans_ctes(_K, _ITERS)},
+prpairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM a{_ITERS} a JOIN a{_ITERS} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= {_SEM_THRESHOLD}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM prpairs) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM prpairs e1
+        JOIN prpairs e2 ON e2.va = e1.vb
+        JOIN prpairs e3 ON e3.va = e1.va AND e3.vb = e2.vb) AS n_triangles
+""",
+)
+def c3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the SemDeDup same-cell cosine pair graph —
+    the local-clustering / community-density signal for near-dup
+    neighborhoods (a triangle-rich neighborhood is a template family, a
+    triangle-free one is chained drift). Spark runs the degree-ordered
+    node-iterator (operators/graph.py triangle_count, O(m^1.5) wedge
+    work); the oracle counts the same orientation-invariant quantity with
+    the cheaper id-ordered 3-way self-join."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = C.semantic_dedup_pairs(emb, threshold=_SEM_THRESHOLD, k=_K, n_iter=_ITERS)
+    return G.triangle_count(
+        pairs.select(F.col("vec_id_a").alias("va"), F.col("vec_id_b").alias("vb"))
+    )

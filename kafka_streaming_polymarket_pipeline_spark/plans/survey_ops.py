@@ -1602,3 +1602,157 @@ def a22_type_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("value", t), 2).alias("trend_covar"),
         F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
     )
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+WITH bdup AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, ts, value AS view_value, event_id AS view_event_id
+  FROM bdup WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS purchase_value,
+       b.view_event_id, round(b.view_value, 6) AS view_value
+FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+""",
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-adjacent: generic backward AS-OF join — each purchase picks up
+    the user's most recent view at-or-before it (last-touch attribution).
+    The oracle is DuckDB's native ASOF LEFT JOIN; the Spark side is the
+    union-marker scan (operators/rangejoin.py asof_join): one shuffle on
+    the key, unbounded look-back with no interval explosion — the form
+    a bucketed range join cannot express without a staleness horizon.
+    Build rows are deduped to one per (user, ts) first (max event_id
+    wins) because same-instant build rows have no defined as-of winner.
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("value").alias("view_value"),
+            F.col("event_id").alias("view_event_id"),
+        )
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        probe, build, on="user_id", ts_col="ts",
+        build_cols=["view_event_id", "view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("purchase_value"),
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+@register(
+    "a23_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+), dev AS (
+  SELECT o.o_orderpriority, quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+  FROM orders o JOIN med m USING (o_orderpriority)
+  GROUP BY o.o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority, round(o.o_totalprice, 2) AS totalprice,
+       round(0.6745 * (o.o_totalprice - m.med) / d.mad, 6) AS robust_z
+FROM orders o
+JOIN med m USING (o_orderpriority)
+JOIN dev d USING (o_orderpriority)
+ORDER BY abs(round(0.6745 * (o.o_totalprice - m.med) / d.mad, 6)) DESC, o.o_orderkey
+LIMIT 50
+""",
+)
+def a23_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly scoring: the 50 most anomalous orders per the
+    Iglewicz–Hoaglin modified z-score 0.6745*(x - median)/MAD, computed
+    per priority group. Median and MAD come from two grouped exact
+    percentiles (sort-based; at 100 TB swap to percentile_approx and the
+    score becomes approximate with a documented bound); the per-group
+    scalars broadcast back (5 groups), so the scan side never shuffles —
+    plan is two grouped aggs + two broadcast joins + TakeOrderedAndProject.
+    Ordering compares the ROUNDED score on both engines, id tie-broken,
+    so accumulation-order noise cannot flip the cut."""
+    orders = load(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"))
+    )
+    scored = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(dev), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round(
+                0.6745 * (F.col("o_totalprice") - F.col("med")) / F.col("mad"), 6
+            ).alias("robust_z"),
+        )
+    )
+    return scored.orderBy(F.abs(F.col("robust_z")).desc(), "o_orderkey").limit(50)
+
+
+@register(
+    "a24_ewma_per_user",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.75 + 0.25 * x), 6) AS ewma_value
+FROM events
+GROUP BY user_id
+""",
+)
+def a24_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha = 0.25) of
+    event values in time order — the classic smoothed-state feature a
+    window frame cannot express (each step depends on the previous
+    OUTPUT, not a fixed frame). Implemented as a deterministic left fold
+    over the (ts, event_id)-sorted value array: both engines evaluate
+    literally `acc * 0.75 + 0.25 * x` left-to-right over the identical
+    order, so the doubles agree bit-for-bit before the 6 dp round.
+
+    Scale note: collect_list bounds state to one user's history per row —
+    fine for bounded per-key series. For unbounded series the fold is an
+    affine map x -> a*x + b per element, and affine maps compose
+    associatively, so the same result is computable as a mergeable
+    two-level aggregation of (a, b) pairs (segment-scan form) without
+    materializing the array; streaming form = applyInPandasWithState.
+    """
+    ev = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda r: r["value"])
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(acc * F.lit(0.75) + F.lit(0.25) * x, x),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )

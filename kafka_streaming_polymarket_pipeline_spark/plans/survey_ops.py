@@ -1835,3 +1835,45 @@ def w6_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max(F.col("carry_in") + F.col("run")).alias("peak_concurrency"))
     )
+
+
+@register(
+    "j7_band_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.event_id, b.event_id AS b_event_id,
+       round(p.value, 6) AS value, round(b.value, 6) AS b_value,
+       round(abs(p.value - b.value), 6) AS value_diff
+FROM p JOIN b ON p.user_id = b.user_id
+WHERE abs(p.value - b.value) <= 0.5
+""",
+)
+def j7_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join: purchase/error event pairs per user whose
+    values agree within eps = 0.5 (sensor-agreement / reconciliation
+    matching). The oracle states the plain range predicate — which Spark
+    would plan as a BroadcastNestedLoopJoin; the engine instead runs the
+    epsilon-bucketed equi-join (operators/rangejoin.py band_join): probe
+    rows explode to 3 adjacent eps-width buckets, the join key is
+    (user, bucket), and each qualifying pair meets exactly once. The
+    residual predicate compares the RAW diff — one subtract+abs over
+    identical doubles is IEEE-identical on both engines, and raw is what
+    the 3-bucket coverage proof requires (see band_join)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import band_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
+    b = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "value")
+    out = band_join(p, b, on="user_id", value_col="value", eps=0.5)
+    return out.select(
+        "user_id",
+        "event_id",
+        "b_event_id",
+        F.round("value", 6).alias("value"),
+        F.round("b_value", 6).alias("b_value"),
+        "value_diff",
+    )

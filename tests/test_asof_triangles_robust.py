@@ -184,3 +184,41 @@ class TestPeakConcurrency:
         # day 1: only u1 active -> 1; day 2: u1 still open (carry-in 1)
         # plus u2 then u3 -> peak 2
         assert got == {"2026-03-01": 1, "2026-03-02": 2}
+
+
+class TestBandJoin:
+    def test_boundary_and_bucket_coverage(self, spark):
+        """Pairs at exactly eps, just inside, and just outside — including
+        a pair whose values straddle a bucket boundary (the case the
+        3-bucket explode exists for)."""
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import band_join
+
+        probe = spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 10.0), (1, 3, 20.0), (2, 4, 5.0)],
+            "k long, pid long, v double",
+        )
+        build = spark.createDataFrame(
+            [
+                (1, 101, 1.5),     # diff 0.5 exactly with pid=1 -> in (<=)
+                (1, 102, 10.51),   # diff 0.51 -> out
+                (1, 103, 19.75),   # diff 0.25, straddles bucket 39/40 -> in
+                (2, 104, 5.2),     # other key -> in
+                (3, 105, 5.0),     # key absent from probe -> no pair
+            ],
+            "k long, bid long, v double",
+        )
+        got = {
+            (r["pid"], r["b_bid"])
+            for r in band_join(probe, build, on="k", value_col="v", eps=0.5).collect()
+        }
+        assert got == {(1, 101), (3, 103), (4, 104)}
+
+    def test_no_duplicate_pairs(self, spark):
+        """A qualifying pair must appear exactly once even when probe and
+        build share a bucket AND the neighbor bucket would also match."""
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import band_join
+
+        probe = spark.createDataFrame([(1, 1, 1.0)], "k long, pid long, v double")
+        build = spark.createDataFrame([(1, 9, 1.0)], "k long, bid long, v double")
+        rows = band_join(probe, build, on="k", value_col="v", eps=0.5).collect()
+        assert len(rows) == 1

@@ -69,6 +69,9 @@ _DRIVER_PRIORITY: list[str] = [
     # NEW (latest): numeric band (tolerance) join — epsilon-bucketed
     # equi-join vs the naive range-predicate oracle
     "j7_band_join",
+    # NEW (latest): single-pass Deequ-style column profile (null/distinct/
+    # typed min-max per column in ONE aggregate) vs a per-column UNION ALL
+    "a26_column_profile",
     # NEW (latest): TPC-H Q15/Q16/Q17/Q19/Q22-style heads (scalar
     # subqueries, NOT IN anti-join, decorrelated per-part AVG, disjunctive
     # join predicate, NOT EXISTS + scalar AVG), explicit-values PIVOT, and
@@ -183,11 +186,11 @@ _DRIVER_PRIORITY: list[str] = [
     "p5_event_dispatch",
     "p6_explode_filter",
     # The r04 gate records the FIRST 50 entries only. With the late
-    # j6/c3/a23/a24/a25/w6/j7 additions the 50-row window now ends at
-    # w3_rank_battery: z1_zorder_layout, k2_salted_join,
-    # r12_priority_lines, r14_promo_share and r18_large_orders (new this
-    # round, locally hash-verified at sf0.001/sf0.01/sf0.1) and the
-    # changed-this-round
+    # j6/c3/a23/a24/a25/w6/j7/a26 additions the 50-row window now ends
+    # at a17_portable_hll: w3_rank_battery, z1_zorder_layout,
+    # k2_salted_join, r12_priority_lines, r14_promo_share and
+    # r18_large_orders (new this round, locally hash-verified at
+    # sf0.001/sf0.01/sf0.1) and the changed-this-round
     # pk1/pk2/sh1/t11/e2e_corpus_build_t/m3 (green r02/r03 rows +
     # per-commit battery) MUST open the r05 prefix, before the
     # r02-stale families below.

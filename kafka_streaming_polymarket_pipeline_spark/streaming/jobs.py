@@ -292,3 +292,46 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- J6 streaming form: bounded-staleness as-of join ---
+
+def stream_asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    build_value: str,
+    max_staleness: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming backward as-of: each probe event picks the LATEST build
+    event at-or-before it within ``max_staleness`` on the same key.
+
+    Batch as-of (operators/rangejoin.py asof_join) scans with unbounded
+    look-back; a stream cannot — unbounded look-back means unbounded
+    state. The streaming form is the standard two-operator pipeline:
+    (1) a watermarked stream-stream join bounded to
+        probe_ts - max_staleness < build_ts <= probe_ts, so the state
+        store evicts both sides once the watermark passes the bound;
+    (2) a per-probe-event aggregation taking max_by(build payload,
+        build_ts) — the argmax that collapses the candidate set to the
+        as-of winner. Chained stateful operators run in append mode with
+        both watermarks (Spark 4 multiple-stateful-operator support).
+    The staleness horizon is the price of streaming: a probe with no
+    build event inside the horizon emits nothing (the batch twin's LEFT
+    rows), exactly like the reference's latest-price lookup going stale.
+    """
+    pw = probe.withWatermark(probe_ts, watermark)
+    bw = build.withWatermark(build_ts, watermark)
+    cond = (
+        (pw[key] == bw[key])
+        & (bw[build_ts] <= pw[probe_ts])
+        & (bw[build_ts] > pw[probe_ts] - F.expr(f"INTERVAL {max_staleness}"))
+    )
+    joined = pw.join(bw, cond, "inner").drop(bw[key])
+    return joined.groupBy(key, probe_ts).agg(
+        F.max_by(F.col(build_value), F.col(build_ts)).alias(f"asof_{build_value}"),
+        F.max(F.col(build_ts)).alias("asof_ts"),
+    )

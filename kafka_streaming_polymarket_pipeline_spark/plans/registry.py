@@ -135,6 +135,13 @@ _DRIVER_PRIORITY: list[str] = [
     "c2_pagerank",
     "a16_bloom_decontam",
     "a17_portable_hll",
+    # NEW (latest, registered PAST the 50-row r04 window by choice —
+    # displacing a16/a17 would leave other same-round queries rowless):
+    # SymSpell deletion-neighborhood edit-distance-1 entity pairs and
+    # the Markov transition matrix. Locally hash-verified at
+    # sf0.001/sf0.01/sf0.1; they lead the r05 prefix with the rest.
+    "d11_editdist_pairs",
+    "a27_markov_transitions",
     "w3_rank_battery",
     "z1_zorder_layout",
     "k2_salted_join",

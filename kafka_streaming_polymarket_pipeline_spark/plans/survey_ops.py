@@ -1943,3 +1943,42 @@ def a26_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("_m").alias("m"))
         .select("m.*")
     )
+
+
+@register(
+    "a27_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), t AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM t
+""",
+)
+def a27_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (prev_type -> type) transitions in (ts, event_id)
+    order, normalize per source state. One lag window per user partition
+    + one grouped count + a 25-row normalization window — sequence
+    mining whose heavy stage is the same shuffle a session build needs.
+    n/sum(n) divides a count by a same-group count (exact integers), so
+    the probability is engine-exact before its 6 dp round."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    t = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    )

@@ -310,3 +310,54 @@ class TestAsofVsPandas:
         for pid, q in want.items():
             g = got[pid]
             assert (pd.isna(q) and g is None) or g == q, (pid, g, q)
+
+
+class TestEditDist1Pairs:
+    def test_all_three_edit_kinds_and_a_non_pair(self, spark):
+        from kafka_streaming_polymarket_pipeline_spark.operators.dedup import editdist1_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "market"),
+                (2, "markets"),   # insertion vs 1
+                (3, "arket"),     # deletion vs 1
+                (4, "marcet"),    # substitution vs 1
+                (5, "Market"),    # distance 0 after lowering -> NOT a pair
+                (6, "bucket"),    # distance > 1 from everything
+            ],
+            "rid long, name string",
+        )
+        got = {
+            (r["rid_a"], r["rid_b"])
+            for r in editdist1_pairs(df, "rid", "name").collect()
+        }
+        # markets/arket/marcet are each at distance 1 from "market" — and
+        # therefore also from "Market", which lowercases to the identical
+        # string (so (1,5) itself is distance 0: excluded). Cross pairs
+        # among the three variants are all distance 2.
+        assert got == {(1, 2), (1, 3), (1, 4), (2, 5), (3, 5), (4, 5)}
+
+    def test_blocking_misses_nothing_vs_naive(self, spark):
+        """Blocked pairs == naive all-pairs filter on a seeded random
+        corpus of short strings (the completeness half of SymSpell)."""
+        from kafka_streaming_polymarket_pipeline_spark.operators.dedup import editdist1_pairs
+
+        rng = __import__("random").Random(7)
+        names = list({
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 4)))
+            for _ in range(40)
+        })
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(names)], "rid long, name string"
+        )
+        got = {
+            (r["rid_a"], r["rid_b"])
+            for r in editdist1_pairs(df, "rid", "name").collect()
+        }
+        naive = (
+            df.alias("a")
+            .join(df.alias("b"), F.col("a.rid") < F.col("b.rid"))
+            .filter(F.levenshtein(F.lower("a.name"), F.lower("b.name")) == 1)
+        )
+        want = {(r[0], r[1]) for r in naive.select("a.rid", "b.rid").collect()}
+        assert got == want and len(want) > 0

@@ -308,3 +308,64 @@ def test_stream_asof_join_picks_latest_within_horizon(spark, tmp_path):
     )
     rows = {(r.symbol, float(r.asof_quote)) for r in out.collect()}
     assert rows == {("BTC", 3.0)}
+
+
+def test_stream_asof_join_checkpoint_recovery(spark, tmp_path):
+    """T6 for the chained join+argmax as-of: restart from the checkpoint
+    after later input arrives — the watermark advance flushes the day-1
+    group exactly once with the correct latest-prior quote, proving both
+    stateful operators (join state AND agg state) recover."""
+    import json
+
+    qdir, tdir = tmp_path / "q", tmp_path / "t"
+    qdir.mkdir(), tdir.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        qs = (
+            spark.readStream.schema("symbol string, quote_ts string, quote double")
+            .json(str(qdir))
+            .withColumn("quote_ts", F.to_timestamp("quote_ts"))
+        )
+        ts = (
+            spark.readStream.schema("symbol string, trade_ts string")
+            .json(str(tdir))
+            .withColumn("trade_ts", F.to_timestamp("trade_ts"))
+        )
+        q = (
+            jobs.stream_asof_join(ts, qs, key="symbol", probe_ts="trade_ts",
+                                  build_ts="quote_ts", build_value="quote")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    (qdir / "q1.jsonl").write_text("\n".join(json.dumps(r) for r in [
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:10:00.000000", "quote": 2.0},
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:50:00.000000", "quote": 3.0},
+    ]))
+    (tdir / "t1.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "trade_ts": "2024-01-01T10:00:00.000000"}))
+    run_once()
+    # group still open (watermark has not passed trade_ts) -> nothing yet
+    import os
+    first = (
+        spark.read.parquet(out).count()
+        if any(f.endswith(".parquet") for f in os.listdir(out))
+        else 0
+    )
+    assert first == 0
+
+    # Batch 2: far-future events on BOTH streams advance the watermark
+    (qdir / "q2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "quote_ts": "2024-01-02T12:00:00.000000", "quote": 99.0}))
+    (tdir / "t2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "trade_ts": "2024-01-02T12:01:00.000000"}))
+    run_once()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert float(got[0].asof_quote) == 3.0  # latest-prior, recovered state

@@ -888,8 +888,18 @@ def editdist1_pairs(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
         ),
     )
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    # Verify BEFORE the pair-dedup: levenshtein runs join-local on the
+    # candidates (no extra shuffle), so the distinct() then shuffles only
+    # TRUE pairs (a pair can meet via several shared deletion keys),
+    # never the candidate multiset. A position-tagged key variant that
+    # prunes cross-position (distance-2) collisions ahead of levenshtein
+    # was built and MEASURED SLOWER (66 s -> 88 s at 100k names): the
+    # struct-building lambda is interpreted and runs on both sides of
+    # the self-join, costing more than the pruned levenshtein calls
+    # saved. See SCALE.md.
+    return (
         a.join(b, (F.col("a._k") == F.col("b._k")) & (F.col("a.rid") < F.col("b.rid")))
+        .filter(F.levenshtein(F.col("a.nm"), F.col("b.nm")) == 1)
         .select(
             F.col("a.rid").alias("rid_a"),
             F.col("b.rid").alias("rid_b"),
@@ -898,4 +908,3 @@ def editdist1_pairs(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.filter(F.levenshtein("name_a", "name_b") == 1)

@@ -40,7 +40,9 @@ QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
            "q4_binary_hamming_topk", "t16_quality_classifier",
            "t17_char_entropy", "x8_weighted_sample",
            "j6_asof_join", "a24_ewma_per_user", "a23_mad_outliers",
-           "c3_triangle_count"]
+           "c3_triangle_count", "j7_band_join", "w6_peak_concurrency",
+           "a26_column_profile", "a27_markov_transitions",
+           "d11_editdist_pairs"]
 SCALES = {"0.1e": (5_000, 2_000), "0.3e": (15_000, 6_000), "1e": (50_000, 20_000)}
 # d3's cost driver is similar-pair mass, quadratic on this templated corpus
 # by construction — cap it at 0.3e unless --d3-full is passed.
@@ -108,6 +110,18 @@ def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:
         ),
     })
     pq.write_table(orders, os.path.join(dirpath, "orders.parquet"))
+    # customer names for the SymSpell edit-distance probe (d11): dense
+    # sequential numbering like the driver's testdata, so distance-1
+    # pairs are plentiful and grow with n.
+    n_cust = 2 * n_docs
+    cust = pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.randint(0, 25, n_cust).astype("int32"), pa.int32()),
+        "c_acctbal": pa.array(rng.rand(n_cust) * 10_000.0),
+        "c_mktsegment": pa.array(["BUILDING"] * n_cust),
+    })
+    pq.write_table(cust, os.path.join(dirpath, "customer.parquet"))
 
 
 def main() -> None:
@@ -130,6 +144,7 @@ def main() -> None:
             stale = "n_chars" not in _pq.read_schema(docs_path).names or not (
                 os.path.exists(os.path.join(d, "events.parquet"))
                 and os.path.exists(os.path.join(d, "orders.parquet"))
+                and os.path.exists(os.path.join(d, "customer.parquet"))
             )
         if stale:
             shutil.rmtree(d, ignore_errors=True)

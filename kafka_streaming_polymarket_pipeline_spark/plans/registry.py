@@ -142,6 +142,7 @@ _DRIVER_PRIORITY: list[str] = [
     # sf0.001/sf0.01/sf0.1; they lead the r05 prefix with the rest.
     "d11_editdist_pairs",
     "a27_markov_transitions",
+    "a28_pair_lift",
     "w3_rank_battery",
     "z1_zorder_layout",
     "k2_salted_join",

@@ -1982,3 +1982,96 @@ def a27_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@register(
+    "a28_pair_lift",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), ids AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), items AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM ids
+), ns AS (
+  SELECT CAST(count(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sessions FROM items
+), singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       round(p.n_pair / ns.n_sessions, 6) AS support,
+       round((p.n_pair * ns.n_sessions * 1.0) / (sa.n * sb.n), 6) AS lift
+FROM pairs p
+CROSS JOIN ns
+JOIN singles sa ON sa.event_type = p.item_a
+JOIN singles sb ON sb.event_type = p.item_b
+""",
+)
+def a28_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining (the market-basket shape): within-session
+    event-type pair co-occurrence with support and lift. Itemsets are a
+    session's DISTINCT types, so the pair join explodes within (user,
+    session) keys and is bounded by |type alphabet|^2 per session —
+    never corpus^2; supports come from exact counts and lift divides
+    identically-composed integer products on both engines before the
+    6 dp round. Session identity reuses the same 30-min session_window
+    as w2/w6 (gaps-and-islands in the oracle)."""
+    ev = load(spark, sf_dir, "events")
+    # session_window only merges inside an aggregation — aggregate the
+    # session's distinct type set first, then explode it back to items.
+    items = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.collect_set("event_type").alias("types"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("ws"),
+            F.explode("types").alias("event_type"),
+        )
+    )
+    ns = items.select("user_id", "ws").distinct().agg(F.count("*").alias("n_sessions"))
+    singles = items.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.ws") == F.col("b.ws"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"), F.col("b.event_type").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    sa = singles.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.crossJoin(F.broadcast(ns))
+        .join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_sessions"), 6).alias("support"),
+            F.round(
+                (F.col("n_pair") * F.col("n_sessions") * F.lit(1.0))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -92,6 +92,9 @@ ALLOWED_NESTED = {
                          "SemDeDup pair graph) plus the final one-row "
                          "broadcast n_edges aggregate attach; wedge build "
                          "and closure are equi-joins on vertex ids",
+    "a28_pair_lift": "crossJoin against the broadcast one-row session "
+                     "count; the pair join itself is a hash equi-join on "
+                     "(user, session) with the type inequality residual",
 }
 
 

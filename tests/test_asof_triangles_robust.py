@@ -361,3 +361,54 @@ class TestEditDist1Pairs:
         )
         want = {(r[0], r[1]) for r in naive.select("a.rid", "b.rid").collect()}
         assert got == want and len(want) > 0
+
+
+class TestRandomEquivalence:
+    def test_band_join_matches_naive_filter(self, spark):
+        """Blocked band join == naive range-predicate join on a seeded
+        random frame (completeness + no-duplicates in one check)."""
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import band_join
+
+        rng = __import__("random").Random(11)
+        probe = spark.createDataFrame(
+            [(rng.randint(1, 4), i, rng.uniform(0, 20)) for i in range(60)],
+            "k long, pid long, v double",
+        )
+        build = spark.createDataFrame(
+            [(rng.randint(1, 4), 100 + i, rng.uniform(0, 20)) for i in range(60)],
+            "k long, bid long, v double",
+        )
+        got = {
+            (r["pid"], r["b_bid"])
+            for r in band_join(probe, build, on="k", value_col="v", eps=0.7).collect()
+        }
+        naive = (
+            probe.alias("a")
+            .join(build.alias("b"), F.col("a.k") == F.col("b.k"))
+            .filter(F.abs(F.col("a.v") - F.col("b.v")) <= 0.7)
+            .select(F.col("a.pid"), F.col("b.bid"))
+        )
+        want = {(r[0], r[1]) for r in naive.collect()}
+        assert got == want and len(want) > 0
+
+    def test_triangle_count_matches_naive_3way(self, spark):
+        """Degree-ordered node-iterator == naive id-ordered 3-way join on
+        a seeded random graph with a planted hub (the skew shape)."""
+        rng = __import__("random").Random(13)
+        edges = {(0, i) for i in range(1, 15)}  # hub 0
+        while len(edges) < 60:
+            a, b = rng.randint(1, 25), rng.randint(1, 25)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "va long, vb long")
+        got = G.triangle_count(df).collect()[0]["n_triangles"]
+        e1, e2, e3 = df.alias("e1"), df.alias("e2"), df.alias("e3")
+        want = (
+            e1.join(e2, F.col("e2.va") == F.col("e1.vb"))
+            .join(
+                e3,
+                (F.col("e3.va") == F.col("e1.va")) & (F.col("e3.vb") == F.col("e2.vb")),
+            )
+            .count()
+        )
+        assert got == want and want > 0

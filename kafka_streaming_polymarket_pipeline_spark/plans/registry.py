@@ -143,6 +143,7 @@ _DRIVER_PRIORITY: list[str] = [
     "d11_editdist_pairs",
     "a27_markov_transitions",
     "a28_pair_lift",
+    "u9_grouping_sets",
     "w3_rank_battery",
     "z1_zorder_layout",
     "k2_salted_join",

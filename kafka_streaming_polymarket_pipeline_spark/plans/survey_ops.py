@@ -2075,3 +2075,34 @@ def a28_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "u9_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+""",
+)
+def u9_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form u2's ROLLUP and u5's
+    CUBE are sugar for) with the grouping_id bitmask distinguishing
+    which dimensions each output row aggregates over — one Expand +
+    one aggregation, exactly ROLLUP/CUBE's plan but with a caller-chosen
+    set list (here: by-status, by-priority, and the full cross)."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("u9_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM u9_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)

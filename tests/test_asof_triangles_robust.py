@@ -412,3 +412,42 @@ class TestRandomEquivalence:
             .count()
         )
         assert got == want and want > 0
+
+
+class TestEmptyInputs:
+    def test_asof_empty_build_keeps_probes(self, spark):
+        probe = spark.createDataFrame([(1, _ts(1), "x")], "k long, ts timestamp, tag string")
+        build = spark.createDataFrame([], "k long, ts timestamp, quote double")
+        rows = asof_join(probe, build, "k", "ts", ["quote"]).collect()
+        assert len(rows) == 1 and rows[0]["quote"] is None
+
+    def test_triangle_count_empty_graph(self, spark):
+        empty = spark.createDataFrame([], "va long, vb long")
+        row = G.triangle_count(empty).collect()[0]
+        assert (row["n_edges"], row["n_triangles"]) == (0, 0)
+
+    def test_band_join_empty_sides(self, spark):
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import band_join
+
+        p = spark.createDataFrame([(1, 1, 1.0)], "k long, pid long, v double")
+        e = spark.createDataFrame([], "k long, bid long, v double")
+        assert band_join(p, e, on="k", value_col="v", eps=0.5).count() == 0
+        assert band_join(e.selectExpr("k", "bid as pid", "v"), p.selectExpr("k", "pid as bid", "v"),
+                         on="k", value_col="v", eps=0.5).count() == 0
+
+    def test_editdist_pairs_empty(self, spark):
+        from kafka_streaming_polymarket_pipeline_spark.operators.dedup import editdist1_pairs
+
+        e = spark.createDataFrame([], "rid long, name string")
+        assert editdist1_pairs(e, "rid", "name").count() == 0
+
+    def test_merge_states_single_empty_slice(self, spark):
+        from kafka_streaming_polymarket_pipeline_spark.operators import scale as SC
+
+        e = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, value double, event_type string"
+        )
+        merged = SC.merge_states(
+            [SC.mergeable_state(e, "event_type", "value", "user_id")], "event_type"
+        )
+        assert merged.count() == 0

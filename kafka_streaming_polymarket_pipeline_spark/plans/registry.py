@@ -144,6 +144,7 @@ _DRIVER_PRIORITY: list[str] = [
     "a27_markov_transitions",
     "a28_pair_lift",
     "u9_grouping_sets",
+    "a29_time_decay_sum",
     "w3_rank_battery",
     "z1_zorder_layout",
     "k2_salted_join",

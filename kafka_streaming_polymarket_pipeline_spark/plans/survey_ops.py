@@ -2106,3 +2106,39 @@ def u9_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
     """)
+
+
+@register(
+    "a29_time_decay_sum",
+    oracle="""
+WITH tref AS (SELECT max(ts) AS T FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * exp(-((epoch_us(tref.T) - epoch_us(ts))
+                               / 86400000000.0))), 6) AS decayed_sum
+FROM events CROSS JOIN tref
+GROUP BY user_id
+""",
+)
+def a29_time_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-time exponentially-decayed activity score per user
+    (tau = 1 day against the corpus's latest timestamp) — the
+    order-INDEPENDENT complement of a24's fold EWMA: each event
+    contributes value * exp(-age/tau), so the aggregation is a plain
+    commutative sum (map-side partials, one shuffle) with no
+    sequential recurrence at all; the streaming form just adds new
+    terms and rescales on read. Both engines compose the exact same
+    exp argument from integer microsecond arithmetic; 1-ulp libm
+    differences accumulate ~1e-12, far under the 6 dp grid."""
+    ev = load(spark, sf_dir, "events")
+    tref = ev.agg(F.max("ts").alias("T"))
+    age_days = (F.unix_micros(F.col("T")) - F.unix_micros(F.col("ts"))) / F.lit(
+        86400000000.0
+    )
+    return (
+        ev.crossJoin(F.broadcast(tref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.exp(-age_days)), 6).alias("decayed_sum"),
+        )
+    )

@@ -95,6 +95,10 @@ ALLOWED_NESTED = {
     "a28_pair_lift": "crossJoin against the broadcast one-row session "
                      "count; the pair join itself is a hash equi-join on "
                      "(user, session) with the type inequality residual",
+    "a29_time_decay_sum": "crossJoin against the broadcast one-row "
+                          "latest-timestamp aggregate (the decay "
+                          "reference); the sum itself is one grouped "
+                          "commutative aggregation",
 }
 
 

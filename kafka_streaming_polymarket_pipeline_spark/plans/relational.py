@@ -847,3 +847,200 @@ def r10_returned_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
+
+
+_Q13_ORACLE = """
+WITH co AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co
+GROUP BY c_count
+"""
+
+
+@register("r13_customer_distribution", oracle=_Q13_ORACLE)
+def r13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution (the spec's
+    comment NOT LIKE filter becomes an o_orderpriority exclusion — this
+    data has no comment column): the outer join KEEPS customers with zero
+    qualifying orders (count(o_orderkey) skips the null-extended rows, so
+    they land in the c_count=0 bucket — an inner join would silently drop
+    them, the classic Q13 trap). At scale: orders' filter prunes before
+    the join; the join and the first groupBy share the c_custkey hash
+    partitioning (one exchange per side, none between join and agg); the
+    second groupBy reduces |customers| rows to a ~tens-of-rows histogram,
+    map-side-combined."""
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+@register("r21_waiting_suppliers", oracle=_Q21_ORACLE)
+def r21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style "suppliers who kept orders waiting": for finished
+    orders, count late lineitems (ship >= order date + 60 days — this data
+    has no commit/receipt dates, so lateness is vs the order date) whose
+    order involved ANOTHER supplier (EXISTS) but where no OTHER supplier
+    was late (NOT EXISTS). The two correlated subqueries become a
+    left-semi and a left-anti join on l_orderkey with the supplier
+    inequality as a residual join condition — both hash-join on the order
+    key, so at 100 TB each is one co-partitioned shuffle of the (already
+    date/status-pruned) late set against lineitem; supplier is a
+    broadcast dim. The semi/anti pair on the SAME fact is the shape this
+    head exists to pin."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    qualified = (
+        late.join(
+            l2,
+            (late.l_orderkey == l2._ok2) & (late.l_suppkey != l2._sk2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3._ok3) & (F.col("l_suppkey") != l3._sk3),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q11_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey AS partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT round(avg(part_rev) * 1.2, 6) AS thresh FROM pr
+)
+SELECT partkey, part_rev
+FROM pr, tot
+WHERE part_rev > thresh
+"""
+
+
+@register("r11_important_parts", oracle=_Q11_ORACLE)
+def r11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style "important stock" (no partsupp table in this data,
+    so value = lineitem revenue per part): keep parts whose revenue
+    exceeds 1.2x the AVERAGE per-part revenue — the HAVING-against-
+    global-aggregate shape, expressed scale-invariantly (a fixed
+    fraction of the global SUM goes degenerate as the part count grows:
+    0 qualifying rows at sf0.1; the avg-multiple keeps ~17% of parts at
+    every SF). The threshold is a 1-row broadcast crossJoin computed
+    over the already-grouped (and 2-dp-rounded) per-part frame — no
+    second pass over lineitem, no window; the per-part grouped agg is
+    the only data-scale shuffle. The avg of rounded values is itself
+    6-dp-rounded so cross-engine accumulation order can't flip a
+    borderline part."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    pr = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(rev, 2).alias("part_rev")
+    )
+    tot = pr.agg(F.round(F.avg("part_rev") * 1.2, 6).alias("thresh"))
+    return (
+        pr.join(F.broadcast(tot))
+        .filter(F.col("part_rev") > F.col("thresh"))
+        .select("partkey", "part_rev")
+    )
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 's%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING round(sum(l_quantity), 6) > 45
+)
+"""
+
+
+@register("r20_excess_supply", oracle=_Q20_ORACLE)
+def r20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested semi-join into an aggregated subquery (no
+    partsupp here, so "excess availability" = a supplier shipped >45
+    units of some 's%' part in 1997): part-name and date predicates prune
+    at the scans, the grouped HAVING runs on (suppkey, partkey) — one
+    shuffle of the pruned fact — and the distinct supplier set semi-joins
+    back to the supplier dim. Spark plans the IN as a left-semi hash
+    join; the aggregated side is small post-HAVING so AQE broadcasts it.
+    The HAVING compares the 6-dp-rounded sum (l_quantity is DOUBLE in
+    this data) so both engines cut identically."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("s"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("_qty"))
+        .filter(F.col("_qty") > 45)
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -88,6 +88,9 @@ ALLOWED_NESTED = {
                         "revenue aggregate (TPC-H Q15's scalar subquery)",
     "r22_idle_balances": "crossJoin against the broadcast one-row AVG "
                          "balance aggregate (TPC-H Q22's scalar subquery)",
+    "r11_important_parts": "crossJoin against the broadcast one-row "
+                           "avg-part-revenue threshold aggregate (TPC-H "
+                           "Q11's HAVING-vs-global-fraction shape)",
     "c3_triangle_count": "embeds c1's k-row centroid crossJoin (via the "
                          "SemDeDup pair graph) plus the final one-row "
                          "broadcast n_edges aggregate attach; wedge build "

@@ -155,6 +155,7 @@ _DRIVER_PRIORITY: list[str] = [
     "r21_waiting_suppliers",
     "r11_important_parts",
     "r20_excess_supply",
+    "u10_unpivot",
     "w3_rank_battery",
     "z1_zorder_layout",
     "k2_salted_join",

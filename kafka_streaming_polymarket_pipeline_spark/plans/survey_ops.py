@@ -2142,3 +2142,41 @@ def a29_time_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.exp(-age_days)), 6).alias("decayed_sum"),
         )
     )
+
+
+@register(
+    "u10_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty_f' AS metric, qty_f AS qty FROM wide
+UNION ALL
+SELECT l_returnflag, 'qty_o' AS metric, qty_o AS qty FROM wide
+""",
+)
+def u10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the inverse of u6's PIVOT — wide per-status
+    quantity columns back to (group, metric, value) long rows via the
+    native DataFrame ``unpivot`` API, which compiles to a single Expand
+    node over the already-aggregated frame (rows x n_metrics, no shuffle
+    beyond the grouped agg that built the wide frame; the oracle's UNION
+    ALL re-scan is exactly what Expand avoids at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_f"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_o"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="metric",
+        valueColumnName="qty",
+    )

@@ -147,11 +147,11 @@ _DRIVER_PRIORITY: list[str] = [
     "a29_time_decay_sum",
     # NEW (final round-4 stretch, past the r04 window like d11..a29;
     # locally hash-verified, they join the never-audited block of the
-    # r05 prefix): the last reachable TPC-H shapes on this data — Q13
-    # outer-join count distribution, Q21 semi+anti on the same fact,
-    # Q11 HAVING-vs-global-fraction, Q20 semi-join into an aggregated
-    # subquery (Q2 is unreachable: no partsupp table).
-    "r13_customer_distribution",
+    # r05 prefix): the last reachable TPC-H shapes on this data — Q21
+    # semi+anti on the same fact, Q11 HAVING-vs-global-fraction, Q20
+    # semi-join into an aggregated subquery, plus UNPIVOT/melt. (Q13
+    # already exists as r13_cust_order_counts; Q2's correlated min as
+    # r2_min_cost_supplier.)
     "r21_waiting_suppliers",
     "r11_important_parts",
     "r20_excess_supply",

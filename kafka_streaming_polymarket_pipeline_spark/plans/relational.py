@@ -849,46 +849,6 @@ def r10_returned_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q13_ORACLE = """
-WITH co AS (
-  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-  FROM customer LEFT JOIN orders
-    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-  GROUP BY c_custkey
-)
-SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-FROM co
-GROUP BY c_count
-"""
-
-
-@register("r13_customer_distribution", oracle=_Q13_ORACLE)
-def r13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13-style customer order-count distribution (the spec's
-    comment NOT LIKE filter becomes an o_orderpriority exclusion — this
-    data has no comment column): the outer join KEEPS customers with zero
-    qualifying orders (count(o_orderkey) skips the null-extended rows, so
-    they land in the c_count=0 bucket — an inner join would silently drop
-    them, the classic Q13 trap). At scale: orders' filter prunes before
-    the join; the join and the first groupBy share the c_custkey hash
-    partitioning (one exchange per side, none between join and agg); the
-    second groupBy reduces |customers| rows to a ~tens-of-rows histogram,
-    map-side-combined."""
-    cust = load(spark, sf_dir, "customer")
-    orders = (
-        load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") != "1-URGENT")
-        .select("o_orderkey", "o_custkey")
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-    )
-
-
 _Q21_ORACLE = """
 WITH late AS (
   SELECT l_orderkey, l_suppkey

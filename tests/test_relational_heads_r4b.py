@@ -1,6 +1,6 @@
-"""Behavior tests for the final-round-4 TPC-H heads: Q13 outer-join count
-distribution, Q21 semi+anti on the same fact, Q11 HAVING-vs-global
-fraction, Q20 semi-join into an aggregated subquery.
+"""Behavior tests for the final-round-4 TPC-H heads: Q21 semi+anti on the
+same fact, Q11 HAVING-vs-global fraction, Q20 semi-join into an
+aggregated subquery.
 
 The oracle battery proves DuckDB equivalence; these pin the semantic
 contracts via independent reformulations (invariants that would survive
@@ -13,29 +13,6 @@ from pyspark.sql import functions as F
 
 from kafka_streaming_polymarket_pipeline_spark import plans
 from kafka_streaming_polymarket_pipeline_spark.tables import load
-
-
-def test_r13_buckets_partition_all_customers(spark, sf_smoke):
-    """Every customer lands in exactly one count bucket — including the
-    zero bucket the LEFT join exists to keep (an inner join would drop
-    order-less customers and the distribution would no longer sum to
-    |customer|)."""
-    out = plans.all_queries()["r13_customer_distribution"](spark, sf_smoke)
-    total = out.agg(F.sum("custdist").alias("s")).collect()[0].s
-    n_cust = load(spark, sf_smoke, "customer").count()
-    assert total == n_cust
-
-    zero_bucket = {r.c_count: r.custdist for r in out.collect()}.get(0, 0)
-    cust = load(spark, sf_smoke, "customer")
-    with_orders = (
-        load(spark, sf_smoke, "orders")
-        .filter(F.col("o_orderpriority") != "1-URGENT")
-        .select("o_custkey")
-    )
-    orderless = cust.join(
-        with_orders, cust.c_custkey == F.col("o_custkey"), "left_anti"
-    ).count()
-    assert zero_bucket == orderless
 
 
 def test_r21_matches_per_order_aggregate_reformulation(spark, sf_smoke):

@@ -66,6 +66,10 @@ HEADLINE = [
     "a25_incremental_state_merge",  # mergeable-state maintenance + HLL merge
     "w6_peak_concurrency",    # sweep-line concurrency (two-level prefix sum)
     "a26_column_profile",     # single-pass Deequ-style table profile
+    "r21_waiting_suppliers",  # Q21-style semi+anti pair on the same fact
+    "r11_important_parts",    # Q11-style HAVING vs global-average threshold
+    "r20_excess_supply",      # Q20-style semi-join into grouped HAVING
+    "u10_unpivot",            # UNPIVOT/melt via one Expand node
 ]
 
 

@@ -11,6 +11,7 @@ Pandas-UDF path is batch-vectorized.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -52,6 +53,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     timestamp comparisons against the (UTC-naive) DuckDB oracle hold.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pinning the SQL session tz makes the JVM compute in UTC, but PySpark's
+    # collect() converts TimestampType through datetime.fromtimestamp, which
+    # uses the *process* (libc) timezone — a driver process running in, say,
+    # America/New_York would read every collected instant shifted by the UTC
+    # offset even though the plan evaluated in UTC. Pin the process tz too so
+    # both halves of the conversion agree; date columns are unaffected
+    # (ordinal arithmetic) and tzset is a no-op platform-wise on Windows.
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        if hasattr(time, "tzset"):
+            time.tzset()
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

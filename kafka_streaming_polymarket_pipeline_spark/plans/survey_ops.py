@@ -746,7 +746,12 @@ def f_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f7_iso8601_parse",
     oracle="""
 SELECT event_id,
-       CAST(strptime(replace(iso, 'Z', '+00:00'), '%Y-%m-%dT%H:%M:%S.%f%z') AS TIMESTAMP)
+       -- AT TIME ZONE 'UTC', not a bare CAST: casting TIMESTAMPTZ to
+       -- TIMESTAMP converts into the DuckDB session TimeZone, which the
+       -- driver's connection inherits from its OS environment — the one
+       -- tz-dependent expression a UTC-pinned engine can't compensate for.
+       CAST(strptime(replace(iso, 'Z', '+00:00'), '%Y-%m-%dT%H:%M:%S.%f%z')
+            AT TIME ZONE 'UTC' AS TIMESTAMP)
          AS parsed_ts
 FROM (
   SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS iso

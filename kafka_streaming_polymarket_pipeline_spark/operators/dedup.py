@@ -908,3 +908,106 @@ def editdist1_pairs(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 7,
+    den: int = 10,
+) -> DataFrame:
+    """EXACT word-token-set Jaccard >= num/den pairs via prefix filtering
+    (the AllPairs / PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — the scalable *exact* set-similarity join, completing the
+    dedup ladder: d2 proves the answer quadratically, d3 approximates
+    then verifies, d12 gets the exact answer with near-linear candidate
+    generation.
+
+    Algorithm (all equi-joins, no all-pairs stage anywhere):
+
+    1. Distinct lowercase whitespace tokens per doc; doc-frequency per
+       token is one groupBy (tokens are distinct within a doc).
+    2. Each doc sorts its tokens by the global (df ASC, token ASC) total
+       order — a row-local array sort, no global rank/window — and keeps
+       the first ``s - ceil(t*s) + 1`` as its *prefix* (rarest first).
+       Pigeonhole: a qualifying pair has intersection >= ceil(t*s) on
+       each side, which cannot fit entirely outside either prefix, so
+       prefix-token equi-join candidates are a superset of the answer.
+       Ordering by ascending df makes prefixes the RAREST tokens, so the
+       candidate join is hub-free by construction.
+    3. Candidates: prefix self-equi-join on the token with id_a < id_b
+       and the symmetric length filter den*|b| >= num*|a| (both ways) —
+       J >= t forces t*|a| <= |b| <= |a|/t.
+    4. Verify exactly: join candidate ids back to the full sorted token
+       arrays, i = |array_intersect|, keep den*i >= num*(sa+sb-i).
+
+    The threshold is a RATIONAL (num/den) and every filter is integer
+    cross-multiplication — ceil(t*s) is (num*s + den - 1) div den — so
+    Spark and the naive DuckDB oracle agree bit-for-bit with no float
+    edge anywhere (the j7 band-edge lesson). Output jaccard is the one
+    rounded display column.
+
+    100 TB shape: token df is a word-count shuffle; per-doc sort is
+    row-local; candidate generation shuffles only prefix tokens (rare by
+    construction — the df sort means a token shared by k docs lands in
+    at most k prefixes and hub tokens land in almost none); verification
+    is an id equi-join. Output is inherently quadratic in duplicate-
+    cluster size, as for any exact pair enumeration.
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("t"),
+    )
+    tok_df = tok.groupBy("t").agg(F.count("*").alias("tdf"))
+    docs = (
+        tok.join(tok_df, "t")
+        .groupBy("did")
+        .agg(F.sort_array(F.collect_list(F.struct("tdf", "t"))).alias("_o"))
+        .select(
+            "did",
+            F.expr("transform(_o, x -> x.t)").alias("toks"),
+            F.size("_o").alias("sz"),
+        )
+    )
+    pref = docs.select(
+        "did",
+        "sz",
+        F.explode(
+            F.expr(f"slice(toks, 1, sz - (({num} * sz + {den} - 1) div {den}) + 1)")
+        ).alias("t"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.did") < F.col("b.did"))
+            & (den * F.col("b.sz") >= num * F.col("a.sz"))
+            & (den * F.col("a.sz") >= num * F.col("b.sz")),
+        )
+        .select(F.col("a.did").alias("doc_id_a"), F.col("b.did").alias("doc_id_b"))
+        .distinct()
+    )
+    da = docs.select(
+        F.col("did").alias("doc_id_a"), F.col("toks").alias("_ta"), F.col("sz").alias("_sa")
+    )
+    db = docs.select(
+        F.col("did").alias("doc_id_b"), F.col("toks").alias("_tb"), F.col("sz").alias("_sb")
+    )
+    i = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(da, "doc_id_a")
+        .join(db, "doc_id_b")
+        .withColumn("_i", i)
+        .filter(den * F.col("_i") >= num * (F.col("_sa") + F.col("_sb") - F.col("_i")))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

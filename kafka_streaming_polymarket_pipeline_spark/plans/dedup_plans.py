@@ -334,3 +334,44 @@ def d11_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load(spark, sf_dir, "customer")
     return editdist1_pairs(cust, "c_custkey", "c_name")
+
+
+@register(
+    "d12_prefix_jaccard_join",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+    FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON doc_id_a = sa.doc_id
+JOIN sz sb ON doc_id_b = sb.doc_id
+WHERE 20 * i >= 19 * (sa.n + sb.n - i)
+""",
+)
+def d12_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join: word-token Jaccard >= 0.95 pairs via
+    AllPairs/PPJoin prefix filtering (Bayardo WWW'07; Xiao WWW'08) — the
+    third rung of the dedup ladder: d2 is the quadratic proof, d3 the
+    probabilistic funnel, d12 the exact algorithm that scales. Docs sort
+    their tokens by global (doc-frequency ASC, token) and only the
+    rarest s - ceil(0.95 s) + 1 tokens (the prefix) enter the candidate
+    equi-join; pigeonhole makes the candidate set a superset of the
+    answer, an exact integer-arithmetic Jaccard verify finishes. The
+    oracle is the naive all-pairs token self-join; identical answers,
+    near-linear candidate work. Threshold is the rational 19/20
+    (word-token similarity on this templated corpus is loose: 0.7 admits
+    41% of ALL pairs, 0.95 keeps the near-identical tail) with all
+    comparisons integer cross-multiplications on BOTH engines — no float
+    boundary can disagree (the j7 band-edge lesson)."""
+    return D.prefix_jaccard_pairs(load(spark, sf_dir, "documents"), num=19, den=20)

@@ -910,6 +910,59 @@ def editdist1_pairs(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     )
 
 
+def prefix_jaccard_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 7,
+    den: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 1-3 of :func:`prefix_jaccard_pairs` — returns
+    ``(docs, candidates)`` where ``docs`` is (did, toks, sz) with tokens
+    in global (df ASC, token ASC) order and ``candidates`` is the
+    distinct (doc_id_a, doc_id_b) prefix-collision pairs.  Exposed
+    separately so the pigeonhole guarantee (candidates ⊇ qualifying
+    pairs) is directly property-testable.
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("t"),
+    )
+    tok_df = tok.groupBy("t").agg(F.count("*").alias("tdf"))
+    docs = (
+        tok.join(tok_df, "t")
+        .groupBy("did")
+        .agg(F.sort_array(F.collect_list(F.struct("tdf", "t"))).alias("_o"))
+        .select(
+            "did",
+            F.expr("transform(_o, x -> x.t)").alias("toks"),
+            F.size("_o").alias("sz"),
+        )
+    )
+    pref = docs.select(
+        "did",
+        "sz",
+        F.explode(
+            F.expr(f"slice(toks, 1, sz - (({num} * sz + {den} - 1) div {den}) + 1)")
+        ).alias("t"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.did") < F.col("b.did"))
+            & (den * F.col("b.sz") >= num * F.col("a.sz"))
+            & (den * F.col("a.sz") >= num * F.col("b.sz")),
+        )
+        .select(F.col("a.did").alias("doc_id_a"), F.col("b.did").alias("doc_id_b"))
+        .distinct()
+    )
+    return docs, cand
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -955,42 +1008,7 @@ def prefix_jaccard_pairs(
     is an id equi-join. Output is inherently quadratic in duplicate-
     cluster size, as for any exact pair enumeration.
     """
-    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
-
-    tok = df.select(
-        F.col(id_col).alias("did"),
-        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("t"),
-    )
-    tok_df = tok.groupBy("t").agg(F.count("*").alias("tdf"))
-    docs = (
-        tok.join(tok_df, "t")
-        .groupBy("did")
-        .agg(F.sort_array(F.collect_list(F.struct("tdf", "t"))).alias("_o"))
-        .select(
-            "did",
-            F.expr("transform(_o, x -> x.t)").alias("toks"),
-            F.size("_o").alias("sz"),
-        )
-    )
-    pref = docs.select(
-        "did",
-        "sz",
-        F.explode(
-            F.expr(f"slice(toks, 1, sz - (({num} * sz + {den} - 1) div {den}) + 1)")
-        ).alias("t"),
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.did") < F.col("b.did"))
-            & (den * F.col("b.sz") >= num * F.col("a.sz"))
-            & (den * F.col("a.sz") >= num * F.col("b.sz")),
-        )
-        .select(F.col("a.did").alias("doc_id_a"), F.col("b.did").alias("doc_id_b"))
-        .distinct()
-    )
+    docs, cand = prefix_jaccard_candidates(df, id_col, text_col, num, den)
     da = docs.select(
         F.col("did").alias("doc_id_a"), F.col("toks").alias("_ta"), F.col("sz").alias("_sa")
     )

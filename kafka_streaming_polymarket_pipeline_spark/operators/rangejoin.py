@@ -88,6 +88,20 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    reserved = {"_k", "_ts", "_m", "_b", "_match"}
+    clash = reserved & (set(probe.columns) | set(build.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)} first"
+        )
+    overlap = set(build_cols) & set(probe.columns)
+    if overlap:
+        raise ValueError(
+            f"build_cols {sorted(overlap)} collide with probe columns; "
+            "alias them on the build side before the join"
+        )
+
     payload = F.struct(*[F.col(c) for c in build_cols])
     b = build.select(
         F.col(on).alias("_k"),

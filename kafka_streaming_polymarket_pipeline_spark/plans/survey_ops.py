@@ -1730,6 +1730,7 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        round(list_reduce(list(value ORDER BY ts, event_id),
                          (acc, x) -> acc * 0.75 + 0.25 * x), 6) AS ewma_value
 FROM events
+WHERE value IS NOT NULL
 GROUP BY user_id
 """,
 )
@@ -1748,8 +1749,13 @@ def a24_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     associatively, so the same result is computable as a mergeable
     two-level aggregation of (a, b) pairs (segment-scan form) without
     materializing the array; streaming form = applyInPandasWithState.
+
+    NULL values are filtered on BOTH sides (r04 ADVICE): the
+    coalesce-seeded fold would silently RESTART the EWMA after a NULL
+    while DuckDB's list_reduce would propagate it — excluding NULLs
+    makes the engines agree by construction instead of by data luck.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
     vals = F.transform(arr, lambda r: r["value"])
     ewma = F.aggregate(

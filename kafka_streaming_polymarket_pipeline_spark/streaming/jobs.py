@@ -305,6 +305,7 @@ def stream_asof_join(
     build_value: str,
     max_staleness: str = "1 hour",
     watermark: str = "30 minutes",
+    probe_id: str | None = None,
 ) -> DataFrame:
     """Streaming backward as-of: each probe event picks the LATEST build
     event at-or-before it within ``max_staleness`` on the same key.
@@ -322,6 +323,17 @@ def stream_asof_join(
     The staleness horizon is the price of streaming: a probe with no
     build event inside the horizon emits nothing (the batch twin's LEFT
     rows), exactly like the reference's latest-price lookup going stale.
+
+    Horizon boundary (exact, r04 ADVICE): the look-back window is the
+    half-open interval ``probe_ts - max_staleness < build_ts <=
+    probe_ts`` — a build event EXACTLY max_staleness old is excluded,
+    one exactly simultaneous matches.
+
+    Probe identity: pass ``probe_id`` (a per-event unique column) to key
+    the argmax per EVENT — without it the group key is (key, probe_ts)
+    and two distinct probe events sharing a timestamp collapse into one
+    output row (r04 ADVICE), so omitting probe_id requires (key,
+    probe_ts)-unique probes.
     """
     pw = probe.withWatermark(probe_ts, watermark)
     bw = build.withWatermark(build_ts, watermark)
@@ -331,7 +343,8 @@ def stream_asof_join(
         & (bw[build_ts] > pw[probe_ts] - F.expr(f"INTERVAL {max_staleness}"))
     )
     joined = pw.join(bw, cond, "inner").drop(bw[key])
-    return joined.groupBy(key, probe_ts).agg(
+    group = [key, probe_id, probe_ts] if probe_id else [key, probe_ts]
+    return joined.groupBy(*group).agg(
         F.max_by(F.col(build_value), F.col(build_ts)).alias(f"asof_{build_value}"),
         F.max(F.col(build_ts)).alias("asof_ts"),
     )

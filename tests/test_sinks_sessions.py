@@ -305,3 +305,33 @@ def test_bucketed_upsert_random_batches_match_flat(spark, tmp_path):
     a = {(r.k, r.v) for r in spark.read.parquet(flat).collect()}
     b = {(r.k, r.v) for r in sinks.read_upserted(spark, bucketed).collect()}
     assert a == b and len(a) > 0
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pin the session_window boundary semantics the w2/w6/a28 oracles
+    rely on: an event at a gap of EXACTLY the 30-min duration MERGES
+    into the running session (measured; r04 ADVICE suspected the
+    opposite), so the gaps-and-islands oracle's strict
+    ``> INTERVAL 30 MINUTE`` new-session condition is the correct
+    translation.  If a Spark upgrade ever flips this to exclusive, this
+    test fails before any oracle can hash-mismatch."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + timedelta(minutes=30)),          # exact gap: merges
+        (2, t0),
+        (2, t0 + timedelta(minutes=30, seconds=1)),  # over gap: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["user_id"]: r["n"]
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {1: 1, 2: 2}

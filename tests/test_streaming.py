@@ -369,3 +369,47 @@ def test_stream_asof_join_checkpoint_recovery(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     assert len(got) == 1
     assert float(got[0].asof_quote) == 3.0  # latest-prior, recovered state
+
+
+def test_stream_asof_join_probe_id_keeps_same_ts_events(spark, tmp_path):
+    """Two distinct trades at the IDENTICAL timestamp: with probe_id the
+    argmax is per-event and both rows survive (r04 ADVICE — without it
+    the (key, ts) group collapses them)."""
+    import json
+
+    qdir, tdir = tmp_path / "q", tmp_path / "t"
+    qdir.mkdir(), tdir.mkdir()
+    quotes = [
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:50:00.000000", "quote": 3.0},
+    ]
+    trades = [
+        {"symbol": "BTC", "trade_id": "t-1", "trade_ts": "2024-01-01T10:00:00.000000"},
+        {"symbol": "BTC", "trade_id": "t-2", "trade_ts": "2024-01-01T10:00:00.000000"},
+    ]
+    (qdir / "q1.jsonl").write_text("\n".join(json.dumps(r) for r in quotes))
+    (tdir / "t1.jsonl").write_text("\n".join(json.dumps(r) for r in trades))
+    # watermark-advancing batch-2 events on both streams
+    (qdir / "q2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "quote_ts": "2024-01-02T12:00:00.000000", "quote": 99.0}))
+    (tdir / "t2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "trade_id": "t-3", "trade_ts": "2024-01-02T12:01:00.000000"}))
+    qs = (
+        spark.readStream.schema("symbol string, quote_ts string, quote double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(qdir))
+        .withColumn("quote_ts", F.to_timestamp("quote_ts"))
+    )
+    ts = (
+        spark.readStream.schema("symbol string, trade_id string, trade_ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tdir))
+        .withColumn("trade_ts", F.to_timestamp("trade_ts"))
+    )
+    out = jobs.run_available_now(
+        jobs.stream_asof_join(ts, qs, key="symbol", probe_ts="trade_ts",
+                              build_ts="quote_ts", build_value="quote",
+                              probe_id="trade_id"),
+        "t_asof_pid", spark,
+    )
+    rows = {(r.trade_id, float(r.asof_quote)) for r in out.collect()}
+    assert rows == {("t-1", 3.0), ("t-2", 3.0)}

@@ -24,6 +24,7 @@ array ops for shingles/signatures, joins + aggregates for pair math.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -33,6 +34,26 @@ from kafka_streaming_polymarket_pipeline_spark.operators.text import char_shingl
 
 # --- MinHash parameters (fixed seed so signatures are reproducible) -------
 NUM_PERM = 128
+
+# Above this many docs the LSH est/verify joins stop broadcasting the
+# signature / hashed-shingle sides and switch to shuffle-hash on doc_id
+# (candidate-local either way).  ~1 KB/doc of 128-int signatures and a
+# similar hashed-array payload put the broadcast budget around a few
+# hundred MB at the default; the 100 TB path needs no code edit, only
+# (optionally) this env knob.
+BROADCAST_VERIFY_MAX_DOCS = int(os.environ.get("PMPS_BROADCAST_VERIFY_MAX_DOCS", "500000"))
+
+
+def _doc_side(df: DataFrame, n_docs: int | None) -> DataFrame:
+    """Join-strategy selector for the per-doc payload side of the LSH
+    est/verify equi-joins: broadcast while the doc count fits the
+    budget, shuffle-hash beyond it (the payload side is aggregated and
+    thus smaller than the probe side — SHJ, not SMJ, is the right
+    fallback; SCALE.md names the swap).  ``n_docs=None`` (size unknown)
+    keeps the legacy broadcast hint."""
+    if n_docs is None or n_docs <= BROADCAST_VERIFY_MAX_DOCS:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
 BANDS = 64  # default banding: 64 bands x r=2 rows (threshold >= 0.5 regime)
 _MERSENNE_P = 4_294_967_311  # prime > 2^32
 _rng = random.Random(42)
@@ -249,8 +270,9 @@ def minhash_lsh_dedup(
     )
 
     hashed = _hashed_shingle_arrays(df, id_col, text_col, n)
-    survivors = _est_filter(cand, sigs, est_cutoff)
-    return _verify_jaccard(survivors, hashed, threshold)
+    n_docs = sigs.count()  # materializes the persisted signatures once
+    survivors = _est_filter(cand, sigs, est_cutoff, n_docs)
+    return _verify_jaccard(survivors, hashed, threshold, n_docs)
 
 
 def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -267,7 +289,9 @@ def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) ->
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def _est_filter(cand: DataFrame, sigs: DataFrame, est_cutoff: int) -> DataFrame:
+def _est_filter(
+    cand: DataFrame, sigs: DataFrame, est_cutoff: int, n_docs: int | None = None
+) -> DataFrame:
     """Signature-agreement estimate over candidate pairs: keep pairs whose
     128-column agreement >= est_cutoff (codegen'd comparisons, no text);
     the cutoff comes from _lsh_params so it tracks the caller's threshold."""
@@ -281,14 +305,16 @@ def _est_filter(cand: DataFrame, sigs: DataFrame, est_cutoff: int) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM)
     )
     return (
-        cand.join(F.broadcast(sig_a), "doc_id_a")
-        .join(F.broadcast(sig_b), "doc_id_b")
+        cand.join(_doc_side(sig_a, n_docs), "doc_id_a")
+        .join(_doc_side(sig_b, n_docs), "doc_id_b")
         .filter(est >= F.lit(est_cutoff))
         .select("doc_id_a", "doc_id_b")
     )
 
 
-def _verify_jaccard(pairs: DataFrame, hashed: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(
+    pairs: DataFrame, hashed: DataFrame, threshold: float, n_docs: int | None = None
+) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs on hashed shingle arrays."""
     sh_a = hashed.select(
         F.col("doc_id").alias("doc_id_a"), F.col("hsh").alias("sh_a"), F.col("sz").alias("sz_a")
@@ -299,8 +325,8 @@ def _verify_jaccard(pairs: DataFrame, hashed: DataFrame, threshold: float) -> Da
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        pairs.join(F.broadcast(sh_a), "doc_id_a")
-        .join(F.broadcast(sh_b), "doc_id_b")
+        pairs.join(_doc_side(sh_a, n_docs), "doc_id_a")
+        .join(_doc_side(sh_b, n_docs), "doc_id_b")
         .filter(jac >= threshold)  # unrounded, same predicate as the oracle
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -372,8 +398,9 @@ def minhash_lsh_dedup_dfpruned(
         .agg(F.collect_list("h").alias("hsh"), F.count("*").alias("sz"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    survivors = _est_filter(cand, sigs, est_cutoff)
-    return _verify_jaccard(survivors, hashed, threshold)
+    n_docs = sigs.count()  # materializes the persisted pruned signatures once
+    survivors = _est_filter(cand, sigs, est_cutoff, n_docs)
+    return _verify_jaccard(survivors, hashed, threshold, n_docs)
 
 
 def minhash_lsh_incremental(
@@ -426,7 +453,10 @@ def minhash_lsh_incremental(
 
     all_docs = corpus.select(id_col, text_col).union(new.select(id_col, text_col))
     hashed = _hashed_shingle_arrays(all_docs, id_col, text_col, n)
-    return _verify_jaccard(_est_filter(cand, sigs, est_cutoff), hashed, threshold)
+    n_docs = sigs.count()  # materializes the persisted union signatures once
+    return _verify_jaccard(
+        _est_filter(cand, sigs, est_cutoff, n_docs), hashed, threshold, n_docs
+    )
 
 
 # --- Near-dup clustering (connected components) -----------------------------

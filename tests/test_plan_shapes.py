@@ -152,3 +152,38 @@ def test_no_unapproved_quadratic_join(spark, sf_smoke, name):
         f"{name} plans a BroadcastNestedLoopJoin — candidate generation must "
         "be an equi-join (add to ALLOWED_NESTED only with a scale rationale)"
     )
+
+
+def test_lsh_verify_join_strategy_is_size_conditional(spark, monkeypatch):
+    """The LSH est/verify joins broadcast the per-doc payload sides at
+    fixture scale but MUST fall back to shuffle-hash on doc_id above the
+    configurable doc-count budget (r04 VERDICT item 4) — the 100 TB path
+    needs the env knob, never a code edit. Same pairs either way."""
+    from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a completely different document about stream processing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    # fixture scale: all four payload joins (est a/b, verify a/b)
+    # broadcast; no shuffle-hash anywhere
+    small = D.minhash_lsh_dedup(df, threshold=0.5)
+    assert plan_of(small).count("ShuffledHashJoin") == 0
+    assert "BroadcastHashJoin" in plan_of(small)
+    small_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in small.collect()}
+
+    # force the scale path: budget of 0 docs -> the four payload joins
+    # flip to shuffle-hash on doc_id (the band self-join is not part of
+    # the knob — unhinted, it auto-broadcasts only at tiny scale)
+    monkeypatch.setattr(D, "BROADCAST_VERIFY_MAX_DOCS", 0)
+    big = D.minhash_lsh_dedup(df, threshold=0.5)
+    assert plan_of(big).count("ShuffledHashJoin") == 4, (
+        "doc-payload joins did not all flip to shuffle-hash above the budget"
+    )
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in big.collect()} == small_pairs == {(0, 1)}

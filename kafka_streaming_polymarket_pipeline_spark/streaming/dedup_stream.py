@@ -3,14 +3,19 @@ pipeline actually runs continuously.
 
 The batch operator (operators/dedup.minhash_lsh_incremental) proves the
 O(|new|) math; this module makes it a standing job with a PERSISTENT
-index: the corpus's MinHash signatures, band buckets, and hashed shingle
-arrays live as parquet tables that each micro-batch probes and then
-extends. Per batch the work is:
+index: the corpus's band buckets and hashed shingle arrays live as
+parquet tables that each micro-batch probes and then extends. Per batch
+the work is:
 
   1. signature + band computation for the new docs only (map-side);
   2. bucket probes: new-batch bands equi-join the stored bucket table
-     (plus new-new pairs) -> band-count cut -> estimate cut -> exact
-     hashed-shingle verify — the same exactness-preserving funnel as d3;
+     (plus new-new pairs) -> band-count cut -> signature-agreement
+     estimate cut -> exact hashed-shingle verify — the same
+     exactness-preserving funnel as d3. The estimate stage is LOAD-
+     BEARING on templated corpora (measured: dropping it pushed one
+     1000-doc batch's probe from 7 s to 107 s — the J in [0.15, 0.5)
+     candidate mass hits the array-intersect verify unpruned), so the
+     signatures table stays in the index, kbucketed like the arrays.
   3. index extension: the new docs' rows land under
      ``batch=<epoch_id>`` partition directories written with per-batch
      overwrite, so a foreachBatch retry after a crash REWRITES the same
@@ -18,8 +23,20 @@ extends. Per batch the work is:
      what makes the exactly-once claim hold on the index path).
 
 At 100 TB the index tables are bucketed by band_hash / doc_id so the
-probe joins co-locate; here they are plain parquet with the same logical
-shape.
+probe joins co-locate. As of round 5 the per-doc payload tables (sigs
+and hashed shingle arrays) genuinely ARE doc-id-hash bucketed on disk —
+the same ``__kbucket=<n>/`` directory layout as
+``upsert_parquet_bucketed`` (sources/sinks.py), nested under the
+retry-idempotent ``batch=<id>`` level — so the estimate and verify
+stages PARTITION-PRUNE their reads to only the buckets containing
+candidate docs (O(candidate buckets), not O(corpus)) while each batch
+still only ever writes its own files (the index is append-only by
+construction: new doc_ids are new keys, so the MERGE-rewrite half of
+the bucketed-upsert protocol is unnecessary).
+The band-bucket table keeps the flat per-batch layout: its probe is an
+equi-join on band_hash, which a 1000-doc batch (64k bands) touches
+uniformly — a full scan of three-long rows is the honest per-batch
+floor there (measured in SCALE.md's amortization table).
 """
 
 from __future__ import annotations
@@ -32,6 +49,20 @@ from pyspark.sql import functions as F
 from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
 
 SIGS, BUCKETS, HASHED = "sigs", "buckets", "hashed"
+
+# Doc-id hash buckets for the hashed-array payload table.  Same bucket
+# function family as upsert_parquet_bucketed (xxhash64 pmod n); fixed at
+# index creation because it is the directory layout.  16 keeps per-batch
+# file counts sane at 1000-doc batches (~60 docs/bucket/file) while a
+# pruned probe still skips ~15/16 of a large corpus; at 100 TB scale the
+# table is created with more (the knob is a constant, the layout
+# convention is the point).
+N_DOC_BUCKETS = 16
+_KB = "__kbucket"
+
+
+def _dbucket(id_col: str = "doc_id") -> F.Column:
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_DOC_BUCKETS)).cast("int")
 
 
 def _index_parts(docs: DataFrame, threshold: float, n: int):
@@ -50,32 +81,68 @@ def write_index_batch(
     docs: DataFrame, index_path: str, batch_id: int, threshold: float = 0.5,
     n: int = 5, parts: tuple | None = None
 ) -> None:
-    """Materialize one batch's index rows under batch=<id> partition dirs
-    (overwrite -> retry-idempotent). ``parts`` lets the caller pass the
-    (sigs, buckets, hashed) frames it already computed for probing, so
-    the signature stage — the expensive map pass — runs once per batch,
-    not twice."""
-    for name, part in zip(
-        (SIGS, BUCKETS, HASHED), parts or _index_parts(docs, threshold, n)
-    ):
-        part.write.mode("overwrite").parquet(
-            os.path.join(index_path, name, f"batch={batch_id}")
+    """Materialize one batch's index rows under batch=<id> dirs
+    (overwrite -> retry-idempotent).  sigs and hashed additionally
+    partition by ``__kbucket`` (doc-id hash, repartitioned to one file
+    per touched bucket) inside the batch dir so later probes can prune;
+    buckets stays flat (probed by band_hash, unprunable by doc bucket).
+    ``parts`` lets the caller pass the (sigs, buckets, hashed) frames it
+    already computed for probing, so the signature stage — the expensive
+    map pass — runs once per batch, not twice."""
+    sigs, buckets, hashed = parts or _index_parts(docs, threshold, n)
+    for name, part in ((SIGS, sigs), (HASHED, hashed)):
+        (
+            part.withColumn(_KB, _dbucket())
+            .repartition(N_DOC_BUCKETS, F.col(_KB))  # one file per bucket dir
+            .write.mode("overwrite")
+            .partitionBy(_KB)
+            .parquet(os.path.join(index_path, name, f"batch={batch_id}"))
         )
+    buckets.write.mode("overwrite").parquet(
+        os.path.join(index_path, BUCKETS, f"batch={batch_id}")
+    )
 
 
-def _read_index(spark: SparkSession, index_path: str, name: str) -> DataFrame | None:
+def _read_index(
+    spark: SparkSession,
+    index_path: str,
+    name: str,
+    touched_buckets: list[int] | None = None,
+) -> DataFrame | None:
+    """Read every batch's rows of one index table.  For the kbucketed
+    table pass ``touched_buckets`` (a bounded <= N_DOC_BUCKETS int
+    list) to partition-prune the read to those ``__kbucket=`` dirs."""
     p = os.path.join(index_path, name)
     if not os.path.exists(p) or not any(d.startswith("batch=") for d in os.listdir(p)):
         return None
-    return spark.read.option("basePath", p).parquet(os.path.join(p, "batch=*")).drop("batch")
+    df = spark.read.option("basePath", p).parquet(os.path.join(p, "batch=*"))
+    if touched_buckets is not None:
+        df = df.filter(F.col(_KB).isin(touched_buckets))
+    return df.drop("batch", _KB)
 
 
 def checkpointed_parts(new: DataFrame, threshold: float = 0.5, n: int = 5) -> tuple:
     """The batch's (sigs, buckets, hashed) frames, eagerly materialized —
-    computed once, shared by the probe and the index write."""
-    return tuple(
-        p.localCheckpoint(eager=True) for p in _index_parts(new, threshold, n)
+    computed once, shared by the probe and the index write.  sigs is
+    checkpointed FIRST and buckets derived from the checkpointed frame,
+    so the signature map pass (the expensive stage) runs exactly once
+    per batch; buckets itself is a cheap row-local hash over cached sig
+    rows and needs no checkpoint of its own."""
+    rows, _, _ = D._lsh_params(threshold)
+    sigs = D.minhash_signatures(
+        D.shingle_index(new, "doc_id", "text", n)
+    ).localCheckpoint(eager=True)
+    buckets = D._band_buckets(sigs, rows)
+    hashed = (
+        D.doc_shingle_arrays(new, "doc_id", "text", n)
+        .select(
+            "doc_id",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"),
+            "sz",
+        )
+        .localCheckpoint(eager=True)
     )
+    return sigs, buckets, hashed
 
 
 def incremental_pairs_against_index(
@@ -89,9 +156,7 @@ def incremental_pairs_against_index(
     rows, min_bands, est_cutoff = D._lsh_params(threshold)
     new_sigs, new_buckets, new_hashed = parts or checkpointed_parts(new, threshold, n)
 
-    corpus_sigs = _read_index(spark, index_path, SIGS)
     corpus_buckets = _read_index(spark, index_path, BUCKETS)
-    corpus_hashed = _read_index(spark, index_path, HASHED)
 
     nb = new_buckets.select(F.col("doc_id").alias("nid"), "band_id", "band_hash")
     nn = (
@@ -109,12 +174,8 @@ def incremental_pairs_against_index(
             F.greatest("nid", "cid").alias("doc_id_b"),
         )
         cand_src = nc.union(nn)
-        sigs = corpus_sigs.union(new_sigs)
-        hashed = corpus_hashed.union(new_hashed)
     else:
         cand_src = nn
-        sigs = new_sigs
-        hashed = new_hashed
 
     cand = (
         cand_src.groupBy("doc_id_a", "doc_id_b")
@@ -122,6 +183,29 @@ def incremental_pairs_against_index(
         .filter(F.col("k") >= min_bands)
         .drop("k")
     )
+    if corpus_buckets is None:
+        return D._verify_jaccard(
+            D._est_filter(cand, new_sigs, est_cutoff), new_hashed, threshold
+        )
+
+    # The est/verify stages only need sig/hashed rows for CANDIDATE docs.
+    # Materialize the (small) candidate set once, derive its touched
+    # doc-id buckets — a bounded <= N_DOC_BUCKETS driver-side int list —
+    # and partition-prune the corpus payload read to those dirs.  The
+    # batch's own rows come from the in-memory checkpointed parts.
+    cand = cand.localCheckpoint(eager=True)
+    touched = sorted(
+        r["kb"]
+        for r in cand.select(
+            F.explode(F.array(_dbucket("doc_id_a"), _dbucket("doc_id_b"))).alias("kb")
+        )
+        .distinct()
+        .collect()
+    )
+    corpus_sigs = _read_index(spark, index_path, SIGS, touched_buckets=touched)
+    corpus_hashed = _read_index(spark, index_path, HASHED, touched_buckets=touched)
+    sigs = corpus_sigs.union(new_sigs)
+    hashed = corpus_hashed.union(new_hashed)
     return D._verify_jaccard(D._est_filter(cand, sigs, est_cutoff), hashed, threshold)
 
 

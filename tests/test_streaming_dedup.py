@@ -64,11 +64,13 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     # no pair emitted twice across batches
     assert got_df.count() == len(expected)
 
-    # index covers every doc after the run
-    sigs = spark.read.option("basePath", f"{index_path}/sigs").parquet(
-        f"{index_path}/sigs/batch=*"
+    # index covers every doc after the run (hashed arrays are the
+    # per-doc payload table; the streaming index stores no signatures —
+    # the estimate stage is a batch-funnel scan-saver, see module doc)
+    hashed = spark.read.option("basePath", f"{index_path}/hashed").parquet(
+        f"{index_path}/hashed/batch=*"
     )
-    assert sigs.select("doc_id").distinct().count() == 6
+    assert hashed.select("doc_id").distinct().count() == 6
 
     # late-arriving near-dups paired against the INDEX, not re-read text:
     # batch1's emissions include cross-batch pairs (0,3) and (0,5)
@@ -81,7 +83,31 @@ def test_write_index_batch_is_retry_idempotent(spark, tmp_path):
     docs = spark.createDataFrame(BATCH_A, "doc_id long, text string")
     p = str(tmp_path / "idx")
     DS.write_index_batch(docs, p, batch_id=7)
-    n1 = spark.read.parquet(f"{p}/sigs/batch=7").count()
+    n1 = spark.read.parquet(f"{p}/hashed/batch=7").count()
     DS.write_index_batch(docs, p, batch_id=7)  # simulated retry
-    n2 = spark.read.parquet(f"{p}/sigs/batch=7").count()
+    n2 = spark.read.parquet(f"{p}/hashed/batch=7").count()
     assert n1 == n2 == 3  # overwrite, not append
+
+
+def test_index_payload_reads_partition_prune(spark, tmp_path):
+    """The kbucketed sigs/hashed layout must produce a real
+    PartitionFilters entry (directory-level pruning) and return exactly
+    the touched buckets' rows."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words") for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    DS.write_index_batch(docs, idx, 0)
+    pruned = DS._read_index(spark, idx, DS.SIGS, touched_buckets=[3, 7])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__kbucket" in plan
+    want = {
+        r["doc_id"]
+        for r in docs.select("doc_id")
+        .withColumn("kb", DS._dbucket())
+        .filter(F.col("kb").isin([3, 7]))
+        .collect()
+    }
+    assert {r["doc_id"] for r in pruned.select("doc_id").collect()} == want
+    assert 0 < len(want) < 200

@@ -159,3 +159,66 @@ def semantic_dedup_pairs(
         .filter(cos >= F.lit(threshold))  # unrounded, same predicate as the oracle
         .select("vec_id_a", "vec_id_b", "cell", F.round(cos, 6).alias("cosine"))
     )
+
+
+def signbit_cells(n_docs: int, target_cell: int = 125) -> int:
+    """Smallest b with target_cell * 2^b >= n_docs (min 1) — pure integer
+    arithmetic so Spark and the SQL oracle derive the identical bit
+    count at any scale (no float log2 boundary anywhere)."""
+    return max(1, next(i for i in range(48) if target_cell * (1 << i) >= n_docs))
+
+
+def semantic_dedup_pairs_signcells(
+    df: DataFrame, threshold: float = 0.45, target_cell: int = 125,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with a LINEAR-assignment clusterer: the cell is the first
+    ``b`` coordinate sign bits of the embedding (b = smallest int with
+    target_cell * 2^b >= n, so cell count ~ n / target_cell grows with
+    the corpus while mean cell size stays ~constant).
+
+    Why this exists next to the Lloyd forms: exact flat k-means
+    assignment is O(n * k) — with the production k-proportional-to-n
+    knob that is O(n^2 / cell), and the d8b probe MEASURED it (54 s of
+    a 48 s total at 20k docs is the assignment crossJoin). Production
+    SemDeDup escapes via hierarchical / approximate assignment (faiss
+    IVF); sign-bit cells are the deterministic, oracle-checkable
+    stand-in with the same cost shape: assignment is O(n * b) row-local
+    work (b grows logarithmically), pair work stays
+    sum(|cell|^2) ~ n * cell_size. Cross-cell near-dups are missed by
+    design, exactly like d8 — the blocking key changed, not the trade.
+
+    Sign-bit cells need no training pass at all, which is what makes
+    the whole pipeline a single linear scan + one equi-join; the cost
+    is less adaptive cells than k-means (coordinate signs instead of
+    learned centroids) — acceptable for the blocking role.
+    """
+    n_docs = df.count()  # bounded driver-side scalar
+    b = signbit_cells(n_docs, target_cell)
+    v = F.col(vec_col).cast("array<double>")
+    pts = df.select(F.col(id_col).alias("vec_id"), v.alias("_v")).withColumn(
+        "_n", F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    )
+    # cell = sum_{i<b} (e[i] > 0) * 2^i — row-local, no shuffle, no rounds
+    asg = pts.withColumn(
+        "cell",
+        F.expr(
+            f"aggregate(sequence(1, {b}), 0L,"
+            " (acc, i) -> acc + IF(element_at(_v, i) > 0, shiftleft(1L, i - 1), 0L))"
+        ),
+    )
+    a = asg.select(
+        F.col("vec_id").alias("vec_id_a"), "cell",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    bb = asg.select(
+        F.col("vec_id").alias("vec_id_b"), "cell",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(bb, "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(cos >= F.lit(threshold))  # unrounded, same predicate as the oracle
+        .select("vec_id_a", "vec_id_b", "cell", F.round(cos, 6).alias("cosine"))
+    )

@@ -30,10 +30,15 @@ def _cos_sql(e: str, c: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int, n_iter: int) -> str:
+def _kmeans_ctes(k: int | str, n_iter: int) -> str:
     """WITH-chain replicating kmeans_assign: c0 = md5-ordered seed pick;
     a_i = rounded-cosine assignment under c_i (ties -> smaller cell);
-    c_{i+1} = 6-dp-rounded element-wise means of a_i's cells."""
+    c_{i+1} = 6-dp-rounded element-wise means of a_i's cells.
+
+    ``k`` may be an int literal or a SQL expression string (DuckDB's
+    LIMIT accepts expressions/subqueries) — the d8b production knob
+    computes k from the corpus size INSIDE the oracle so both engines
+    derive the identical k at any scale."""
     parts = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cell, e AS ce FROM v"
@@ -93,6 +98,78 @@ def d8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is sum(|cell|^2), never corpus^2)."""
     return C.semantic_dedup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=_SEM_THRESHOLD, k=_K, n_iter=_ITERS
+    )
+
+
+# The production knob (SemDeDup, Abbas et al. 2023 §3: k grows with the
+# corpus so cells stay constant-size): k = max(4, n // 125) on BOTH
+# engines — Spark computes it from a bounded count(), the oracle inlines
+# the identical arithmetic in the seed pick's LIMIT expression.  Holding
+# CELL SIZE (not k) constant makes within-cell pair work sum(|cell|^2)
+# ~ n * cell_size, i.e. LINEAR in corpus size — the scale shape d8's
+# pinned k=8 cannot show (its 19x-at-10x probe artifact, SCALE.md r04).
+_KSCALED = "(greatest(4, (SELECT count(*) FROM embeddings) // 125))"
+
+
+@register(
+    "d8b_semantic_dedup_kscaled",
+    oracle=f"""
+{_kmeans_ctes(_KSCALED, _ITERS)}
+SELECT vec_id_a, vec_id_b, cell, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cell AS cell,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM a{_ITERS} a JOIN a{_ITERS} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE c >= {_SEM_THRESHOLD}
+""",
+)
+def d8b_semantic_dedup_kscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION k-proportional-to-n knob: cosine >=
+    {_SEM_THRESHOLD} pairs within k-means cells where k = max(4, n//125)
+    holds cell size ~125 constant, so pair work grows LINEARLY with the
+    corpus (d8's pinned k=8 is the oracle-parity form; this row hash-
+    gates the scale shape itself — k differs per SF and both engines
+    derive it from the same integer arithmetic)."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = max(4, emb.count() // 125)  # bounded driver-side scalar
+    return C.semantic_dedup_pairs(emb, threshold=_SEM_THRESHOLD, k=k, n_iter=_ITERS)
+
+
+@register(
+    "d8c_semantic_dedup_signcells",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bsel AS (
+  SELECT greatest(1, min(i)) AS b FROM range(0, 48) t(i)
+  WHERE 125 * (1 << i) >= (SELECT count(*) FROM embeddings)
+),
+cells AS (
+  SELECT vec_id, e,
+         list_sum(list_transform(range(1, (SELECT b FROM bsel) + 1),
+           i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS cell
+  FROM v
+)
+SELECT vec_id_a, vec_id_b, cell, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cell AS cell,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE c >= {_SEM_THRESHOLD}
+""",
+)
+def d8c_semantic_dedup_signcells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the LINEAR-assignment clusterer: cells are the first
+    b coordinate sign bits (b = smallest int with 125 * 2^b >= n, pure
+    integer arithmetic on both engines), so cell count grows with the
+    corpus at constant mean cell size WITHOUT the O(n*k) Lloyd
+    assignment d8b's probe measured quadratic (operators/clustering.py
+    docstring has the decomposition). Assignment is one row-local scan;
+    pair work ~ n * cell_size — the near-linear production scale shape,
+    probe-verified at 2k/6k/20k embeddings."""
+    return C.semantic_dedup_pairs_signcells(
+        load(spark, sf_dir, "embeddings"), threshold=_SEM_THRESHOLD, target_cell=125
     )
 
 

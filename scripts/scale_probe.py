@@ -35,7 +35,7 @@ VOCAB = (
 LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # en-heavy like the driver's
 QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
            "q3_ivf_pq_topk", "s1_ann_bruteforce_topk", "t14_span_scrub",
-           "d3c_minhash_lsh_dfpruned", "c1_kmeans_assign", "d8_semantic_dedup",
+           "d3c_minhash_lsh_dfpruned", "c1_kmeans_assign", "d8_semantic_dedup", "d8b_semantic_dedup_kscaled", "d8c_semantic_dedup_signcells",
            "b1_bm25_topk", "d10_semantic_decontam", "c2_pagerank",
            "q4_binary_hamming_topk", "t16_quality_classifier",
            "t17_char_entropy", "x8_weighted_sample",

@@ -140,6 +140,28 @@ def streaming_throughput(spark, sf_dir: str, n_rows: int = 1_000_000) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Fixed CPU+shuffle control job, measured once per suite pass.  The
+# baseline constant is its best reading in a healthy window on this box
+# (recorded round 5; re-pin if the hardware changes).  control_ratio =
+# min(measured)/baseline normalizes every recorded number for the
+# machine's contention waves: a suite recorded at control_ratio 1.8
+# ran on a box 1.8x slower than the healthy baseline, same code.
+CONTROL_BASELINE_SEC = 0.65
+
+
+def _control_probe(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr(
+        "sum(id * 2654435761 % 1000003)"
+    ).collect()
+    spark.range(8_000_000).groupBy((F.col("id") % 4096).alias("k")).count().where(
+        "count < 0"
+    ).count()
+    return time.perf_counter() - t0
+
+
 def streaming_dedup_throughput(spark, sf_dir: str, batches: int = 5) -> dict:
     """Standing incremental-dedup job throughput: documents stream in
     ``batches`` micro-batches through the full exactness-preserving funnel
@@ -234,34 +256,40 @@ def main() -> None:
         n for n in HEADLINE if n in registry
     ]
 
-    # Min over N runs per query: this box's background load comes in waves
-    # (SCALE.md "machine drift" measurement — identical code varies 1-10x
-    # between windows), and min-over-repetitions is the standard estimator
-    # for the noise-free time under additive interference (what hyperfine's
-    # `min` reports). Cache is cleared between runs, so repeats re-execute
-    # the full pipeline; only JVM/codegen warmth carries over, which the
-    # explicit warmup above already grants run 1.
+    # Min over N FULL PASSES of the suite (not N consecutive runs per
+    # query): this box's background load comes in waves that can span a
+    # whole back-to-back repeat window (SCALE.md "machine drift" — same
+    # code varies 1-10x between windows), so a query's repeats must be
+    # SEPARATED in time. Pass k's run of query q is minutes away from
+    # pass k+1's run of q — two genuinely different windows — and
+    # min-over-repetitions is the standard estimator for noise-free time
+    # under additive interference (hyperfine's `min`). Cache is cleared
+    # between runs so repeats re-execute the full pipeline; only
+    # JVM/codegen warmth carries over, which the warmup grants pass 1.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        builder = registry[name]
-        best = None
-        for _ in range(max(runs, 1)):
+    control_secs: list[float] = []
+    for _pass in range(max(runs, 1)):
+        control_secs.append(_control_probe(spark))
+        for name in names:
+            if timings.get(name, 0.0) < 0:
+                continue  # failed in an earlier pass
+            builder = registry[name]
             t0 = time.perf_counter()
             try:
                 df = builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # record failures as negative sentinel, keep going
+            except Exception as exc:  # negative sentinel, keep going
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                best = -1.0
-                break
+                timings[name] = -1.0
+                continue
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
             spark.catalog.clearCache()  # drop per-query persisted stages (e.g. LSH sigs)
-        timings[name] = round(best, 3)
-        if best > 0:
-            total += best
+    control_secs.append(_control_probe(spark))
+    timings = {n: round(v, 3) for n, v in timings.items()}
+    total = sum(v for v in timings.values() if v > 0)
 
     # Streaming throughput runs in its own fresh *process* (a streaming job
     # is its own long-lived app in production; measuring it inside the JVM
@@ -309,6 +337,11 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "runs_per_query": runs,
+                "passes_separated_windows": True,
+                "control_sec": round(min(control_secs), 3),
+                "control_secs": [round(c, 3) for c in control_secs],
+                "control_baseline_sec": CONTROL_BASELINE_SEC,
+                "control_ratio": round(min(control_secs) / CONTROL_BASELINE_SEC, 2),
             }
         )
     )

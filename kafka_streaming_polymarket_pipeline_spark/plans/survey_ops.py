@@ -2191,3 +2191,69 @@ def u10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="qty",
     )
+
+
+@register(
+    "u11_full_outer_reconcile",
+    oracle="""
+WITH od AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS order_revenue
+  FROM orders GROUP BY 1
+),
+sd AS (
+  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_ship_lines,
+         round(CAST(sum(l_quantity) AS DOUBLE), 2) AS ship_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(od.day, sd.day) AS day,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(od.order_revenue, 0.0) AS order_revenue,
+       COALESCE(sd.n_ship_lines, 0) AS n_ship_lines,
+       COALESCE(sd.ship_qty, 0.0) AS ship_qty,
+       CASE WHEN od.day IS NULL THEN 'ship_only'
+            WHEN sd.day IS NULL THEN 'order_only'
+            ELSE 'both' END AS side
+FROM od FULL OUTER JOIN sd ON od.day = sd.day
+""",
+)
+def u11_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN reconciliation — the one join type no other
+    registered query exercises: daily order activity vs daily shipping
+    activity, keyed on day, with unmatched days surviving from EITHER
+    side (shipping lags orders by up to ~4 months, so the range edges
+    produce genuine order_only / ship_only rows). Day keys stay
+    midnight TIMESTAMPs (a19/w6 convention — DATE collect() would
+    hash-mismatch the oracle). One shuffle per grouped side, then a
+    sort-merge full-outer on the tiny per-day frames; at 100 TB both
+    sides pre-aggregate to O(distinct days) rows before the join, so
+    the outer join itself is never data-scale."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    od = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice").cast("double"), 2).alias("order_revenue"),
+    )
+    sd = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        F.count("*").alias("n_ship_lines"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("ship_qty"),
+    )
+    o, s = od.alias("o"), sd.alias("s")
+    return (
+        o.join(s, F.col("o.day") == F.col("s.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.day"), F.col("s.day")).alias("day"),
+            F.coalesce(F.col("o.n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("o.order_revenue"), F.lit(0.0)).alias("order_revenue"),
+            F.coalesce(F.col("s.n_ship_lines"), F.lit(0)).alias("n_ship_lines"),
+            F.coalesce(F.col("s.ship_qty"), F.lit(0.0)).alias("ship_qty"),
+            F.when(F.col("o.day").isNull(), "ship_only")
+            .when(F.col("s.day").isNull(), "order_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+    )

@@ -63,10 +63,13 @@ def asof_join(
     ts_col: str,
     build_cols: list[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each probe row picks up the build row with the
-    greatest ``ts_col`` <= the probe's ``ts_col`` within the same ``on`` key
-    (equal timestamps match, kdb/pandas ``merge_asof`` direction='backward').
+    """As-of join: each probe row picks up the build row with the greatest
+    ``ts_col`` <= the probe's (``direction='backward'``, the default) or
+    the smallest ``ts_col`` >= the probe's (``direction='forward'``)
+    within the same ``on`` key (equal timestamps match either way —
+    kdb/pandas ``merge_asof`` semantics).
 
     Implementation is the union-marker scan, not a range join: tag build
     rows 0 and probe rows 1, sort each key partition by (ts, marker), and
@@ -102,30 +105,39 @@ def asof_join(
             "alias them on the build side before the join"
         )
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    # Marker ordering puts the build row on the MATCHING side of the
+    # probe at equal timestamps: backward scans [start, current] with
+    # build (0) before probe (1); forward scans [current, end] with
+    # probe (0) before build (1) — so exact-ts builds match in both.
+    bm, pm = (0, 1) if direction == "backward" else (1, 0)
     payload = F.struct(*[F.col(c) for c in build_cols])
     b = build.select(
         F.col(on).alias("_k"),
         F.col(ts_col).alias("_ts"),
-        F.lit(0).alias("_m"),
+        F.lit(bm).alias("_m"),
         payload.alias("_b"),
     )
     probe_cols = probe.columns
     p = probe.select(
         F.col(on).alias("_k"),
         F.col(ts_col).alias("_ts"),
-        F.lit(1).alias("_m"),
+        F.lit(pm).alias("_m"),
         F.lit(None).cast(b.schema["_b"].dataType).alias("_b"),
         *[F.col(c) for c in probe_cols],
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_m")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy("_k").orderBy("_ts", "_m")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("_b", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("_b", ignorenulls=True).over(w)
     joined = (
         b.unionByName(p, allowMissingColumns=True)
-        .withColumn("_match", F.last("_b", ignorenulls=True).over(w))
-        .filter(F.col("_m") == 1)
+        .withColumn("_match", pick)
+        .filter(F.col("_m") == F.lit(pm))
     )
     if how == "inner":
         joined = joined.filter(F.col("_match").isNotNull())

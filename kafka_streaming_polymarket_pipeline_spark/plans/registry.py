@@ -126,8 +126,11 @@ _DRIVER_PRIORITY: list[str] = [
     # sf0.001/0.01/0.1: d8b_semantic_dedup_kscaled (the k-prop-to-n
     # SemDeDup knob), d8c_semantic_dedup_signcells (the linear
     # sign-bit-cell production path; probe 1.5/2.4/4.6 s at 2k/6k/20k),
-    # and u11_full_outer_reconcile (the one join type no other query
-    # exercises). They MUST join the r06 prefix.
+    # u11_full_outer_reconcile (the one join type no other query
+    # exercises), j8_asof_forward_join (j6's forward mirror, gated
+    # against DuckDB's native forward ASOF), and w7_rolling_median
+    # (exact interpolated median over a row frame).  They MUST join the
+    # r06 prefix.
     # Still r02-stale after this rotation (48 stale + 16 never-audited
     # > 50 slots; these 14 MUST lead the r06 prefix together with any
     # query added during round 5): pk1_pack_assignments,

@@ -2257,3 +2257,90 @@ def u11_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+@register(
+    "j8_asof_forward_join",
+    oracle="""
+WITH bdup AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT user_id, ts, value AS purchase_value, event_id AS purchase_event_id
+  FROM bdup WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS view_value,
+       b.purchase_event_id, round(b.purchase_value, 6) AS purchase_value
+FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
+""",
+)
+def j8_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — j6's mirror: each view picks up the user's
+    NEXT purchase at-or-after it (conversion attribution; pandas
+    merge_asof direction='forward'). The oracle is DuckDB's native ASOF
+    LEFT JOIN with the inequality flipped (p.ts <= b.ts); the Spark side
+    is the same union-marker scan run toward unboundedFollowing with
+    first(ignorenulls) — still one shuffle on the key, no horizon, no
+    interval explosion. Build rows dedupe to one per (user, ts) first
+    (max event_id wins), j6's convention."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+    )
+    probe = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("view_value")
+    )
+    return asof_join(
+        probe, build, on="user_id", ts_col="ts",
+        build_cols=["purchase_event_id", "purchase_value"],
+        direction="forward",
+    ).select(
+        "event_id", "user_id", "ts", "view_value",
+        "purchase_event_id", F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+@register(
+    "w7_rolling_median",
+    oracle="""
+SELECT event_id, user_id, ts,
+       round(quantile_cont(value::DOUBLE, 0.5)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+FROM events
+WHERE value IS NOT NULL
+""",
+)
+def w7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over a row frame — the robust-smoothing window no
+    rank/avg battery covers: per user, the exact interpolated median of
+    the trailing 5 values in (ts, event_id) order. Spark's exact
+    ``percentile(value, 0.5)`` aggregate runs over the window frame
+    (DuckDB twin: quantile_cont — NOT ``median``, whose DECIMAL path is
+    discrete); both engines interpolate identically and the 6-dp round
+    absorbs nothing because the inputs are the same doubles. One
+    sort-shuffle on user_id; frame state is 5 rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "round(percentile(value, 0.5) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)"
+        ).alias("med5"),
+    )

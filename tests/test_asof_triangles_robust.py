@@ -451,3 +451,72 @@ class TestEmptyInputs:
             [SC.mergeable_state(e, "event_type", "value", "user_id")], "event_type"
         )
         assert merged.count() == 0
+
+
+class TestAsofForwardVsPandas:
+    def test_matches_pandas_merge_asof_forward(self, spark):
+        """Property check for direction='forward': equals pandas
+        merge_asof(direction='forward', allow_exact_matches=True) on a
+        pseudo-random keyed series (fixed seed — deterministic),
+        including exact-timestamp matches and unmatched tail probes."""
+        import pandas as pd
+
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+        rng = __import__("random").Random(43)
+        build_rows = sorted(
+            {(rng.randint(1, 5), rng.randint(0, 500)) for _ in range(80)}
+        )
+        build_pd = pd.DataFrame(
+            {
+                "k": [k for k, t in build_rows],
+                "ts": pd.to_datetime([_ts(t) for k, t in build_rows]),
+                "q": [float(k * 1000 + t) for k, t in build_rows],
+            }
+        )
+        probe_rows = [(rng.randint(1, 6), rng.randint(0, 520)) for _ in range(120)]
+        probe_pd = pd.DataFrame(
+            {
+                "k": [k for k, t in probe_rows],
+                "ts": pd.to_datetime([_ts(t) for k, t in probe_rows]),
+                "pid": list(range(len(probe_rows))),
+            }
+        )
+        want = pd.merge_asof(
+            probe_pd.sort_values("ts", kind="mergesort"),
+            build_pd.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction="forward", allow_exact_matches=True,
+        ).set_index("pid")["q"].to_dict()
+
+        got_rows = asof_join(
+            spark.createDataFrame(probe_pd),
+            spark.createDataFrame(build_pd),
+            on="k", ts_col="ts", build_cols=["q"], direction="forward",
+        ).collect()
+        got = {r["pid"]: r["q"] for r in got_rows}
+        assert len(got) == len(want)
+        for pid, q in want.items():
+            g = got[pid]
+            assert (pd.isna(q) and g is None) or g == q, (pid, g, q)
+
+    def test_forward_inner_drops_unmatched_and_rejects_bad_direction(self, spark):
+        from datetime import datetime
+
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+        t0 = datetime(2024, 1, 1)
+        probe = spark.createDataFrame(
+            [(1, t0), (1, t0 + timedelta(hours=2))], "k long, ts timestamp"
+        )
+        build = spark.createDataFrame(
+            [(1, t0 + timedelta(hours=1), 5.0)], "k long, ts timestamp, q double"
+        )
+        inner = asof_join(probe, build, on="k", ts_col="ts",
+                          build_cols=["q"], how="inner", direction="forward")
+        assert [(r["ts"], r["q"]) for r in inner.collect()] == [(t0, 5.0)]
+        try:
+            asof_join(probe, build, on="k", ts_col="ts",
+                      build_cols=["q"], direction="nearest")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass

@@ -129,8 +129,10 @@ _DRIVER_PRIORITY: list[str] = [
     # u11_full_outer_reconcile (the one join type no other query
     # exercises), j8_asof_forward_join (j6's forward mirror, gated
     # against DuckDB's native forward ASOF), and w7_rolling_median
-    # (exact interpolated median over a row frame).  They MUST join the
-    # r06 prefix.
+    # (exact interpolated median over a row frame), and
+    # j9_asof_nearest_join (kdb-style nearest as-of composed from the
+    # two directional scans, integer-microsecond tie contract).  They
+    # MUST join the r06 prefix.
     # Still r02-stale after this rotation (48 stale + 16 never-audited
     # > 50 slots; these 14 MUST lead the r06 prefix together with any
     # query added during round 5): pk1_pack_assignments,

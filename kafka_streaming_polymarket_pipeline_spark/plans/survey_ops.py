@@ -2344,3 +2344,89 @@ def w7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)"
         ).alias("med5"),
     )
+
+
+@register(
+    "j9_asof_nearest_join",
+    oracle="""
+WITH bdup AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, ts, value AS view_value, event_id AS view_event_id
+  FROM bdup WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), back AS (
+  SELECT p.event_id, b.ts AS bts, b.view_event_id AS bid, b.view_value AS bval
+  FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+), fwd AS (
+  SELECT p.event_id, b.ts AS fts, b.view_event_id AS fid, b.view_value AS fval
+  FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
+)
+SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS purchase_value,
+       CASE WHEN back.bid IS NOT NULL AND (fwd.fid IS NULL
+                 OR epoch_us(p.ts) - epoch_us(back.bts)
+                    <= epoch_us(fwd.fts) - epoch_us(p.ts))
+            THEN back.bid ELSE fwd.fid END AS view_event_id,
+       round(CASE WHEN back.bid IS NOT NULL AND (fwd.fid IS NULL
+                       OR epoch_us(p.ts) - epoch_us(back.bts)
+                          <= epoch_us(fwd.fts) - epoch_us(p.ts))
+                  THEN back.bval ELSE fwd.fval END, 6) AS view_value
+FROM p
+LEFT JOIN back ON p.event_id = back.event_id
+LEFT JOIN fwd ON p.event_id = fwd.event_id
+""",
+)
+def j9_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (kdb ``wj``/pandas direction='nearest' family):
+    each purchase picks the user's temporally CLOSEST view, before or
+    after, ties -> the earlier (backward) one. Composed from the two
+    directional union-marker scans (j6 + j8's machinery) joined back on
+    the probe's unique event_id with an integer-microsecond distance
+    compare — no float time math, so the tie boundary cannot disagree
+    (the j7 band-edge lesson). The oracle composes DuckDB's two native
+    ASOF directions identically. Cost = two key-sorted scans + one id
+    equi-join; still no horizon and no interval explosion."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("vv"), F.col("event_id").alias("vid"))
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    # each direction carries its matched build ts in the payload so the
+    # nearest pick can compare distances
+    b2 = build.select(
+        "user_id", "ts",
+        F.col("vid").alias("bid"), F.col("vv").alias("bval"), F.col("ts").alias("bts"),
+    )
+    f2 = build.select(
+        "user_id", "ts",
+        F.col("vid").alias("fid"), F.col("vv").alias("fval"), F.col("ts").alias("fts"),
+    )
+    back = asof_join(probe, b2, on="user_id", ts_col="ts",
+                     build_cols=["bid", "bval", "bts"], direction="backward")
+    fwd = asof_join(probe.select("event_id", "user_id", "ts"), f2,
+                    on="user_id", ts_col="ts",
+                    build_cols=["fid", "fval", "fts"], direction="forward")
+    both = back.join(fwd.select("event_id", "fid", "fval", "fts"), "event_id", "left")
+    take_back = F.col("bid").isNotNull() & (
+        F.col("fid").isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
+           <= F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts")))
+    )
+    return both.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.when(take_back, F.col("bid")).otherwise(F.col("fid")).alias("view_event_id"),
+        F.round(
+            F.when(take_back, F.col("bval")).otherwise(F.col("fval")), 6
+        ).alias("view_value"),
+    )

@@ -520,3 +520,50 @@ class TestAsofForwardVsPandas:
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+class TestAsofNearest:
+    def test_nearest_picks_closer_side_and_ties_go_backward(self, spark):
+        """j9's nearest rule on a constructed series: closer-after wins,
+        closer-before wins, exact tie -> the backward (earlier) match,
+        and a key with only one side still matches."""
+        from datetime import datetime
+
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+        t0 = datetime(2024, 1, 1)
+
+        def m(minutes):
+            return t0 + timedelta(minutes=minutes)
+
+        build = spark.createDataFrame(
+            [(1, m(0), 10.0), (1, m(10), 20.0), (2, m(100), 30.0)],
+            "k long, ts timestamp, q double",
+        )
+        probe = spark.createDataFrame(
+            [
+                (100, 1, m(2)),    # 2 min after q=10, 8 min before q=20 -> 10
+                (101, 1, m(7)),    # 7 after q=10, 3 before q=20 -> 20
+                (102, 1, m(5)),    # exact tie -> backward -> 10
+                (103, 2, m(50)),   # only forward exists -> 30
+            ],
+            "pid long, k long, ts timestamp",
+        )
+        b2 = build.select("k", "ts", F.col("q").alias("bq"), F.col("ts").alias("bts"))
+        f2 = build.select("k", "ts", F.col("q").alias("fq"), F.col("ts").alias("fts"))
+        back = asof_join(probe, b2, on="k", ts_col="ts", build_cols=["bq", "bts"])
+        fwd = asof_join(probe.select("pid", "k", "ts"), f2, on="k", ts_col="ts",
+                        build_cols=["fq", "fts"], direction="forward")
+        both = back.join(fwd.select("pid", "fq", "fts"), "pid")
+        take_back = F.col("bq").isNotNull() & (
+            F.col("fq").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("bts")
+               <= F.unix_micros("fts") - F.unix_micros("ts"))
+        )
+        got = {
+            r["pid"]: r["nearest"]
+            for r in both.select(
+                "pid", F.when(take_back, F.col("bq")).otherwise(F.col("fq")).alias("nearest")
+            ).collect()
+        }
+        assert got == {100: 10.0, 101: 20.0, 102: 10.0, 103: 30.0}

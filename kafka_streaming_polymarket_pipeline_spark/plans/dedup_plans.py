@@ -9,7 +9,7 @@ work instead of the full shingle self-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
 from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
@@ -375,3 +375,60 @@ def d12_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons integer cross-multiplications on BOTH engines — no float
     boundary can disagree (the j7 band-edge lesson)."""
     return D.prefix_jaccard_pairs(load(spark, sf_dir, "documents"), num=19, den=20)
+
+
+_D13_CLUSTERS_CTE = _D6_ORACLE.replace(
+    "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node", ""
+).rstrip().rstrip(")") + """),
+clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)"""
+
+
+@register(
+    "d13_keep_longest_per_cluster",
+    oracle=_D13_CLUSTERS_CTE + """
+SELECT cluster_id, kept_doc_id, n_docs, kept_len FROM (
+  SELECT c.cluster_id,
+         d.doc_id AS kept_doc_id,
+         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_docs,
+         CAST(len(d.text) AS BIGINT) AS kept_len,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY len(d.text) DESC, d.doc_id) AS rn
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+) WHERE rn = 1
+""",
+)
+def d13_keep_longest_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document SELECTION — the step that turns a near-dup
+    cluster map into a kept corpus: per connected component of the
+    verified LSH pair graph (d6's clusters), keep the LONGEST document
+    (char length; ties -> smaller doc_id), the standard keep-the-longest-
+    copy rule (C4/RefinedWeb lineage) rather than d6's arbitrary min-id
+    canonical. Composition under one hash gate: LSH funnel -> CC ->
+    per-cluster argmax; the oracle re-derives all three (recursive
+    reachability + a row_number argmax). Output one row per cluster:
+    (cluster_id, kept_doc_id, n_docs, kept_len). Length is an integer,
+    so the argmax needs no rounding contract; the window partitions by
+    cluster_id — bounded by construction (clusters are near-dup
+    neighborhoods, not the corpus)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5, n=5)
+    clusters = D.neardup_clusters(docs, pairs)
+    sized = clusters.join(
+        docs.select("doc_id", F.length("text").cast("long").alias("kept_len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("kept_len"), "doc_id")
+    return (
+        sized.withColumn("n_docs", F.count("*").over(Window.partitionBy("cluster_id")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "kept_len",
+        )
+    )

@@ -268,24 +268,32 @@ def main() -> None:
     # JVM/codegen warmth carries over, which the warmup grants pass 1.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    min_pass: dict[str, int] = {}  # which suite pass produced each query's min
+    flaky: dict[str, int] = {}  # name -> pass idx of a failure AFTER a success
     control_secs: list[float] = []
     for _pass in range(max(runs, 1)):
         control_secs.append(_control_probe(spark))
         for name in names:
             if timings.get(name, 0.0) < 0:
-                continue  # failed in an earlier pass
+                continue  # failed in an earlier pass, never succeeded
             builder = registry[name]
             t0 = time.perf_counter()
             try:
                 df = builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # negative sentinel, keep going
-                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                timings[name] = -1.0
+            except Exception as exc:  # keep going; don't clobber a prior success
+                print(f"bench: {name} FAILED (pass {_pass}): {exc}", file=sys.stderr)
+                if timings.get(name, -1.0) > 0:
+                    flaky[name] = _pass  # succeeded earlier: keep the valid timing
+                else:
+                    timings[name] = -1.0  # never succeeded: negative sentinel
+                spark.catalog.clearCache()  # failed builder may have persisted stages
                 continue
             dt = time.perf_counter() - t0
             prev = timings.get(name)
-            timings[name] = dt if prev is None else min(prev, dt)
+            if prev is None or dt < prev:
+                timings[name] = dt
+                min_pass[name] = _pass
             spark.catalog.clearCache()  # drop per-query persisted stages (e.g. LSH sigs)
     control_secs.append(_control_probe(spark))
     timings = {n: round(v, 3) for n, v in timings.items()}
@@ -339,7 +347,14 @@ def main() -> None:
                 "runs_per_query": runs,
                 "passes_separated_windows": True,
                 "control_sec": round(min(control_secs), 3),
+                # per-pass controls: control_secs[i] ran right BEFORE pass i
+                # (final entry ran after the last pass), and query_min_pass
+                # says which pass produced each query's min — so a single
+                # outlier reading is attributable to its pass's contention
+                # level without re-running.
                 "control_secs": [round(c, 3) for c in control_secs],
+                "query_min_pass": min_pass,
+                "flaky_queries": flaky,
                 "control_baseline_sec": CONTROL_BASELINE_SEC,
                 "control_ratio": round(min(control_secs) / CONTROL_BASELINE_SEC, 2),
             }

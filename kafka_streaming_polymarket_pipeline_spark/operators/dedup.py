@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streaming_polymarket_pipeline_spark.operators.text import char_shingles
@@ -523,6 +523,43 @@ def neardup_clusters(
         if changed == 0:
             return labels.select(F.col("node").alias(id_col), F.col("lab").alias("cluster_id"))
     raise RuntimeError(f"neardup_clusters did not converge in {max_iter} rounds")
+
+
+def keep_longest_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document selection over a cluster map: one row per
+    ``cluster_id`` keeping the LONGEST document (character length;
+    ties -> smaller doc id) — the standard keep-the-longest-copy rule
+    (C4 / RefinedWeb lineage). Input ``clusters`` is any
+    (id_col, cluster_id) map (d6/d6b output, including singletons);
+    output schema: (cluster_id, kept_doc_id, n_docs, kept_len).
+
+    Physical notes: one equi-join clusters->docs on the id (to fetch
+    lengths — column-pruned to exactly (id, length)), then a single
+    window partitioned by cluster_id computing both the count and the
+    argmax rank in one shuffle. The window is bounded by construction:
+    a partition is one near-dup neighborhood, not the corpus. Length is
+    an integer, so the argmax needs no float rounding contract."""
+    sized = clusters.join(
+        docs.select(id_col, F.length(text_col).cast("long").alias("kept_len")),
+        id_col,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("kept_len"), id_col)
+    return (
+        sized.withColumn("n_docs", F.count("*").over(Window.partitionBy("cluster_id")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("kept_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "kept_len",
+        )
+    )
 
 
 def neardup_clusters_star(

@@ -9,7 +9,7 @@ work instead of the full shingle self-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
 from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
@@ -411,24 +411,10 @@ def d13_keep_longest_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id, kept_doc_id, n_docs, kept_len). Length is an integer,
     so the argmax needs no rounding contract; the window partitions by
     cluster_id — bounded by construction (clusters are near-dup
-    neighborhoods, not the corpus)."""
-    from pyspark.sql import functions as F
-
+    neighborhoods, not the corpus). Selection logic lives in
+    ``operators.dedup.keep_longest_per_cluster`` (unit-tested in
+    tests/test_keep_longest.py: tie-break, singletons, n_docs vs d6)."""
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(docs, threshold=0.5, n=5)
     clusters = D.neardup_clusters(docs, pairs)
-    sized = clusters.join(
-        docs.select("doc_id", F.length("text").cast("long").alias("kept_len")), "doc_id"
-    )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("kept_len"), "doc_id")
-    return (
-        sized.withColumn("n_docs", F.count("*").over(Window.partitionBy("cluster_id")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("kept_doc_id"),
-            F.col("n_docs").cast("long").alias("n_docs"),
-            "kept_len",
-        )
-    )
+    return D.keep_longest_per_cluster(docs, clusters)

@@ -1770,6 +1770,64 @@ def a24_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a24b_ewma_unbounded",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN rn = 1 THEN value * pow(0.75, n - 1)
+                      ELSE 0.25 * value * pow(0.75, n - rn) END), 6) AS ewma_value
+FROM seq GROUP BY user_id
+""",
+)
+def a24b_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a24's EWMA without the per-user array — the UNBOUNDED-history
+    form (r05 verdict task #7). The fold acc -> 0.75*acc + 0.25*x is an
+    affine map per element, and affine maps compose associatively
+    ((a2,b2)∘(a1,b1) = (a2*a1, a2*b1 + b2)) — the segmented-scan view.
+    With CONSTANT decay the suffix product telescopes: element i of an
+    n-element series contributes weight 0.75^(n-i) (times 0.25, except
+    the seed row, which keeps coefficient 1), so the whole composition
+    collapses to a commutative weighted SUM — the parallel prefix is a
+    closed form, no scan and no array at all. (For time-VARYING decay
+    a_i the same telescope is exp of a cumulative-sum window in log
+    space; streaming form = applyInPandasWithState carrying one (a,b)
+    pair per key.)
+
+    Physical plan: one sort-based window per user (row_number + count
+    over the same partition spec — a single shuffle on user_id, O(1)
+    state per row) feeding a plain partial-aggregated groupBy sum.
+    collect_list never appears: per-user history can exceed executor
+    memory at 100 TB in a24's form but streams through this one
+    (asserted in tests/test_ewma_unbounded.py, which also checks the
+    values equal a24's literal fold to <= 1e-6 — same math, different
+    association). pow(0.75, k) is libm on both engines (<= 1-ulp apart),
+    terms only shrink, and both sides round the sum to the 6 dp grid —
+    same numeric contract as a29's exp decay."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1, F.col("value") * F.pow(F.lit(0.75), F.col("n") - 1)
+    ).otherwise(
+        F.lit(0.25) * F.col("value") * F.pow(F.lit(0.75), F.col("n") - F.col("rn"))
+    )
+    return seq.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.sum(term), 6).alias("ewma_value"),
+    )
+
+
+@register(
     "w6_peak_concurrency",
     oracle="""
 WITH marked AS (

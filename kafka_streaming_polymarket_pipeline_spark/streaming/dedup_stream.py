@@ -42,6 +42,7 @@ floor there (measured in SCALE.md's amortization table).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,7 +118,19 @@ def _read_index(
         return None
     df = spark.read.option("basePath", p).parquet(os.path.join(p, "batch=*"))
     if touched_buckets is not None:
-        df = df.filter(F.col(_KB).isin(touched_buckets))
+        if _KB in df.columns:
+            df = df.filter(F.col(_KB).isin(touched_buckets))
+        else:
+            # Pre-kbucket index layout (written before the partition-pruned
+            # format): no __kbucket dirs to prune, fall back to the full
+            # read rather than raising AnalysisException mid-stream.  A
+            # rebuild of the index migrates it to the pruned layout.
+            warnings.warn(
+                f"streaming-dedup index table '{name}' at {p} predates the "
+                "kbucketed layout; probing unpruned. Rebuild the index to "
+                "enable partition-pruned probes.",
+                stacklevel=2,
+            )
     return df.drop("batch", _KB)
 
 

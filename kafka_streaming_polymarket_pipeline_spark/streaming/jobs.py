@@ -306,9 +306,24 @@ def stream_asof_join(
     max_staleness: str = "1 hour",
     watermark: str = "30 minutes",
     probe_id: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Streaming backward as-of: each probe event picks the LATEST build
-    event at-or-before it within ``max_staleness`` on the same key.
+    """Streaming as-of: each probe event picks the build event on the
+    same key per ``direction`` — ``'backward'`` (default): the LATEST
+    at-or-before it within ``max_staleness``; ``'forward'`` (j8's
+    streaming form): the EARLIEST at-or-after it within the same
+    horizon; ``'nearest'`` (j9's): the temporally closest within
+    ``(probe_ts - h, probe_ts + h)``, integer-microsecond distance,
+    ties -> the backward (earlier) side — the batch j9 tie contract.
+
+    Forward/nearest emission latency is INHERENT, not a Spark limit: the
+    earliest FUTURE match is unknowable until the look-ahead horizon
+    closes, so a probe's row flushes only once the watermark passes
+    ``probe_ts + max_staleness`` (backward groups flush at ``probe_ts``
+    + watermark as before). There is no impossibility — watermarks bound
+    look-ahead state exactly as they bound look-back state — the price
+    is horizon-delayed results, which is the same horizon the batch
+    forms avoid by having the whole timeline at once.
 
     Batch as-of (operators/rangejoin.py asof_join) scans with unbounded
     look-back; a stream cannot — unbounded look-back means unbounded
@@ -335,16 +350,42 @@ def stream_asof_join(
     output row (r04 ADVICE), so omitting probe_id requires (key,
     probe_ts)-unique probes.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     pw = probe.withWatermark(probe_ts, watermark)
     bw = build.withWatermark(build_ts, watermark)
-    cond = (
-        (pw[key] == bw[key])
-        & (bw[build_ts] <= pw[probe_ts])
-        & (bw[build_ts] > pw[probe_ts] - F.expr(f"INTERVAL {max_staleness}"))
-    )
-    joined = pw.join(bw, cond, "inner").drop(bw[key])
+    horizon = F.expr(f"INTERVAL {max_staleness}")
+    if direction == "backward":
+        win = (bw[build_ts] <= pw[probe_ts]) & (bw[build_ts] > pw[probe_ts] - horizon)
+    elif direction == "forward":
+        win = (bw[build_ts] >= pw[probe_ts]) & (bw[build_ts] < pw[probe_ts] + horizon)
+    else:  # nearest: symmetric open horizon; simultaneous matches (abs = 0)
+        win = (bw[build_ts] > pw[probe_ts] - horizon) & (
+            bw[build_ts] < pw[probe_ts] + horizon
+        )
+    joined = pw.join(bw, (pw[key] == bw[key]) & win, "inner").drop(bw[key])
     group = [key, probe_id, probe_ts] if probe_id else [key, probe_ts]
+    if direction == "backward":
+        return joined.groupBy(*group).agg(
+            F.max_by(F.col(build_value), F.col(build_ts)).alias(f"asof_{build_value}"),
+            F.max(F.col(build_ts)).alias("asof_ts"),
+        )
+    if direction == "forward":
+        return joined.groupBy(*group).agg(
+            F.min_by(F.col(build_value), F.col(build_ts)).alias(f"asof_{build_value}"),
+            F.min(F.col(build_ts)).alias("asof_ts"),
+        )
+    # nearest: integer-µs distance argmin, tie -> backward (j9 contract).
+    # The rank struct orders by (|Δt| µs, 0-if-at-or-before-else-1,
+    # build_ts) — all integers/timestamps, so the tie boundary is exact.
+    rank = F.struct(
+        F.abs(F.unix_micros(F.col(build_ts)) - F.unix_micros(F.col(probe_ts))).alias("d"),
+        F.when(F.col(build_ts) <= F.col(probe_ts), F.lit(0)).otherwise(F.lit(1)).alias("s"),
+        F.col(build_ts).alias("t"),
+    )
     return joined.groupBy(*group).agg(
-        F.max_by(F.col(build_value), F.col(build_ts)).alias(f"asof_{build_value}"),
-        F.max(F.col(build_ts)).alias("asof_ts"),
+        F.min_by(F.col(build_value), rank).alias(f"asof_{build_value}"),
+        F.min_by(F.col(build_ts), rank).alias("asof_ts"),
     )

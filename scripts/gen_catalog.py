@@ -28,7 +28,7 @@ def main() -> None:
     ]
     for i, q in enumerate(ordered, 1):
         kind = "SQL hash" if q.oracle else "rows-only (by design)"
-        first = (q.doc or "").strip().splitlines()[0] if q.doc else ""
+        first = next(iter((q.doc or "").strip().splitlines()), "")
         first = first.replace("|", "\\|")[:64]
         lines.append(f"| {i} | `{q.name}` | {kind} | {first} |")
     lines.append("")

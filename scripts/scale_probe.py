@@ -124,6 +124,113 @@ def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:
     pq.write_table(cust, os.path.join(dirpath, "customer.parquet"))
 
 
+def pruning_probe() -> None:
+    """Streaming-dedup partition pruning in its DESIGN regime (r05
+    verdict task #3): a low-duplicate corpus where candidates touch few
+    doc-id buckets, so the kbucketed index read can actually skip dirs.
+
+    Setup: 50k unique docs (per-doc random token vocab -> cross-doc
+    Jaccard ~ 0) persisted as the index at 256 doc buckets (the 100 TB
+    knob; the default 16 is sized for 1k-doc batches where ~every bucket
+    is touched anyway). Probe batch: 1000 new docs of which 5 (0.5%) are
+    near-dups of random index docs. Measured: index payload rows read
+    (pruned vs full), probe wall, and pair-set equality.
+    """
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streaming_polymarket_pipeline_spark.session import get_spark
+    import kafka_streaming_polymarket_pipeline_spark.streaming.dedup_stream as ds
+
+    rng = np.random.RandomState(11)
+    base_dir = os.path.join(BASE, "pruning")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    os.makedirs(base_dir, exist_ok=True)
+
+    def rand_text(k: int = 60) -> str:
+        return " ".join(
+            "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), size=8))
+            for _ in range(k)
+        )
+
+    n_index, n_batch, n_dups = 50_000, 1_000, 5
+    index_texts = [rand_text() for _ in range(n_index)]
+    spark = get_spark(app_name="pruning-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+
+    ds.N_DOC_BUCKETS = 256  # production layout knob, fixed at creation
+    index_path = os.path.join(base_dir, "index")
+    idx_df = spark.createDataFrame(
+        list(zip(range(n_index), index_texts)), "doc_id long, text string"
+    ).repartition(32)
+    t0 = time.perf_counter()
+    ds.write_index_batch(idx_df, index_path, batch_id=0)
+    t_build = time.perf_counter() - t0
+
+    # batch: 5 near-dups (mutate ~8% of a random index doc's tokens) + unique rest
+    batch_rows = []
+    dup_targets = rng.choice(n_index, size=n_dups, replace=False)
+    for j, tgt in enumerate(dup_targets):
+        toks = index_texts[tgt].split()
+        for pos in rng.choice(len(toks), size=max(1, len(toks) // 12), replace=False):
+            toks[pos] = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), size=8))
+        batch_rows.append((n_index + j, " ".join(toks)))
+    for j in range(n_dups, n_batch):
+        batch_rows.append((n_index + j, rand_text()))
+    new = spark.createDataFrame(batch_rows, "doc_id long, text string").localCheckpoint(
+        eager=True
+    )
+
+    seen_touched: list = []
+
+    def run(pruned: bool):
+        orig = ds._read_index
+
+        def spy(sp, p, nme, touched_buckets=None):
+            if pruned and touched_buckets is not None:
+                seen_touched.append(list(touched_buckets))
+            return orig(sp, p, nme, touched_buckets if pruned else None)
+
+        ds._read_index = spy
+        try:
+            parts = ds.checkpointed_parts(new)
+            t0 = time.perf_counter()
+            pairs = ds.incremental_pairs_against_index(new, index_path, parts=parts)
+            rows = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+            return time.perf_counter() - t0, rows
+        finally:
+            ds._read_index = orig
+
+    t_full, pairs_full = run(pruned=False)
+    t_pruned, pairs_pruned = run(pruned=True)
+    assert pairs_full == pairs_pruned, "pruning changed the pair set"
+
+    # payload rows each mode reads (sigs, the 129-column table)
+    full_rows = ds._read_index(spark, index_path, ds.SIGS).count()
+    touched = sorted(set(seen_touched[0])) if seen_touched else []
+    pruned_rows = (
+        ds._read_index(spark, index_path, ds.SIGS, touched_buckets=touched).count()
+        if touched
+        else 0
+    )
+    print(json.dumps({
+        "scenario": "streaming_dedup_pruning_design_regime",
+        "index_docs": n_index, "batch_docs": n_batch, "near_dups": n_dups,
+        "doc_buckets": ds.N_DOC_BUCKETS,
+        "index_build_sec": round(t_build, 2),
+        "probe_sec_unpruned": round(t_full, 2),
+        "probe_sec_pruned": round(t_pruned, 2),
+        "touched_buckets": len(touched),
+        "sigs_rows_full_read": full_rows,
+        "sigs_rows_pruned_read": pruned_rows,
+        "pairs": len(pairs_pruned),
+    }))
+    shutil.rmtree(base_dir, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     from kafka_streaming_polymarket_pipeline_spark import plans
     from kafka_streaming_polymarket_pipeline_spark.session import get_spark
@@ -169,4 +276,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--pruning" in sys.argv:
+        pruning_probe()
+    else:
+        main()

@@ -413,3 +413,143 @@ def test_stream_asof_join_probe_id_keeps_same_ts_events(spark, tmp_path):
     )
     rows = {(r.trade_id, float(r.asof_quote)) for r in out.collect()}
     assert rows == {("t-1", 3.0), ("t-2", 3.0)}
+
+
+def _asof_streams(spark, tmp_path, quotes, trades):
+    """File-source twin pair for the as-of tests: one batch per file."""
+    qdir, tdir = tmp_path / "q", tmp_path / "t"
+    qdir.mkdir(), tdir.mkdir()
+    (qdir / "q1.jsonl").write_text("\n".join(json.dumps(r) for r in quotes))
+    (tdir / "t1.jsonl").write_text("\n".join(json.dumps(r) for r in trades))
+    # far-future batch-2 rows on BOTH streams advance the watermark past
+    # every day-1 group (incl. the +1h look-ahead horizon)
+    (qdir / "q2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "quote_ts": "2024-01-03T12:00:00.000000", "quote": 99.0}))
+    (tdir / "t2.jsonl").write_text(json.dumps(
+        {"symbol": "BTC", "trade_ts": "2024-01-03T12:01:00.000000"}))
+    qs = (
+        spark.readStream.schema("symbol string, quote_ts string, quote double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(qdir))
+        .withColumn("quote_ts", F.to_timestamp("quote_ts"))
+    )
+    ts = (
+        spark.readStream.schema("symbol string, trade_ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tdir))
+        .withColumn("trade_ts", F.to_timestamp("trade_ts"))
+    )
+    return ts, qs
+
+
+def test_stream_asof_forward_picks_earliest_within_horizon(spark, tmp_path):
+    """j8's streaming form: earliest at-or-after wins; a quote exactly
+    +1h ahead is OUTSIDE the half-open horizon; backward-only quotes
+    never match; a simultaneous quote matches."""
+    quotes = [
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:50:00.000000", "quote": 1.0},  # before: never
+        {"symbol": "BTC", "quote_ts": "2024-01-01T10:20:00.000000", "quote": 2.0},  # earliest after -> wins
+        {"symbol": "BTC", "quote_ts": "2024-01-01T10:40:00.000000", "quote": 3.0},  # later after
+        {"symbol": "ETH", "quote_ts": "2024-01-01T02:00:00.000000", "quote": 9.0},  # exactly +1h: excluded
+        {"symbol": "SOL", "quote_ts": "2024-01-01T07:00:00.000000", "quote": 5.0},  # simultaneous -> wins
+    ]
+    trades = [
+        {"symbol": "BTC", "trade_ts": "2024-01-01T10:00:00.000000"},
+        {"symbol": "ETH", "trade_ts": "2024-01-01T01:00:00.000000"},
+        {"symbol": "SOL", "trade_ts": "2024-01-01T07:00:00.000000"},
+    ]
+    ts, qs = _asof_streams(spark, tmp_path, quotes, trades)
+    out = jobs.run_available_now(
+        jobs.stream_asof_join(ts, qs, key="symbol", probe_ts="trade_ts",
+                              build_ts="quote_ts", build_value="quote",
+                              direction="forward"),
+        "t_asof_fwd", spark,
+    )
+    rows = {(r.symbol, float(r.asof_quote)) for r in out.collect()
+            if r.symbol in ("BTC", "ETH", "SOL")}
+    assert rows == {("BTC", 2.0), ("SOL", 5.0)}
+
+
+def test_stream_asof_nearest_tie_goes_backward(spark, tmp_path):
+    """j9's streaming form: closest either side wins (integer-µs
+    distance); EQUAL distances -> the backward (earlier) quote; both
+    sides out of horizon -> no row."""
+    quotes = [
+        # BTC: -10 min and +5 min -> forward wins
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:50:00.000000", "quote": 1.0},
+        {"symbol": "BTC", "quote_ts": "2024-01-01T10:05:00.000000", "quote": 2.0},
+        # ETH: -15 min and +15 min, exact tie -> backward wins
+        {"symbol": "ETH", "quote_ts": "2024-01-01T03:45:00.000000", "quote": 3.0},
+        {"symbol": "ETH", "quote_ts": "2024-01-01T04:15:00.000000", "quote": 4.0},
+        # SOL: nothing within ±1h
+        {"symbol": "SOL", "quote_ts": "2024-01-01T05:00:00.000000", "quote": 5.0},
+    ]
+    trades = [
+        {"symbol": "BTC", "trade_ts": "2024-01-01T10:00:00.000000"},
+        {"symbol": "ETH", "trade_ts": "2024-01-01T04:00:00.000000"},
+        {"symbol": "SOL", "trade_ts": "2024-01-01T08:00:00.000000"},
+    ]
+    ts, qs = _asof_streams(spark, tmp_path, quotes, trades)
+    out = jobs.run_available_now(
+        jobs.stream_asof_join(ts, qs, key="symbol", probe_ts="trade_ts",
+                              build_ts="quote_ts", build_value="quote",
+                              direction="nearest"),
+        "t_asof_near", spark,
+    )
+    rows = {(r.symbol, float(r.asof_quote)) for r in out.collect()
+            if r.symbol in ("BTC", "ETH", "SOL")}
+    assert rows == {("BTC", 2.0), ("ETH", 3.0)}
+
+
+def test_stream_asof_nearest_matches_batch_j9_contract(spark, tmp_path):
+    """Stream == batch on the same inputs: the streaming nearest pick
+    (within a horizon that covers every pair) equals the batch j9
+    composition's pick for every probe that has an in-horizon match."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import asof_join
+
+    quotes = [
+        {"symbol": "BTC", "quote_ts": "2024-01-01T09:58:00.000000", "quote": 1.0},
+        {"symbol": "BTC", "quote_ts": "2024-01-01T10:01:00.000000", "quote": 2.0},
+        {"symbol": "BTC", "quote_ts": "2024-01-01T10:30:00.000000", "quote": 3.0},
+        {"symbol": "ETH", "quote_ts": "2024-01-01T04:20:00.000000", "quote": 4.0},
+    ]
+    trades = [
+        {"symbol": "BTC", "trade_ts": "2024-01-01T10:00:00.000000"},
+        {"symbol": "BTC", "trade_ts": "2024-01-01T10:29:00.000000"},
+        {"symbol": "ETH", "trade_ts": "2024-01-01T04:00:00.000000"},
+    ]
+    ts, qs = _asof_streams(spark, tmp_path, quotes, trades)
+    out = jobs.run_available_now(
+        jobs.stream_asof_join(ts, qs, key="symbol", probe_ts="trade_ts",
+                              build_ts="quote_ts", build_value="quote",
+                              direction="nearest"),
+        "t_asof_near_vs_batch", spark,
+    )
+    got = {(r.symbol, str(r.trade_ts), float(r.asof_quote)) for r in out.collect()
+           if str(r.trade_ts).startswith("2024-01-01")}
+
+    # batch nearest: two directional asof_joins composed, j9 tie contract
+    probe = spark.createDataFrame(
+        [(t["symbol"], t["trade_ts"]) for t in trades], "symbol string, trade_ts string"
+    ).select("symbol", F.to_timestamp("trade_ts").alias("ts"))
+    build = spark.createDataFrame(
+        [(q["symbol"], q["quote_ts"], q["quote"]) for q in quotes],
+        "symbol string, quote_ts string, quote double",
+    ).select("symbol", F.to_timestamp("quote_ts").alias("ts"), "quote")
+    back = asof_join(probe, build.select("symbol", "ts", F.col("quote").alias("bq"),
+                                         F.col("ts").alias("bts")),
+                     on="symbol", ts_col="ts", build_cols=["bq", "bts"],
+                     direction="backward")
+    fwd = asof_join(probe, build.select("symbol", "ts", F.col("quote").alias("fq"),
+                                        F.col("ts").alias("fts")),
+                    on="symbol", ts_col="ts", build_cols=["fq", "fts"],
+                    direction="forward")
+    both = back.join(fwd, ["symbol", "ts"])
+    d_b = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
+    d_f = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))
+    pick_back = F.col("bq").isNotNull() & (F.col("fq").isNull() | (d_b <= d_f))
+    batch = both.select(
+        "symbol", "ts", F.when(pick_back, F.col("bq")).otherwise(F.col("fq")).alias("q")
+    )
+    want = {(r.symbol, str(r.ts), float(r.q)) for r in batch.collect()}
+    assert got == want and got

@@ -64,9 +64,10 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     # no pair emitted twice across batches
     assert got_df.count() == len(expected)
 
-    # index covers every doc after the run (hashed arrays are the
-    # per-doc payload table; the streaming index stores no signatures —
-    # the estimate stage is a batch-funnel scan-saver, see module doc)
+    # index covers every doc after the run (hashed arrays are checked
+    # as the representative per-doc payload table; the sigs table is
+    # ALSO stored — kbucketed, read back by the estimate stage — see
+    # the module docstring for the index layout)
     hashed = spark.read.option("basePath", f"{index_path}/hashed").parquet(
         f"{index_path}/hashed/batch=*"
     )

@@ -70,6 +70,8 @@ HEADLINE = [
     "r11_important_parts",    # Q11-style HAVING vs global-average threshold
     "r20_excess_supply",      # Q20-style semi-join into grouped HAVING
     "u10_unpivot",            # UNPIVOT/melt via one Expand node
+    "a24b_ewma_unbounded",    # scan-free EWMA (telescoped affine fold)
+    "j9_asof_nearest_join",   # nearest as-of (two directional scans composed)
 ]
 
 

@@ -46,102 +46,53 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver's correctness gate checks the first 50 registry entries per
-# round (CORRECTNESS_r01..r03 are each exactly the registry's 50-entry
-# prefix). With >50 registered queries, iteration order decides which get
-# an official audited row, so the order rotates per round so that every
-# query's newest green row stays <=2 rounds old. Round-4 prefix policy:
-# every query that has NEVER held an official row leads (the round-4
-# additions, newest first), then queries whose code changed this round,
-# then everything whose newest green row is r02.
-# a13_approx_count_distinct stays OUT of the prefix: its row is
-# permanently rows-only (HLL estimates are engine-specific) and its
-# error bound is hash-gated by a13b, which holds a green r03 row.
-# Union coverage across rounds is tracked in COVERAGE.md. Names absent
-# from this list keep registration order after the prioritized prefix.
+# round (CORRECTNESS_r01..r05 are each exactly the registry's 50-entry
+# prefix of their round). With 173 registered queries a full refresh
+# takes ceil(173/50) = 4 rounds, so the old "every query's newest green
+# row stays <= 2 rounds old" promise is arithmetically impossible; the
+# ACTUAL invariant this rotation guarantees (r05 verdict task 4):
+#   1. never-audited queries lead the prefix (newest additions
+#      included) — no query waits more than one round for its first
+#      official row;
+#   2. queries whose shared operator code changed since their newest
+#      green row come next (a stale row does not certify changed code);
+#   3. remaining slots go to the stalest green rows, oldest first;
+#   4. every displaced query stays battery-checked per commit
+#      (tests/test_oracle_battery.py at sf0.001 + slow sf0.01); the
+#      per-round max-staleness number is tracked in COVERAGE.md.
+# a13_approx_count_distinct / m4_video_decode are permanently rows-only
+# BY DESIGN (engine-specific HLL estimates / non-SQL-expressible pixel
+# math), each hash-gated by an adjacent twin (a13b / m4b). They stay
+# OUT of the 50-row prefix so the official gate can stay fully green;
+# when a twin's re-audit comes due the pair enters together (adjacent),
+# accepting that round's one expected rows-only row.
+#
+# ---- r06 gate prefix (exactly 50 entries) ----
+# Block 1 (9): never-audited — the seven round-5 additions named by the
+# r05 verdict (d13 first) + round-6's a24b/a24c EWMA pair. Each
+# verified at sf0.001/0.01/0.1 via the fresh-process driver-sim this
+# round.
+# Block 2 (14): the r02-stale dedup/BPE/packing rows the r05 verdict
+# marked non-optional — their shared engine (operators/dedup.py)
+# changed in round 5 (est/verify join swap, ed86550) after their newest
+# official rows.
+# Block 3 (27): the oldest remaining green rows (r03), registration-
+# family order.
+# Still r03-stale after this rotation (23 candidates didn't fit; they
+# lead the r07 prefix, all battery-checked per commit): u5_cube_revenue,
+# w1, j2b, w2, a12, a13b (+ its rows-only twin a13, adjacent), k1, a14,
+# t1-t5, m1, t6-t10, m2, t12, t13. Max staleness after r06: r03 rows,
+# 3 rounds.
 _DRIVER_PRIORITY: list[str] = [
-    # ---- r05 gate prefix (exactly 50 entries) ----
-    # Block 1 (16): every query that has NEVER held an official driver
-    # row.  d12 first (added in the r04 end-of-round snapshot), then the
-    # rest of the never-audited set named by the r04 verdict.  All 16
-    # pass the local 3-SF DuckDB battery; this block gives each its
-    # first official CORRECTNESS row.
-    "d12_prefix_jaccard_join",
-    "d11_editdist_pairs",
-    "a27_markov_transitions",
-    "a28_pair_lift",
-    "u9_grouping_sets",
-    "a29_time_decay_sum",
-    "r21_waiting_suppliers",
-    "r11_important_parts",
-    "r20_excess_supply",
-    "u10_unpivot",
-    "w3_rank_battery",
-    "z1_zorder_layout",
-    "k2_salted_join",
-    "r12_priority_lines",
-    "r14_promo_share",
-    "r18_large_orders",
-    # Block 2 (17): the r02-stale core families the r04 verdict named
-    # explicitly (newest green row r02; battery-checked per commit).
-    "a1_array_sum",
-    "a2_argmax_per_group",
-    "a3_positional_first",
-    "p1_substring_filter",
-    "p2_window_containment",
-    "p3_projection_parse",
-    "p4_type_filter",
-    "p5_event_dispatch",
-    "p6_explode_filter",
-    "p7_positive_filter",
-    "p8_null_empty_guards",
-    "p9_resolution_predicate",
-    "j1_dim_broadcast_join",
-    "j2_interval_join",
-    "j3_left_label_join",
-    "j4_lag_deltas",
-    "j5_latest_scalar",
-    # Block 3 (17): the remaining r02-stale rows that fit the 50-row
-    # window — ANN family + recall gates, graph features, sampling,
-    # and the five relational heads.
-    "s1_ann_bruteforce_topk",
-    "s2_ann_ivf_topk",
-    "s3_ann_lsh_topk",
-    "s2_recall",
-    "s3_recall",
-    "g1_momentum_volatility",
-    "g2_whale_deltas",
-    "g3_concentration",
-    "g4_winner_label",
-    "x1_hash_split",
-    "x2_stratified_sample",
-    "x3_mixture_sample",
-    "market_candles_15m",
-    "pricing_summary",
-    "shipping_priority_top10",
-    "regional_revenue",
-    "order_priority_check",
-    # ---- end of the 50-row r05 window ----
-    # Round-5 additions, registered PAST the window (displacing audited
-    # rows would break the rotation policy) and locally hash-verified at
-    # sf0.001/0.01/0.1: d8b_semantic_dedup_kscaled (the k-prop-to-n
-    # SemDeDup knob), d8c_semantic_dedup_signcells (the linear
-    # sign-bit-cell production path; probe 1.5/2.4/4.6 s at 2k/6k/20k),
-    # u11_full_outer_reconcile (the one join type no other query
-    # exercises), j8_asof_forward_join (j6's forward mirror, gated
-    # against DuckDB's native forward ASOF), and w7_rolling_median
-    # (exact interpolated median over a row frame), and
-    # j9_asof_nearest_join (kdb-style nearest as-of composed from the
-    # two directional scans, integer-microsecond tie contract).  They
-    # MUST join the r06 prefix.
-    # Still r02-stale after this rotation (48 stale + 16 never-audited
-    # > 50 slots; these 14 MUST lead the r06 prefix together with any
-    # query added during round 5): pk1_pack_assignments,
-    # pk2_sequence_fill, sh1_shard_assignment, v1_bpe_learn_vocab,
-    # v2_bpe_tokenize_corpus, d1_exact_dedup, d2_ngram_jaccard,
-    # d3_minhash_lsh, d7_incremental_neardup, d6_neardup_clusters,
-    # d6b_neardup_clusters_star, d4_simhash, d5_embedding_neardup,
-    # d5b_embedding_neardup_blocked.  All hold green r02 rows and are
-    # battery-checked per commit.
+    "d13_keep_longest_per_cluster",
+    "d8b_semantic_dedup_kscaled",
+    "d8c_semantic_dedup_signcells",
+    "j8_asof_forward_join",
+    "j9_asof_nearest_join",
+    "u11_full_outer_reconcile",
+    "w7_rolling_median",
+    "a24b_ewma_unbounded",
+    "a24c_ewma_timeaware",
     "pk1_pack_assignments",
     "pk2_sequence_fill",
     "sh1_shard_assignment",
@@ -150,24 +101,62 @@ _DRIVER_PRIORITY: list[str] = [
     "d1_exact_dedup",
     "d2_ngram_jaccard",
     "d3_minhash_lsh",
-    "d7_incremental_neardup",
-    "d6_neardup_clusters",
-    "d6b_neardup_clusters_star",
     "d4_simhash",
     "d5_embedding_neardup",
     "d5b_embedding_neardup_blocked",
-    # r03-green rows (re-audit window r06/r07)
+    "d6_neardup_clusters",
+    "d6b_neardup_clusters_star",
+    "d7_incremental_neardup",
     "t11_tfidf_top_terms",
     "e2e_corpus_build_t",
     "m3_frame_sample",
-    # r04-green rows (freshest; lowest rotation priority).  Two rows are
-    # rows-only BY DESIGN, each with an adjacent hash-gated twin that IS
-    # fully green: a13_approx_count_distinct (HLL estimates are
-    # engine-specific; its error bound is hash-gated by a13b) and
-    # m4_video_decode (JPEG pixel math is not SQL-expressible; its
-    # decode output is hash-gated by m4b_video_decode_gate and
-    # pixel-exactness is asserted in tests/test_multimodal.py).  Keep
-    # each twin adjacent to its rows-only query in every rotation.
+    "x4_temperature_weights",
+    "x5_temperature_repeats",
+    "e2e_corpus_build",
+    "r2_min_cost_supplier",
+    "r13_cust_order_counts",
+    "q1_embedding_quantize",
+    "q2_pq_adc_topk",
+    "q2_recall",
+    "q3_ivf_pq_topk",
+    "q3_recall",
+    "a4_ratio_guarded",
+    "a5_topk_per_group",
+    "a6_count_empty_marker",
+    "a7_downsample_last",
+    "a8_incremental_watermark_max",
+    "a9_change_detect_dedup",
+    "a10_consecutive_runs",
+    "u1_union_by_name",
+    "u2_rollup_revenue",
+    "f_scalar_battery",
+    "f7_iso8601_parse",
+    "f4_json_serialize_roundtrip",
+    "u3_distinct_agg",
+    "u4_anti_join",
+    "u5_cube_revenue",
+    "w1_running_sum",
+    "j2b_bucketed_interval_join",
+    "w2_session_windows",
+    "a12_percentiles",
+    "a13_approx_count_distinct",
+    "a13b_approx_distinct_gate",
+    "k1_salted_agg",
+    "a14_approx_percentile_gate",
+    "t1_token_stats",
+    "t2_lang_id",
+    "t3_quality_score",
+    "t4_fingerprint",
+    "t5_top_tokens",
+    "m1_binary_metadata",
+    "t6_bpe_token_count",
+    "t7_winnow_fingerprints",
+    "t8_decontamination",
+    "t9_pii_redaction",
+    "t10_repetition_stats",
+    "m2_image_decode_features",
+    "t12_bigram_lm_score",
+    "t13_boilerplate_coverage",
     "j6_asof_join",
     "c3_triangle_count",
     "a23_mad_outliers",
@@ -201,7 +190,7 @@ _DRIVER_PRIORITY: list[str] = [
     "a21_value_histogram",
     "a22_type_trend_corr",
     "m4_video_decode",
-    "m4b_video_decode_gate",  # hash-gated twin for m4 (a13/a13b pattern)
+    "m4b_video_decode_gate",
     "t14_span_scrub",
     "sh2_epoch_shuffle",
     "d3c_minhash_lsh_dfpruned",
@@ -218,6 +207,56 @@ _DRIVER_PRIORITY: list[str] = [
     "c2_pagerank",
     "a16_bloom_decontam",
     "a17_portable_hll",
+    "d12_prefix_jaccard_join",
+    "d11_editdist_pairs",
+    "a27_markov_transitions",
+    "a28_pair_lift",
+    "u9_grouping_sets",
+    "a29_time_decay_sum",
+    "r21_waiting_suppliers",
+    "r11_important_parts",
+    "r20_excess_supply",
+    "u10_unpivot",
+    "w3_rank_battery",
+    "z1_zorder_layout",
+    "k2_salted_join",
+    "r12_priority_lines",
+    "r14_promo_share",
+    "r18_large_orders",
+    "a1_array_sum",
+    "a2_argmax_per_group",
+    "a3_positional_first",
+    "p1_substring_filter",
+    "p2_window_containment",
+    "p3_projection_parse",
+    "p4_type_filter",
+    "p5_event_dispatch",
+    "p6_explode_filter",
+    "p7_positive_filter",
+    "p8_null_empty_guards",
+    "p9_resolution_predicate",
+    "j1_dim_broadcast_join",
+    "j2_interval_join",
+    "j3_left_label_join",
+    "j4_lag_deltas",
+    "j5_latest_scalar",
+    "s1_ann_bruteforce_topk",
+    "s2_ann_ivf_topk",
+    "s3_ann_lsh_topk",
+    "s2_recall",
+    "s3_recall",
+    "g1_momentum_volatility",
+    "g2_whale_deltas",
+    "g3_concentration",
+    "g4_winner_label",
+    "x1_hash_split",
+    "x2_stratified_sample",
+    "x3_mixture_sample",
+    "market_candles_15m",
+    "pricing_summary",
+    "shipping_priority_top10",
+    "regional_revenue",
+    "order_priority_check",
 ]
 
 

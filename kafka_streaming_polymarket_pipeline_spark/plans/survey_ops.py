@@ -1828,6 +1828,56 @@ def a24b_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a24c_ewma_timeaware",
+    oracle="""
+WITH t AS (
+  SELECT user_id, value, ts,
+         max(ts) OVER (PARTITION BY user_id) AS tref
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * pow(0.5, (epoch_us(tref) - epoch_us(ts)) / 86400000000.0))
+             / sum(pow(0.5, (epoch_us(tref) - epoch_us(ts)) / 86400000000.0)),
+             6) AS ewma_value
+FROM t GROUP BY user_id
+""",
+)
+def a24c_ewma_timeaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-AWARE EWMA for irregular series (pandas ``ewm(halflife=
+    <timedelta>, times=...)`` adjust=True semantics, halflife = 1 day):
+    a24/a24b weight by OBSERVATION COUNT, which misweights bursty event
+    streams; here each event's weight is 0.5^(age_days) against the
+    user's LATEST event, ewma = sum(w*x)/sum(w). This is the varying-
+    decay case of a24b's affine-composition telescope: with a_i =
+    2^(-dt_i/h) the suffix product collapses to 2^(-(t_ref - t_i)/h) —
+    again a closed-form per-row weight, so the whole thing is one
+    commutative aggregation with NO ordering dependence at all (the
+    adjust=True form is order-free by construction; a24b's count-based
+    weights still needed a row_number).
+
+    Physical plan: one shuffle on user_id for the max(ts) window, reused
+    by the groupBy (same single-Exchange shape as a24b). The weight
+    exponent is exact integer-µs arithmetic / a float constant on both
+    engines (a29's contract), and the result DIVIDES two same-group sums
+    so accumulation-order noise largely cancels before the 6 dp round
+    (r8_market_share precedent)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tref = F.max("ts").over(Window.partitionBy("user_id"))
+    age_days = (F.unix_micros(tref) - F.unix_micros(F.col("ts"))) / F.lit(86_400_000_000.0)
+    w = F.pow(F.lit(0.5), age_days)
+    return (
+        ev.select("user_id", "value", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias(
+                "ewma_value"
+            ),
+        )
+    )
+
+
+@register(
     "w6_peak_concurrency",
     oracle="""
 WITH marked AS (

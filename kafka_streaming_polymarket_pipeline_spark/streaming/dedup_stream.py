@@ -56,14 +56,56 @@ SIGS, BUCKETS, HASHED = "sigs", "buckets", "hashed"
 # index creation because it is the directory layout.  16 keeps per-batch
 # file counts sane at 1000-doc batches (~60 docs/bucket/file) while a
 # pruned probe still skips ~15/16 of a large corpus; at 100 TB scale the
-# table is created with more (the knob is a constant, the layout
-# convention is the point).
+# index is created with more (the 256-bucket design-regime probe in
+# scripts/scale_probe.py --pruning measured 27.6x fewer payload rows).
+# The module constant only seeds NEW indexes: the count is pinned in the
+# index's _meta.json at creation and every later write/probe resolves it
+# from there (_ensure_meta/_bucket_count), so a process with a different
+# constant can never prune against the wrong modulus.
 N_DOC_BUCKETS = 16
 _KB = "__kbucket"
+_META = "_meta.json"
 
 
-def _dbucket(id_col: str = "doc_id") -> F.Column:
-    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_DOC_BUCKETS)).cast("int")
+def _dbucket(id_col: str = "doc_id", n: int | None = None) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n or N_DOC_BUCKETS)).cast("int")
+
+
+def _ensure_meta(index_path: str) -> int:
+    """Pin the doc-bucket count in the index's ``_meta.json`` at creation
+    and return the PINNED value ever after.  The bucket function is the
+    directory layout: if creation used M buckets and a later process
+    (restart, knob change) computed probe/write buckets with a different
+    constant, pruned probes would filter on bucket ids from the wrong
+    modulus and SILENTLY drop candidate payload rows — so both the write
+    and the probe path resolve the count from the meta file, never from
+    the module constant, once an index exists. (Local-FS metadata I/O,
+    like the rest of this module's directory probing; an object-store
+    deployment swaps these few calls for its client.)"""
+    path = os.path.join(index_path, _META)
+    if os.path.exists(path):
+        import json
+
+        with open(path) as f:
+            return int(json.load(f)["n_doc_buckets"])
+    os.makedirs(index_path, exist_ok=True)
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"n_doc_buckets": N_DOC_BUCKETS}, f)
+    return N_DOC_BUCKETS
+
+
+def _bucket_count(index_path: str) -> int:
+    """The pinned bucket count for an existing index; module default for
+    a not-yet-created one (first batch will pin it)."""
+    path = os.path.join(index_path, _META)
+    if os.path.exists(path):
+        import json
+
+        with open(path) as f:
+            return int(json.load(f)["n_doc_buckets"])
+    return N_DOC_BUCKETS
 
 
 def _index_parts(docs: DataFrame, threshold: float, n: int):
@@ -91,10 +133,11 @@ def write_index_batch(
     already computed for probing, so the signature stage — the expensive
     map pass — runs once per batch, not twice."""
     sigs, buckets, hashed = parts or _index_parts(docs, threshold, n)
+    m = _ensure_meta(index_path)  # layout constant pinned at creation
     for name, part in ((SIGS, sigs), (HASHED, hashed)):
         (
-            part.withColumn(_KB, _dbucket())
-            .repartition(N_DOC_BUCKETS, F.col(_KB))  # one file per bucket dir
+            part.withColumn(_KB, _dbucket(n=m))
+            .repartition(m, F.col(_KB))  # one file per bucket dir
             .write.mode("overwrite")
             .partitionBy(_KB)
             .parquet(os.path.join(index_path, name, f"batch={batch_id}"))
@@ -207,10 +250,13 @@ def incremental_pairs_against_index(
     # and partition-prune the corpus payload read to those dirs.  The
     # batch's own rows come from the in-memory checkpointed parts.
     cand = cand.localCheckpoint(eager=True)
+    m = _bucket_count(index_path)  # the PINNED layout modulus, never the constant
     touched = sorted(
         r["kb"]
         for r in cand.select(
-            F.explode(F.array(_dbucket("doc_id_a"), _dbucket("doc_id_b"))).alias("kb")
+            F.explode(
+                F.array(_dbucket("doc_id_a", n=m), _dbucket("doc_id_b", n=m))
+            ).alias("kb")
         )
         .distinct()
         .collect()

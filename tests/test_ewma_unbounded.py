@@ -49,3 +49,28 @@ def test_single_event_user(spark):
     out = registry.get("a24b_ewma_unbounded").builder(spark, d).collect()
     assert len(out) == 1
     assert out[0]["n_events"] == 1 and abs(out[0]["ewma_value"] - 3.5) < 1e-9
+
+
+def test_timeaware_single_exchange_and_weights(spark):
+    # a24c: hand-computable 3-event series with known ages
+    import tempfile, os
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10.0, "2024-01-01 00:00:00"),  # 2 days before tref -> w=0.25
+            (1, 2, 20.0, "2024-01-02 00:00:00"),  # 1 day  before tref -> w=0.5
+            (1, 3, 40.0, "2024-01-03 00:00:00"),  # tref              -> w=1
+        ],
+        "user_id long, event_id long, value double, ts string",
+    ).selectExpr("user_id", "event_id", "value", "CAST(ts AS TIMESTAMP) AS ts")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    q = registry.get("a24c_ewma_timeaware").builder(spark, d)
+    # plan-shape contract BEFORE execution: AQE's post-run re-plan can
+    # split the tiny-data stage; the static plan is what scales.
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "collect_list" not in plan
+    [row] = q.collect()
+    want = (0.25 * 10 + 0.5 * 20 + 1 * 40) / (0.25 + 0.5 + 1)
+    assert row["n_events"] == 3 and abs(row["ewma_value"] - round(want, 6)) < 1e-9

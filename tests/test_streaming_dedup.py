@@ -112,3 +112,50 @@ def test_index_payload_reads_partition_prune(spark, tmp_path):
     }
     assert {r["doc_id"] for r in pruned.select("doc_id").collect()} == want
     assert 0 < len(want) < 200
+
+
+def test_bucket_count_pinned_in_meta_survives_constant_change(spark, tmp_path):
+    """The bucket modulus is the DIRECTORY LAYOUT: an index created at
+    one count and probed/extended by a process whose module constant
+    differs must keep using the pinned count — otherwise pruned probes
+    filter on ids from the wrong modulus and silently drop pairs."""
+    import json
+
+    idx = str(tmp_path / "idx")
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+
+    orig = DS.N_DOC_BUCKETS
+    try:
+        DS.N_DOC_BUCKETS = 8
+        DS.write_index_batch(a, idx, 0)
+        assert json.load(open(os.path.join(idx, DS._META)))["n_doc_buckets"] == 8
+
+        # "restart" with a different constant: writes AND probes must
+        # still resolve the pinned 8
+        DS.N_DOC_BUCKETS = 64
+        DS.write_index_batch(b, idx, 1)
+        kbs = {
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(idx, DS.HASHED, "batch=1"))
+            if d.startswith(DS._KB)
+        }
+        assert kbs and max(kbs) < 8  # new batch written with the pinned modulus
+
+        probe = spark.createDataFrame(
+            [(9, BASE.replace("lazy", "idle"))], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in DS.incremental_pairs_against_index(probe, idx).collect()
+        }
+        # ground truth over the union corpus, restricted to pairs touching 9
+        full = a.unionByName(b).unionByName(probe)
+        want = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in D.ngram_jaccard_pairs(full, 0.5).collect()
+            if r["doc_id_a"] == 9 or r["doc_id_b"] == 9
+        }
+        assert got == want and want  # no silently-dropped pairs
+    finally:
+        DS.N_DOC_BUCKETS = orig

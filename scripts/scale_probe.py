@@ -42,7 +42,13 @@ QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
            "j6_asof_join", "a24_ewma_per_user", "a23_mad_outliers",
            "c3_triangle_count", "j7_band_join", "w6_peak_concurrency",
            "a26_column_profile", "a27_markov_transitions",
-           "d11_editdist_pairs"]
+           "d11_editdist_pairs",
+           # round-6 additions (u11 skipped: needs lineitem, which this
+           # generator doesn't synthesize)
+           "a24b_ewma_unbounded", "a24c_ewma_timeaware",
+           "j8_asof_forward_join", "j9_asof_nearest_join",
+           "w7_rolling_median", "d13_keep_longest_per_cluster",
+           "d12_prefix_jaccard_join"]
 SCALES = {"0.1e": (5_000, 2_000), "0.3e": (15_000, 6_000), "1e": (50_000, 20_000)}
 # d3's cost driver is similar-pair mass, quadratic on this templated corpus
 # by construction — cap it at 0.3e unless --d3-full is passed.
@@ -50,7 +56,17 @@ D3_CAP = "0.3e"
 # c3 embeds the SemDeDup pair pipeline with the oracle-pinned fixed k=8,
 # which is super-linear at fixed cell count exactly like d8 (SCALE.md's
 # documented knob) — probe it at the capped scales only.
-CAPPED_AT_03E = {"d3_minhash_lsh", "c3_triangle_count"}
+CAPPED_AT_03E = {"d3_minhash_lsh", "c3_triangle_count",
+                 # d13 embeds the full d3 funnel (LSH -> CC -> argmax), so it
+                 # inherits d3's similar-pair-mass quadratic on this templated
+                 # generator and the same cap
+                 "d13_keep_longest_per_cluster",
+                 # AllPairs prefix filtering needs token-frequency skew to
+                 # prune; this generator's 30-word vocabulary has no rare
+                 # tokens, so d12 degenerates toward the naive join here
+                 # (measured 70/258/1141 s at 5k/15k/50k — see SCALE.md
+                 # round 6). The driver's real corpus has a long-tail vocab.
+                 "d12_prefix_jaccard_join"}
 
 
 def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:
@@ -258,8 +274,12 @@ def main() -> None:
             gen(d, nd, ne)
 
     registry = plans.all_queries()
+    names = QUERIES
+    for i, a in enumerate(sys.argv):  # --only q1,q2 probes a subset
+        if a == "--only" and i + 1 < len(sys.argv):
+            names = [n for n in sys.argv[i + 1].split(",") if n in registry]
     results = []
-    for name in QUERIES:
+    for name in names:
         for label in SCALES:
             if name in CAPPED_AT_03E and label == "1e" and "--d3-full" not in sys.argv:
                 continue

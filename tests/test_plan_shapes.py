@@ -63,6 +63,12 @@ ALLOWED_NESTED = {
     "d8_semantic_dedup": "embeds c1's k-row centroid crossJoin; the "
                          "within-cell pair join itself is an equi-join "
                          "on cell",
+    "d8b_semantic_dedup_kscaled": "same centroid crossJoin as d8 but with "
+                                  "k = max(4, n//125): the broadcast side "
+                                  "grows with n, which is exactly the knob's "
+                                  "documented limit — at corpus scale the "
+                                  "linear path is d8c's sign-bit cells "
+                                  "(row-local, no crossJoin at all)",
     "d9_semantic_clusters": "embeds d8 (c1's k-row centroid crossJoin); "
                             "star CC itself is equi-join/groupBy only",
     "b1_bm25_topk": "crossJoin against the broadcast one-row corpus "

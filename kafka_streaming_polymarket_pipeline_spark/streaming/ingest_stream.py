@@ -1,0 +1,91 @@
+"""Standing corpus-ingest pipeline: quality admission -> quarantine ->
+incremental near-dup detection -> persistent index, as ONE streaming job.
+
+This composes the two standing jobs a continuously-ingesting training
+pipeline runs (`streaming/quality_stream.py`'s stateless admission gate
+and `streaming/dedup_stream.py`'s persistent-index near-dup probe) in
+the order that makes them cheap together: rejected documents never cost
+signature computation or index I/O, which is the entire point of
+running the gate first (quality features are map-only codegen; the
+dedup probe pays one signature map pass + index reads per batch).
+
+Per micro-batch (all inside one foreachBatch, so a crash retries the
+whole batch against the same ``batch=<id>`` overwrite targets —
+idempotent like dedup_stream's):
+
+  1. quality features + keep flag for the batch (stateless, row-local);
+  2. quarantined rows land under ``quarantine/batch=<id>`` with their
+     features (the audit trail — same contract as the T8/T9 error
+     side-channels);
+  3. admitted rows probe + extend the near-dup index (dedup_stream's
+     funnel, unchanged), emitting pairs under ``pairs/batch=<id>`` and
+     landing the admitted text under ``admitted/batch=<id>``.
+
+Stream == batch: the union of per-batch admitted/quarantine/pairs
+outputs equals the batch quality split + batch pair ground truth over
+the SAME files (asserted in tests/test_ingest_stream.py), because every
+stage is either stateless or probes an index built from exactly the
+prior batches.
+
+Reference scope: the reference pipeline's consumers validate + filter
+before landing rows (consumers/db_writer.py); this is that admission
+shape generalized to the LLM-corpus setting where the "landing" step is
+a dedup index rather than a table upsert.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.streaming import dedup_stream as DS
+from kafka_streaming_polymarket_pipeline_spark.streaming.quality_stream import (
+    ENTROPY_MIN_BITS,
+    quality_features_frame,
+)
+
+
+def corpus_ingest_sink(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    n: int = 5,
+    entropy_min: float = ENTROPY_MIN_BITS,
+):
+    """Standing job: per micro-batch, quality-gate the docs, quarantine
+    rejects, then run the admitted docs through the incremental dedup
+    probe + index extension. Layout under ``out_path``:
+    ``quarantine/batch=<id>``, ``admitted/batch=<id>``,
+    ``pairs/batch=<id>``, ``index/...`` (dedup_stream's layout)."""
+    from kafka_streaming_polymarket_pipeline_spark.sources.sinks import (
+        foreach_batch_sink,
+    )
+
+    index_path = os.path.join(out_path, "index")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        feats = quality_features_frame(batch, entropy_min).localCheckpoint(eager=True)
+        feats.filter(~F.col("keep")).write.mode("overwrite").parquet(
+            os.path.join(out_path, "quarantine", f"batch={batch_id}")
+        )
+        admitted = batch.join(
+            feats.filter(F.col("keep")).select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_path, "admitted", f"batch={batch_id}")
+        )
+        # dedup only over admitted docs: rejects never cost signatures
+        parts = DS.checkpointed_parts(admitted, threshold, n)
+        pairs = DS.incremental_pairs_against_index(
+            admitted, index_path, threshold, n, parts=parts
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_path, "pairs", f"batch={batch_id}")
+        )
+        DS.write_index_batch(admitted, index_path, batch_id, threshold, n, parts=parts)
+
+    return foreach_batch_sink(docs_stream, process, checkpoint)

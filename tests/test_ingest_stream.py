@@ -1,0 +1,112 @@
+"""Composed standing ingest job (quality gate -> quarantine ->
+incremental dedup index): stream == batch on every output surface, and
+rejected documents provably never reach the index or the pair stream."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+from kafka_streaming_polymarket_pipeline_spark.streaming import ingest_stream as IS
+from kafka_streaming_polymarket_pipeline_spark.streaming.quality_stream import (
+    quality_split,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the merge join "
+    "streams sorted batches of rows into the hash table for the big scan"
+)
+JUNK = "aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa"  # entropy < 2 bits
+
+SCHEMA = "doc_id long, lang string, source string, text string"
+BATCH_A = [
+    (0, "en", "s0", BASE),
+    (1, "en", "s0", BASE),  # exact dup of 0 -> pair (0,1)
+    (2, "en", "s1", JUNK),  # junk: quarantined
+]
+BATCH_B = [
+    (3, "en", "s0", BASE.replace("quick", "rapid")),  # near-dup of 0/1
+    (4, "en", "s1", JUNK.replace("aa", "ab", 1)),     # junk near-dup of 2
+    (5, "en", "s2", "a completely different doc about window functions"),
+]
+
+
+def test_ingest_stream_equals_batch_and_rejects_never_indexed(spark, tmp_path):
+    src = tmp_path / "src"
+    os.makedirs(src)
+    a = spark.createDataFrame(BATCH_A, SCHEMA)
+    b = spark.createDataFrame(BATCH_B, SCHEMA)
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path / "out")
+    q = IS.corpus_ingest_sink(stream, out, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    q.stop()
+
+    full = a.unionByName(b)
+    kept_b, rej_b = quality_split(full)
+    kept_ids = {r["doc_id"] for r in kept_b.select("doc_id").collect()}
+    rej_ids = {r["doc_id"] for r in rej_b.select("doc_id").collect()}
+
+    # the junk docs ARE rejected by the batch gate (test preconditions)
+    assert {2, 4} <= rej_ids and kept_ids | rej_ids == {0, 1, 2, 3, 4, 5}
+
+    got_adm = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", f"{out}/admitted")
+        .parquet(f"{out}/admitted/batch=*")
+        .collect()
+    }
+    got_rej = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", f"{out}/quarantine")
+        .parquet(f"{out}/quarantine/batch=*")
+        .collect()
+    }
+    assert got_adm == kept_ids and got_rej == rej_ids
+
+    # pairs == batch ground truth over the KEPT docs only
+    kept_docs = full.join(kept_b.select("doc_id"), "doc_id").select("doc_id", "text")
+    want_pairs = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(kept_docs, 0.5).collect()
+    }
+    got_pairs_df = spark.read.option("basePath", f"{out}/pairs").parquet(
+        f"{out}/pairs/batch=*"
+    )
+    got_pairs = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"]) for r in got_pairs_df.collect()
+    }
+    assert got_pairs == want_pairs and want_pairs
+    assert got_pairs_df.count() == len(want_pairs)  # no duplicate emissions
+
+    # the junk near-dup pair (2,4) exists in the RAW corpus but must be
+    # absent from the stream's output: rejects never reached the index
+    raw_pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.ngram_jaccard_pairs(full.select("doc_id", "text"), 0.5).collect()
+    }
+    assert (2, 4) in raw_pairs
+    assert all(p[0] not in (2, 4) and p[1] not in (2, 4) for p in got_pairs)
+
+    # index payload holds exactly the admitted docs
+    hashed = spark.read.option("basePath", f"{out}/index/hashed").parquet(
+        f"{out}/index/hashed/batch=*"
+    )
+    assert {r["doc_id"] for r in hashed.select("doc_id").collect()} == kept_ids
+
+    # cross-batch admitted near-dup pairs via the INDEX (0/1 arrived in
+    # batch 0; 3 pairs against both in batch 1)
+    b1 = spark.read.parquet(f"{out}/pairs/batch=1")
+    b1_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in b1.collect()}
+    assert (0, 3) in b1_pairs and (1, 3) in b1_pairs

@@ -147,6 +147,64 @@ def asof_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-OVERLAP join: all (left, right) pairs whose [start, end)
+    intervals intersect (strict: ``l.start < r.end AND r.start < l.end``),
+    optionally within the same ``extra_keys`` — WITHOUT a nested-loop
+    plan. This is the two-sided generalization of the point-in-interval
+    ``bucketed_interval_join`` (J2): span-conflict detection, co-activity
+    windows, meeting/booking overlap — the reference's point lookups
+    never need it, but any calendar/interval analytics layer does.
+
+    Both sides explode into the time buckets they cover; qualifying
+    pairs meet in every SHARED bucket, so the join dedups with the
+    standard later-start rule: a pair is emitted only in the bucket
+    containing ``greatest(l.start, r.start)`` — overlap guarantees the
+    later start lies inside BOTH intervals' bucket ranges, and exactly
+    one bucket contains it, so the output is duplicate-free with no
+    ``distinct()`` shuffle. The equi-join key is (extra_keys..., bucket):
+    shuffle-partitioned, AQE-skew-splittable; per-side blowup is
+    len/W + 1 rows like the J2 form.
+
+    Column conventions follow band_join: left columns keep their names,
+    right columns get an ``r_`` prefix; callers compute overlap measures
+    from the raw integer-µs bounds (exact, no rounding contract).
+    """
+    w_us = bucket_seconds * _US
+    keys = list(extra_keys or [])
+
+    def bucketed(df: DataFrame, prefix: str = "") -> DataFrame:
+        s, e = F.unix_micros(F.col(start_col)), F.unix_micros(F.col(end_col))
+        # [start, end) semantics: empty intervals (end <= start) overlap
+        # nothing and are dropped — also keeps the bucket sequence() from
+        # silently generating a DESCENDING range on a boundary-aligned
+        # empty interval.
+        out = df.filter(e > s).select(
+            *[F.col(c).alias(f"{prefix}{c}" if c not in keys else c) for c in df.columns],
+            F.explode(F.sequence(F.floor(s / w_us), F.floor((e - 1) / w_us))).alias("_bk"),
+        )
+        return out
+
+    l = bucketed(left)
+    r = bucketed(right, "r_")
+    ls, le = F.col(start_col), F.col(end_col)
+    rs, re_ = F.col(f"r_{start_col}"), F.col(f"r_{end_col}")
+    later_start = F.greatest(F.unix_micros(ls), F.unix_micros(rs))
+    return (
+        l.join(r, [*keys, "_bk"])
+        .filter((ls < re_) & (rs < le))
+        .filter(F.col("_bk") == F.floor(later_start / w_us))  # meet-once rule
+        .drop("_bk")
+    )
+
+
 def band_join(
     probe: DataFrame,
     build: DataFrame,

@@ -236,6 +236,72 @@ def consecutive_error_alerts(attempts: DataFrame) -> DataFrame:
     )
 
 
+# --- a24 streaming form: keyed EWMA state (the applyInPandasWithState
+# path the a24b/a24c docstrings promise) ---
+
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_value", T.DoubleType()),
+    ]
+)
+_EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("acc", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+
+
+def _ewma_fn_factory(alpha: float):
+    keep = 1.0 - alpha
+
+    def fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+        (user_id,) = key
+        acc, n = (state.get[0], state.get[1]) if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                if v is None or v != v:  # NULL/NaN excluded, a24's contract
+                    continue
+                v = float(v)
+                acc = v if acc is None else keep * acc + alpha * v
+                n += 1
+        state.update((acc, n))
+        if n:
+            yield pd.DataFrame(
+                [(user_id, n, acc)], columns=["user_id", "n_events", "ewma_value"]
+            )
+
+    return fn
+
+
+def stream_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Streaming per-user EWMA — a24's fold as keyed streaming state.
+
+    The batch forms are a24 (literal fold), a24b (telescoped closed
+    form) and a24c (time-aware weights); the streaming form carries the
+    affine composition's running value directly: state per user is ONE
+    (acc, n) pair — the (a, b)-pair the a24b docstring derives — updated
+    by folding each micro-batch's rows in (ts, event_id) order with
+    literally ``acc*(1-alpha) + alpha*v``, the same IEEE expression the
+    batch fold evaluates, so after any batch the emitted value is
+    bit-identical to the batch fold over everything seen so far
+    (asserted in tests/test_streaming.py). Update-mode emission: each
+    batch re-emits the keys it touched with their running (n, ewma).
+
+    Sanctioned Python-side compute: custom sequential stateful
+    operators are exactly what applyInPandasWithState is for (§2.9's
+    documented exception class, like the consecutive-error counter) —
+    the recurrence depends on the previous OUTPUT, so no watermarked
+    window/agg expresses it."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn_factory(alpha),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 # --- T6/A9: redelivery dedup within watermark ---
 
 def dedup_redeliveries(

@@ -553,3 +553,133 @@ def test_stream_asof_nearest_matches_batch_j9_contract(spark, tmp_path):
     )
     want = {(r.symbol, str(r.ts), float(r.q)) for r in batch.collect()}
     assert got == want and got
+
+
+def test_stream_ewma_matches_batch_fold(spark, tmp_path):
+    """a24's streaming form: after the final micro-batch, each user's
+    latest update-mode emission equals the BATCH fold over every event
+    seen (n_events exact, ewma to the 6 dp contract), including users
+    whose events split across batches and users with NULL values."""
+    import os
+    import time as _time
+
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    rows0 = [
+        (1, 7, 10.0, "2024-01-01 00:00:01"),
+        (2, 7, 20.0, "2024-01-01 00:00:02"),
+        (3, 8, 5.0,  "2024-01-01 00:00:03"),
+        (4, 8, None, "2024-01-01 00:00:04"),  # NULL: excluded
+    ]
+    rows1 = [
+        (5, 7, 40.0, "2024-01-01 00:00:05"),  # user 7 continues across batches
+        (6, 9, 1.0,  "2024-01-01 00:00:06"),  # new user in batch 1
+    ]
+    schema = "event_id long, user_id long, value double, ts string"
+
+    def write(rows, name):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "user_id", "value", "CAST(ts AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    write(rows0, "f0")
+    _time.sleep(1.1)
+    write(rows1, "f1")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def land(batch, batch_id):
+        batch.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        jobs.stream_ewma(stream)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got_df = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    # latest emission per user = the one with the max n_events
+    latest = {}
+    for r in got_df.collect():
+        if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (r["n_events"], r["ewma_value"])
+
+    # batch fold over the union (a24's exact contract)
+    def fold(vals):
+        acc = None
+        for v in vals:
+            acc = v if acc is None else 0.75 * acc + 0.25 * v
+        return acc
+
+    want = {
+        7: (3, fold([10.0, 20.0, 40.0])),
+        8: (1, fold([5.0])),
+        9: (1, fold([1.0])),
+    }
+    assert set(latest) == set(want)
+    for u, (n, ewma) in want.items():
+        assert latest[u][0] == n
+        assert abs(latest[u][1] - ewma) < 1e-12  # same IEEE expression
+    # user 7 emitted in BOTH batches (update mode re-emits touched keys)
+    assert len([r for r in got_df.collect() if r["user_id"] == 7]) == 2
+
+
+def test_stream_ewma_checkpoint_recovery(spark, tmp_path):
+    """Restart with the same checkpoint: the keyed (acc, n) state must
+    resume, so a user spanning the restart folds CONTINUOUSLY — not
+    from scratch."""
+    import os
+
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    schema = "event_id long, user_id long, value double, ts string"
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def write(rows, name):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "user_id", "value", "CAST(ts AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, value double, ts timestamp"
+            ).parquet(f"{src}/f*")
+        )
+
+        def land(batch, batch_id):
+            batch.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+        q = (
+            jobs.stream_ewma(stream)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write([(1, 7, 10.0, "2024-01-01 00:00:01"), (2, 7, 20.0, "2024-01-01 00:00:02")], "f0")
+    run_once()  # job terminates after consuming f0
+    write([(3, 7, 40.0, "2024-01-01 00:00:03")], "f1")
+    run_once()  # restart from the checkpoint; must resume user 7's state
+
+    got = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    latest = max(got.collect(), key=lambda r: r["n_events"])
+    acc = 10.0
+    acc = 0.75 * acc + 0.25 * 20.0
+    acc = 0.75 * acc + 0.25 * 40.0
+    assert latest["user_id"] == 7 and latest["n_events"] == 3
+    assert abs(latest["ewma_value"] - acc) < 1e-12

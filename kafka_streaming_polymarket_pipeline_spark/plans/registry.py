@@ -47,8 +47,8 @@ _REGISTRY: dict[str, Query] = {}
 
 # The driver's correctness gate checks the first 50 registry entries per
 # round (CORRECTNESS_r01..r05 are each exactly the registry's 50-entry
-# prefix of their round). With 175 registered queries a full refresh
-# takes ceil(175/50) = 4 rounds, so the old "every query's newest green
+# prefix of their round). With 176 registered queries a full refresh
+# takes ceil(176/50) = 4 rounds, so the old "every query's newest green
 # row stays <= 2 rounds old" promise is arithmetically impossible; the
 # ACTUAL invariant this rotation guarantees (r05 verdict task 4):
 #   1. never-audited queries lead the prefix (newest additions
@@ -68,20 +68,22 @@ _REGISTRY: dict[str, Query] = {}
 # accepting that round's one expected rows-only row.
 #
 # ---- r06 gate prefix (exactly 50 entries) ----
-# Block 1 (11): never-audited — the seven round-5 additions named by
+# Block 1 (12): never-audited — the seven round-5 additions named by
 # the r05 verdict (d13 first) + round-6's a24b/a24c EWMA pair,
-# j10 interval-overlap join, and w8 cumulative-distinct. Each verified
-# via the fresh-process driver-sim this round.
+# j10 interval-overlap join, w8 cumulative-distinct, and a30 KMV
+# source-overlap sketch. Each verified via the fresh-process driver-sim
+# this round.
 # Block 2 (14): the r02-stale dedup/BPE/packing rows the r05 verdict
 # marked non-optional — their shared engine (operators/dedup.py)
 # changed in round 5 (est/verify join swap, ed86550) after their newest
 # official rows.
-# Block 3 (25): the oldest remaining green rows (r03), registration-
+# Block 3 (24): the oldest remaining green rows (r03), registration-
 # family order.
-# Still r03-stale after this rotation (25 candidates didn't fit; they
-# lead the r07 prefix, all battery-checked per commit): u3_distinct_agg,
-# u4_anti_join, u5_cube_revenue, w1, j2b, w2, a12, a13b (+ its rows-only
-# twin a13, adjacent), k1, a14, t1-t5, m1, t6-t10, m2, t12, t13.
+# Still r03-stale after this rotation (26 candidates didn't fit; they
+# lead the r07 prefix, all battery-checked per commit):
+# f4_json_serialize_roundtrip, u3_distinct_agg, u4_anti_join,
+# u5_cube_revenue, w1, j2b, w2, a12, a13b (+ its rows-only twin a13,
+# adjacent), k1, a14, t1-t5, m1, t6-t10, m2, t12, t13.
 # Max staleness after r06: r03 rows, 3 rounds.
 _DRIVER_PRIORITY: list[str] = [
     "d13_keep_longest_per_cluster",
@@ -95,6 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "a24c_ewma_timeaware",
     "j10_interval_overlap_join",
     "w8_cumulative_distinct",
+    "a30_kmv_source_overlap",
     "pk1_pack_assignments",
     "pk2_sequence_fill",
     "sh1_shard_assignment",

@@ -321,3 +321,167 @@ def a25_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
         F.col("hll_est").alias("hll_users"),
     )
+
+
+@register(
+    "a30_kmv_source_overlap",
+    oracle="""
+WITH two AS (
+  SELECT source FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 2)
+), sh AS (
+  SELECT DISTINCT source, s AS g FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents WHERE source IN (SELECT source FROM two))
+), h AS (
+  SELECT source, g,
+         (('0x' || substr(md5(g), 1, 8))::BIGINT / 4294967296.0) AS hv
+  FROM sh
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv, g) AS rn FROM h
+), per AS (
+  SELECT source, max(rn) AS n_kept, max(hv) AS u_k
+  FROM ranked WHERE rn <= 256 GROUP BY source
+), uh AS (
+  SELECT g, min(hv) AS hv, count(DISTINCT source) AS nsrc FROM h GROUP BY g
+), uranked AS (
+  SELECT *, row_number() OVER (ORDER BY hv, g) AS rn FROM uh
+), uest AS (
+  SELECT max(rn) AS n_kept, max(hv) AS u_k,
+         CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM uranked WHERE rn <= 256
+), ex AS (
+  SELECT sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) * 1.0 / count(*) AS j_exact
+  FROM uh
+)
+SELECT
+  (SELECT min(source) FROM two) AS source_a,
+  (SELECT max(source) FROM two) AS source_b,
+  round(CASE WHEN a.n_kept < 256 THEN a.n_kept * 1.0
+             ELSE 255.0 / a.u_k END, 6) AS distinct_a_est,
+  round(CASE WHEN b.n_kept < 256 THEN b.n_kept * 1.0
+             ELSE 255.0 / b.u_k END, 6) AS distinct_b_est,
+  round(CASE WHEN u.n_kept < 256 THEN u.n_kept * 1.0
+             ELSE 255.0 / u.u_k END, 6) AS union_est,
+  round(u.n_both * 1.0 / u.n_kept, 6) AS jaccard_est,
+  round(ex.j_exact, 6) AS jaccard_exact
+FROM per a, per b, uest u, ex
+WHERE a.source = (SELECT min(source) FROM two)
+  AND b.source = (SELECT max(source) FROM two)
+""",
+)
+def a30_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch overlap between two corpus slices —
+    the fourth sketch family member (frequency=CMS a15, membership=Bloom
+    a16, cardinality=HLL a17, now set-OVERLAP=KMV, Bar-Yossef et al.
+    2002 / Beyer et al. 2007): per-source distinct-shingle estimates,
+    the union estimate, and the KMV Jaccard estimate between the two
+    lexicographically-smallest sources, each from the k=256 smallest
+    portable-md5 hash values — alongside the EXACT Jaccard for
+    self-auditing error. Like a17, every estimate is hash-gated, not
+    rows-only: both engines keep the identical k-min sets (same md5,
+    (hv, g) tie order) and evaluate the identical (k-1)/u_k division,
+    so the numbers agree to the 6 dp grid by construction.
+
+    Physical shape: shingle explode -> distinct (source, gram) -> one
+    PER-SOURCE rank window (key-partitioned), then the union sketch via
+    the KMV MERGE property — the union's k smallest hashes are a subset
+    of the per-source sketches' union, so the one global rank window
+    sees <= 2k rows, bounded by construction, never the union
+    vocabulary — and four one-row broadcast aggregates assemble the
+    single output row (the a18 crossJoin pattern). At 100 TB the sketch
+    is mergeable bounded state: k rows per slice forever (the per-source
+    window's two-level TakeOrdered form is the scale lever, x8's
+    pattern); membership joins back to the full gram sets only because
+    the oracle needs the exact-Jaccard audit column anyway."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import char_shingles
+
+    k = 256
+    docs = load(spark, sf_dir, "documents")
+    two = [
+        r["source"]
+        for r in docs.select("source").distinct().orderBy("source").limit(2).collect()
+    ]
+    src_a, src_b = min(two), max(two)
+    sh = (
+        docs.filter(F.col("source").isin(two))
+        .select("source", F.explode(char_shingles(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    hv = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    h = sh.withColumn("hv", hv).localCheckpoint(eager=True)
+
+    sk = h.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("source").orderBy("hv", "g")),
+    ).filter(F.col("rn") <= k)
+    sk = sk.localCheckpoint(eager=True)  # feeds per-source ests AND the union merge
+    per = sk.groupBy("source").agg(
+        F.max("rn").alias("n_kept"), F.max("hv").alias("u_k")
+    )
+
+    def est(n_kept, u_k):
+        return F.round(
+            F.when(n_kept < k, n_kept.cast("double")).otherwise(
+                F.lit(float(k - 1)) / u_k
+            ),
+            6,
+        )
+
+    uh = h.groupBy("g").agg(
+        F.min("hv").alias("hv"), F.countDistinct("source").alias("nsrc")
+    )
+    # KMV merge property: the union's k smallest hashes are a subset of
+    # the two per-source sketches' union, so the global rank window sees
+    # <= 2k rows — bounded by construction, never the union vocabulary.
+    merged = sk.select("g", "hv").distinct()
+    usk = (
+        merged.withColumn(
+            "rn", F.row_number().over(Window.partitionBy().orderBy("hv", "g"))
+        )
+        .filter(F.col("rn") <= k)
+        .join(uh.select("g", "nsrc"), "g")  # membership in both ORIGINAL sets
+    )
+    uest = usk.agg(
+        F.max("rn").alias("n_kept"),
+        F.max("hv").alias("u_k"),
+        F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)).cast("long").alias("n_both"),
+    )
+    ex = uh.agg(
+        (
+            F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)) * F.lit(1.0)
+            / F.count("*")
+        ).alias("j_exact")
+    )
+
+    a = per.filter(F.col("source") == src_a).select(
+        est(F.col("n_kept"), F.col("u_k")).alias("distinct_a_est")
+    )
+    b = per.filter(F.col("source") == src_b).select(
+        est(F.col("n_kept"), F.col("u_k")).alias("distinct_b_est")
+    )
+    u = uest.select(
+        est(F.col("n_kept"), F.col("u_k")).alias("union_est"),
+        F.round(F.col("n_both") * F.lit(1.0) / F.col("n_kept"), 6).alias("jaccard_est"),
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .crossJoin(ex.select(F.round("j_exact", 6).alias("jaccard_exact")))
+        .select(
+            F.lit(src_a).alias("source_a"),
+            F.lit(src_b).alias("source_b"),
+            "distinct_a_est",
+            "distinct_b_est",
+            "union_est",
+            "jaccard_est",
+            "jaccard_exact",
+        )
+    )

@@ -104,6 +104,11 @@ ALLOWED_NESTED = {
     "a28_pair_lift": "crossJoin against the broadcast one-row session "
                      "count; the pair join itself is a hash equi-join on "
                      "(user, session) with the type inequality residual",
+    "a30_kmv_source_overlap": "four one-row broadcast aggregates (per-"
+                              "source/union KMV estimates, exact-Jaccard "
+                              "audit) crossJoined into the single output "
+                              "row — the a18 assembly pattern; sketch "
+                              "construction itself is windows + equi-joins",
     "a29_time_decay_sum": "crossJoin against the broadcast one-row "
                           "latest-timestamp aggregate (the decay "
                           "reference); the sum itself is one grouped "

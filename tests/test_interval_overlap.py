@@ -143,3 +143,49 @@ def test_w8_running_distinct_hand_case(spark):
         for r in registry.get("w8_cumulative_distinct").builder(spark, d).collect()
     }
     assert out == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1}
+
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_iv_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),  # start second
+        st.integers(min_value=0, max_value=7_200),   # duration (0 = empty)
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_iv_strategy, _iv_strategy)
+def test_overlap_join_property_vs_python_reference(spark, left_ivs, right_ivs):
+    """Property: for arbitrary integer-second intervals (empties and
+    bucket-aligned starts included), the bucketed meet-once join returns
+    EXACTLY the strict-overlap pairs a plain Python double loop finds —
+    same [start, end) convention, duplicate-free."""
+    base = datetime(2026, 1, 1)
+
+    def frame(ivs):
+        rows = [
+            (i, base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+            for i, (s, d) in enumerate(ivs)
+        ]
+        return spark.createDataFrame(rows, "iid long, s timestamp, e timestamp")
+
+    got_rows = interval_overlap_join(
+        frame(left_ivs), frame(right_ivs), "s", "e", bucket_seconds=3600
+    ).collect()
+    got = sorted((r["iid"], r["r_iid"]) for r in got_rows)
+    assert len(got) == len(set(got))  # meet-once: no duplicates
+
+    want = sorted(
+        (i, j)
+        for i, (sa, da) in enumerate(left_ivs)
+        for j, (sb, db) in enumerate(right_ivs)
+        if da > 0 and db > 0 and sa < sb + db and sb < sa + da
+    )
+    assert got == want

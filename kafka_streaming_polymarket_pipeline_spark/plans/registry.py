@@ -18,7 +18,7 @@ compares row count, schema, and an order-insensitive value hash — so:
 Exactly TWO queries are rows-only BY DESIGN, each paired with an
 adjacent fully-hash-gated twin: ``a13_approx_count_distinct`` (HLL
 estimates are engine-specific; its error bound is hash-gated by
-``a13b_hll_error_bound``) and ``m4_video_decode`` (JPEG pixel math is
+``a13b_approx_distinct_gate``) and ``m4_video_decode`` (JPEG pixel math is
 not SQL-expressible; its decoded output is hash-gated by
 ``m4b_video_decode_gate`` and pixel exactness is asserted in
 tests/test_multimodal.py).  A permanent ``no_oracle`` row for either is

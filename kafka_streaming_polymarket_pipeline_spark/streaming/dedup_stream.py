@@ -71,7 +71,18 @@ def _dbucket(id_col: str = "doc_id", n: int | None = None) -> F.Column:
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n or N_DOC_BUCKETS)).cast("int")
 
 
-def _ensure_meta(index_path: str) -> int:
+def _has_batch_dirs(index_path: str) -> bool:
+    """True if any index table already holds ``batch=`` directories —
+    i.e. the index predates this process, so its layout modulus is
+    whatever the CREATING process used, not this module's constant."""
+    for name in (SIGS, HASHED, BUCKETS):
+        p = os.path.join(index_path, name)
+        if os.path.isdir(p) and any(d.startswith("batch=") for d in os.listdir(p)):
+            return True
+    return False
+
+
+def _ensure_meta(index_path: str) -> int | None:
     """Pin the doc-bucket count in the index's ``_meta.json`` at creation
     and return the PINNED value ever after.  The bucket function is the
     directory layout: if creation used M buckets and a later process
@@ -79,32 +90,54 @@ def _ensure_meta(index_path: str) -> int:
     constant, pruned probes would filter on bucket ids from the wrong
     modulus and SILENTLY drop candidate payload rows — so both the write
     and the probe path resolve the count from the meta file, never from
-    the module constant, once an index exists. (Local-FS metadata I/O,
-    like the rest of this module's directory probing; an object-store
-    deployment swaps these few calls for its client.)"""
-    path = os.path.join(index_path, _META)
-    if os.path.exists(path):
-        import json
+    the module constant, once an index exists.
 
-        with open(path) as f:
-            return int(json.load(f)["n_doc_buckets"])
-    os.makedirs(index_path, exist_ok=True)
+    An index with batch dirs but NO meta file predates the pinning
+    scheme; its creation modulus is unknowable from the dirs alone (a
+    ``__kbucket=`` listing only lower-bounds it — empty buckets leave no
+    directory), so pinning the CURRENT constant would recreate the exact
+    silent-drop failure the file exists to prevent.  Such an index is
+    pinned as legacy (``n_doc_buckets: null``): probes read unpruned
+    forever (correct, just slower) and a warning tells the operator to
+    rebuild for pruned probes.  (Local-FS metadata I/O, like the rest of
+    this module's directory probing; an object-store deployment swaps
+    these few calls for its client.)"""
     import json
 
-    with open(path, "w") as f:
-        json.dump({"n_doc_buckets": N_DOC_BUCKETS}, f)
-    return N_DOC_BUCKETS
-
-
-def _bucket_count(index_path: str) -> int:
-    """The pinned bucket count for an existing index; module default for
-    a not-yet-created one (first batch will pin it)."""
     path = os.path.join(index_path, _META)
     if os.path.exists(path):
-        import json
-
         with open(path) as f:
-            return int(json.load(f)["n_doc_buckets"])
+            v = json.load(f)["n_doc_buckets"]
+            return int(v) if v is not None else None
+    os.makedirs(index_path, exist_ok=True)
+    pinned: int | None = N_DOC_BUCKETS
+    if _has_batch_dirs(index_path):
+        pinned = None
+        warnings.warn(
+            f"streaming-dedup index at {index_path} has batch dirs but no "
+            f"{_META}: creation-time bucket modulus is unknown, pinning as "
+            "legacy-unpruned. Probes will read the full payload tables; "
+            "rebuild the index to enable partition-pruned probes.",
+            stacklevel=2,
+        )
+    with open(path, "w") as f:
+        json.dump({"n_doc_buckets": pinned}, f)
+    return pinned
+
+
+def _bucket_count(index_path: str) -> int | None:
+    """The pinned bucket count for an existing index (``None`` = legacy
+    index, probe unpruned); module default for a not-yet-created one
+    (first batch will pin it)."""
+    import json
+
+    path = os.path.join(index_path, _META)
+    if os.path.exists(path):
+        with open(path) as f:
+            v = json.load(f)["n_doc_buckets"]
+            return int(v) if v is not None else None
+    if _has_batch_dirs(index_path):
+        return None  # legacy: modulus unknowable, never prune
     return N_DOC_BUCKETS
 
 
@@ -133,7 +166,9 @@ def write_index_batch(
     already computed for probing, so the signature stage — the expensive
     map pass — runs once per batch, not twice."""
     sigs, buckets, hashed = parts or _index_parts(docs, threshold, n)
-    m = _ensure_meta(index_path)  # layout constant pinned at creation
+    # Layout constant pinned at creation; a legacy index (None) is never
+    # pruned, so the modulus only shapes new batches' file counts there.
+    m = _ensure_meta(index_path) or N_DOC_BUCKETS
     for name, part in ((SIGS, sigs), (HASHED, hashed)):
         (
             part.withColumn(_KB, _dbucket(n=m))
@@ -225,9 +260,18 @@ def incremental_pairs_against_index(
     )
     if corpus_buckets is not None:
         cb = corpus_buckets.select(F.col("doc_id").alias("cid"), "band_id", "band_hash")
-        nc = nb.join(cb, ["band_id", "band_hash"]).select(
-            F.least("nid", "cid").alias("doc_id_a"),
-            F.greatest("nid", "cid").alias("doc_id_b"),
+        nc = (
+            nb.join(cb, ["band_id", "band_hash"])
+            # A foreachBatch retry after write_index_batch committed but
+            # before the stream checkpoint re-probes the batch against an
+            # index that ALREADY contains it; without this filter each doc
+            # meets itself (jaccard 1) and self-pairs land in the output,
+            # breaking retry idempotency.
+            .filter(F.col("nid") != F.col("cid"))
+            .select(
+                F.least("nid", "cid").alias("doc_id_a"),
+                F.greatest("nid", "cid").alias("doc_id_b"),
+            )
         )
         cand_src = nc.union(nn)
     else:
@@ -251,16 +295,22 @@ def incremental_pairs_against_index(
     # batch's own rows come from the in-memory checkpointed parts.
     cand = cand.localCheckpoint(eager=True)
     m = _bucket_count(index_path)  # the PINNED layout modulus, never the constant
-    touched = sorted(
-        r["kb"]
-        for r in cand.select(
-            F.explode(
-                F.array(_dbucket("doc_id_a", n=m), _dbucket("doc_id_b", n=m))
-            ).alias("kb")
+    if m is None:
+        # Legacy index (predates _meta.json): creation modulus unknown,
+        # pruning on ANY modulus could silently drop candidate rows —
+        # read the payload tables unpruned instead.
+        touched = None
+    else:
+        touched = sorted(
+            r["kb"]
+            for r in cand.select(
+                F.explode(
+                    F.array(_dbucket("doc_id_a", n=m), _dbucket("doc_id_b", n=m))
+                ).alias("kb")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
     corpus_sigs = _read_index(spark, index_path, SIGS, touched_buckets=touched)
     corpus_hashed = _read_index(spark, index_path, HASHED, touched_buckets=touched)
     sigs = corpus_sigs.union(new_sigs)

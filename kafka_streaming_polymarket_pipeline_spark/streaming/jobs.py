@@ -288,6 +288,16 @@ def stream_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     (asserted in tests/test_streaming.py). Update-mode emission: each
     batch re-emits the keys it touched with their running (n, ewma).
 
+    ORDERING CONTRACT: rows are sorted by (ts, event_id) only WITHIN a
+    micro-batch; across batches the fold consumes arrival order.  The
+    bit-identical-to-batch claim therefore assumes the source delivers
+    each user's events in (ts, event_id) order across batch boundaries
+    (true for the replayed bronze files and Kafka per-partition order
+    with time-ordered producers).  An out-of-order source needs a
+    watermark-based reorder buffer upstream — an EWMA fold is not
+    commutative, so a late event cannot be folded retroactively without
+    replaying the key's tail.
+
     Sanctioned Python-side compute: custom sequential stateful
     operators are exactly what applyInPandasWithState is for (§2.9's
     documented exception class, like the consecutive-error counter) —

@@ -277,7 +277,14 @@ def main() -> None:
     names = QUERIES
     for i, a in enumerate(sys.argv):  # --only q1,q2 probes a subset
         if a == "--only" and i + 1 < len(sys.argv):
-            names = [n for n in sys.argv[i + 1].split(",") if n in registry]
+            asked = [n for n in sys.argv[i + 1].split(",") if n]
+            missing = [n for n in asked if n not in registry]
+            if missing:
+                raise SystemExit(
+                    f"--only: not in the registry: {', '.join(missing)} "
+                    f"(registered: {len(registry)} queries)"
+                )
+            names = asked
     results = []
     for name in names:
         for label in SCALES:

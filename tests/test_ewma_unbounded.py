@@ -35,7 +35,6 @@ def test_no_array_materialization(spark, sf_smoke):
 
 def test_single_event_user(spark):
     # one event -> ewma == the value itself (seed coefficient 0.75^0)
-    rows = [(1, 1, "t", 42.0, None, None)]
     # build a minimal events-shaped frame via SQL temp view matching the
     # columns the builder touches (user_id, value, ts, event_id)
     df = spark.createDataFrame(

@@ -159,3 +159,74 @@ def test_bucket_count_pinned_in_meta_survives_constant_change(spark, tmp_path):
         assert got == want and want  # no silently-dropped pairs
     finally:
         DS.N_DOC_BUCKETS = orig
+
+def test_legacy_index_without_meta_probes_unpruned(spark, tmp_path):
+    """An index with batch dirs but no _meta.json predates the pinning
+    scheme; its creation modulus is unknowable (empty buckets leave no
+    __kbucket dir), so pinning the CURRENT constant would prune against
+    the wrong layout and silently drop pairs.  Such an index must be
+    pinned as legacy (null) and probed UNPRUNED — correct, just slower."""
+    import json
+    import warnings as W
+
+    idx = str(tmp_path / "idx")
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+
+    orig = DS.N_DOC_BUCKETS
+    try:
+        DS.N_DOC_BUCKETS = 8
+        DS.write_index_batch(a, idx, 0)
+        os.remove(os.path.join(idx, DS._META))  # simulate a pre-meta index
+
+        # "restart" with a different constant — the exact scenario where
+        # pinning the current constant would corrupt pruned probes
+        DS.N_DOC_BUCKETS = 64
+        assert DS._bucket_count(idx) is None  # legacy: never prune
+        with W.catch_warnings(record=True) as caught:
+            W.simplefilter("always")
+            DS.write_index_batch(b, idx, 1)
+        assert any("legacy-unpruned" in str(w.message) for w in caught)
+        assert json.load(open(os.path.join(idx, DS._META)))["n_doc_buckets"] is None
+
+        probe = spark.createDataFrame(
+            [(9, BASE.replace("lazy", "idle"))], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in DS.incremental_pairs_against_index(probe, idx).collect()
+        }
+        full = a.unionByName(b).unionByName(probe)
+        want = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in D.ngram_jaccard_pairs(full, 0.5).collect()
+            if r["doc_id_a"] == 9 or r["doc_id_b"] == 9
+        }
+        assert got == want and want  # unpruned read: no dropped pairs
+    finally:
+        DS.N_DOC_BUCKETS = orig
+
+
+def test_retry_after_index_write_emits_no_self_pairs(spark, tmp_path):
+    """foreachBatch retry after write_index_batch committed but before
+    the stream checkpoint: the batch probes an index that ALREADY holds
+    it.  Every doc meets itself in the bucket join (jaccard 1); the
+    a != b candidate filter must keep the retried emission identical to
+    the original — retry idempotency for the PAIRS path, matching the
+    overwrite idempotency of the index path."""
+    idx = str(tmp_path / "idx")
+    batch = spark.createDataFrame(BATCH_A + BATCH_B, "doc_id long, text string")
+
+    # original emission: index empty at probe time
+    original = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in DS.incremental_pairs_against_index(batch, idx).collect()
+    }
+    # crash window: index write succeeded, checkpoint didn't -> retry
+    DS.write_index_batch(batch, idx, 0)
+    retried = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in DS.incremental_pairs_against_index(batch, idx).collect()
+    }
+    assert all(a != b for a, b, _ in retried)
+    assert retried == original and original

@@ -7,6 +7,15 @@ Each query is forced with a noop-format write (full pipeline execution, no
 driver collect bottleneck) so the number measures distributed compute the way
 a cluster run would. Set SPARK_GRAFT_BENCH_ALL=1 to time every registered
 query instead of the headline subset.
+
+Output contract (two artifacts since round 7): the FULL payload — 3-dp
+timings under full query names, per-pass control probes, per-query
+min-pass attribution, flaky log — is written to BENCH_DETAIL.json next
+to this file; stdout ends with ONE compact JSON line (2-dp timings under
+short keys, totals, control ratio, anomalies only) guaranteed under
+MAX_LINE_CHARS, because the driver records the line from a bounded
+stdout tail capture and r06's full-payload line outgrew it (the round's
+artifact lost its per-query map — VERDICT r06 #1).
 """
 
 from __future__ import annotations
@@ -73,6 +82,145 @@ HEADLINE = [
     "a24b_ewma_unbounded",    # scan-free EWMA (telescoped affine fold)
     "j9_asof_nearest_join",   # nearest as-of (two directional scans composed)
 ]
+
+# Heavy tier: the most expensive registered operators, trend-tracked with
+# their own subtotal so regressions in the expensive tier show up in the
+# bench artifact instead of living only in SCALE.md probes. Timed for
+# SPARK_GRAFT_BENCH_HEAVY_RUNS passes (default 1 — each is tens of
+# seconds, long enough to average over this box's contention waves, and
+# one pass keeps the suite's wall bounded).
+HEAVY = [
+    "d12_prefix_jaccard_join",      # AllPairs/PPJoin exact Jaccard
+    "d13_keep_longest_per_cluster", # LSH -> CC -> per-cluster argmax
+    "j10_interval_overlap_join",    # two-sided overlap join, day-ranked top-10
+]
+
+# The driver records bench output from a bounded stdout tail capture
+# (r06's line outgrew it and the round lost its per-query map — VERDICT
+# r06 #1). The compact driver-facing line stays under this budget; the
+# full payload (3-dp timings, per-pass controls, per-query min-pass
+# attribution, flaky log) goes to BENCH_DETAIL.json next to this file.
+MAX_LINE_CHARS = 1800
+DETAIL_FILE = "BENCH_DETAIL.json"
+
+
+def _short_keys(names: list[str]) -> dict[str, str]:
+    """Deterministic short keys for the compact stdout line: each name's
+    first underscore-token, extended one token at a time until unique
+    within the set ("d3_minhash_lsh" -> "d3"; "q2_pq_adc_topk" /
+    "q2_recall" -> "q2_pq" / "q2_recall"). Full names live in the
+    detail file."""
+    from collections import Counter
+
+    depth = {n: 1 for n in names}
+    while True:
+        keys = {n: "_".join(n.split("_")[: depth[n]]) for n in names}
+        counts = Counter(keys.values())
+        grew = False
+        for n in names:
+            if counts[keys[n]] > 1 and depth[n] < len(n.split("_")):
+                depth[n] += 1
+                grew = True
+        if not grew:
+            return keys
+
+
+def build_output(
+    timings: dict[str, float],
+    heavy: dict[str, float],
+    stream: dict | None,
+    stream_dedup: dict | None,
+    sf: float | None,
+    cpus: int,
+    runs: int,
+    control_secs: list[float],
+    min_pass: dict[str, int],
+    flaky: dict[str, int],
+) -> tuple[dict, str]:
+    """(detail payload, compact driver-facing stdout line).
+
+    The detail payload carries everything (full names, 3-dp, per-pass
+    controls, full attribution). The line carries totals, 2-dp timings
+    under short keys, control ratio, and only ANOMALOUS attribution
+    (queries whose min came from a non-plurality pass, capped, plus any
+    flaky queries) — and is guaranteed under MAX_LINE_CHARS by
+    construction plus a trim ladder (tested in tests/test_bench_line.py)."""
+    from collections import Counter
+
+    control = round(min(control_secs), 3)
+    total = sum(v for v in timings.values() if v > 0)
+    heavy_total = sum(v for v in heavy.values() if v > 0)
+    detail = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {n: round(v, 3) for n, v in timings.items()},
+        "heavy": {n: round(v, 3) for n, v in heavy.items()},
+        "heavy_value": round(heavy_total, 3),
+        "streaming": stream,
+        "streaming_dedup": stream_dedup,
+        "sf": sf,
+        "cpus": cpus,
+        "runs_per_query": runs,
+        "passes_separated_windows": True,
+        "control_sec": control,
+        "control_secs": [round(c, 3) for c in control_secs],
+        "query_min_pass": min_pass,
+        "flaky_queries": flaky,
+        "control_baseline_sec": CONTROL_BASELINE_SEC,
+        "control_ratio": round(control / CONTROL_BASELINE_SEC, 2),
+    }
+
+    short = _short_keys(sorted(set(timings) | set(heavy)))
+    plurality = Counter(min_pass.values()).most_common(1)[0][0] if min_pass else 0
+    anom = {
+        short[n]: p for n, p in sorted(min_pass.items()) if p != plurality and n in short
+    }
+    compact = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {short[n]: round(v, 2) for n, v in timings.items()},
+        "heavy": {short[n]: round(v, 2) for n, v in heavy.items()},
+        "heavy_value": round(heavy_total, 2),
+        "streaming": stream,
+        "streaming_dedup": stream_dedup,
+        "sf": sf,
+        "cpus": cpus,
+        "runs_per_query": runs,
+        "control_sec": control,
+        "control_ratio": round(control / CONTROL_BASELINE_SEC, 2),
+        "detail": DETAIL_FILE,
+    }
+    if flaky:
+        compact["flaky"] = {short.get(n, n): p for n, p in flaky.items()}
+    if anom:
+        if len(anom) > 8:  # attribution is advisory on the line; detail has it all
+            anom = dict(list(anom.items())[:8]) | {"more": len(anom) - 8}
+        compact["anom"] = anom
+
+    def _dump(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    line = _dump(compact)
+    # Trim ladder (never expected to fire — the worst-case line is tested
+    # well under budget — but the capture budget is a hard driver contract):
+    # drop advisory attribution, then fold per-query maps into the N
+    # slowest entries + an omitted-count marker.
+    if len(line) > MAX_LINE_CHARS:
+        compact.pop("anom", None)
+        compact.pop("flaky", None)
+        line = _dump(compact)
+    keep = len(compact["queries"])
+    while len(line) > MAX_LINE_CHARS and keep > 5:
+        keep -= 5
+        slowest = dict(
+            sorted(compact["queries"].items(), key=lambda kv: -kv[1])[:keep]
+        )
+        compact["queries"] = slowest
+        compact["q_omitted"] = len(timings) - keep
+        line = _dump(compact)
+    return detail, line
 
 
 def streaming_throughput(spark, sf_dir: str, n_rows: int = 1_000_000) -> dict:
@@ -298,8 +446,34 @@ def main() -> None:
                 min_pass[name] = _pass
             spark.catalog.clearCache()  # drop per-query persisted stages (e.g. LSH sigs)
     control_secs.append(_control_probe(spark))
-    timings = {n: round(v, 3) for n, v in timings.items()}
-    total = sum(v for v in timings.values() if v > 0)
+
+    # Heavy tier: the expensive operators get their own loop AFTER the
+    # headline passes (so their tens-of-seconds runs don't sit between a
+    # fast query's repeats), bracketed by control probes for
+    # attribution. Skipped under BENCH_ALL (the full registry already
+    # includes them).
+    heavy: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "1"))
+        for _pass in range(max(heavy_runs, 1)):
+            for name in HEAVY:
+                if name not in registry or heavy.get(name, 0.0) < 0:
+                    continue
+                t0 = time.perf_counter()
+                try:
+                    registry[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as exc:
+                    print(f"bench: {name} FAILED (heavy): {exc}", file=sys.stderr)
+                    heavy.setdefault(name, -1.0)
+                    spark.catalog.clearCache()
+                    continue
+                dt = time.perf_counter() - t0
+                if name not in heavy or dt < heavy[name]:
+                    heavy[name] = dt
+                spark.catalog.clearCache()
+        control_secs.append(_control_probe(spark))
 
     # Streaming throughput runs in its own fresh *process* (a streaming job
     # is its own long-lived app in production; measuring it inside the JVM
@@ -335,33 +509,17 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "streaming": stream,
-                "streaming_dedup": stream_dedup,
-                "sf": sf,
-                "cpus": cpus,
-                "runs_per_query": runs,
-                "passes_separated_windows": True,
-                "control_sec": round(min(control_secs), 3),
-                # per-pass controls: control_secs[i] ran right BEFORE pass i
-                # (final entry ran after the last pass), and query_min_pass
-                # says which pass produced each query's min — so a single
-                # outlier reading is attributable to its pass's contention
-                # level without re-running.
-                "control_secs": [round(c, 3) for c in control_secs],
-                "query_min_pass": min_pass,
-                "flaky_queries": flaky,
-                "control_baseline_sec": CONTROL_BASELINE_SEC,
-                "control_ratio": round(min(control_secs) / CONTROL_BASELINE_SEC, 2),
-            }
-        )
+    detail, line = build_output(
+        timings, heavy, stream, stream_dedup, sf, cpus, runs,
+        control_secs, min_pass, flaky,
     )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_FILE)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"bench: full payload written to {detail_path}", file=sys.stderr)
+    # The driver parses the LAST stdout line from a bounded tail capture:
+    # this must be the only/final stdout line, and stay short (tested).
+    print(line)
 
 
 if __name__ == "__main__":

@@ -154,6 +154,7 @@ def interval_overlap_join(
     end_col: str,
     bucket_seconds: int = 3600,
     extra_keys: list[str] | None = None,
+    min_overlap_us: int = 0,
 ) -> DataFrame:
     """Interval-OVERLAP join: all (left, right) pairs whose [start, end)
     intervals intersect (strict: ``l.start < r.end AND r.start < l.end``),
@@ -176,6 +177,16 @@ def interval_overlap_join(
     Column conventions follow band_join: left columns keep their names,
     right columns get an ``r_`` prefix; callers compute overlap measures
     from the raw integer-µs bounds (exact, no rounding contract).
+
+    ``min_overlap_us`` is the 100 TB pre-prune: the raw pair set is
+    output-bound on co-active corpora (~16M pairs at sf0.1 — SCALE.md),
+    and most of that mass is grazing overlaps nobody asks for. A
+    positive value keeps only pairs overlapping for at least that many
+    microseconds — ``least(ends) - greatest(starts) >= min_overlap_us``,
+    exact integer-µs arithmetic — applied in the join's residual filter,
+    so pruned pairs die inside the bucket join before any downstream
+    shuffle or ranking sees them. 0 (default) preserves the strict
+    any-overlap semantics exactly.
     """
     w_us = bucket_seconds * _US
     keys = list(extra_keys or [])
@@ -197,12 +208,15 @@ def interval_overlap_join(
     ls, le = F.col(start_col), F.col(end_col)
     rs, re_ = F.col(f"r_{start_col}"), F.col(f"r_{end_col}")
     later_start = F.greatest(F.unix_micros(ls), F.unix_micros(rs))
-    return (
+    out = (
         l.join(r, [*keys, "_bk"])
         .filter((ls < re_) & (rs < le))
         .filter(F.col("_bk") == F.floor(later_start / w_us))  # meet-once rule
-        .drop("_bk")
     )
+    if min_overlap_us > 0:
+        earlier_end = F.least(F.unix_micros(le), F.unix_micros(re_))
+        out = out.filter(earlier_end - later_start >= F.lit(min_overlap_us))
+    return out.drop("_bk")
 
 
 def band_join(

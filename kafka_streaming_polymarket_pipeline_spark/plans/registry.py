@@ -67,35 +67,87 @@ _REGISTRY: dict[str, Query] = {}
 # when a twin's re-audit comes due the pair enters together (adjacent),
 # accepting that round's one expected rows-only row.
 #
-# ---- r06 gate prefix (exactly 50 entries) ----
-# Block 1 (12): never-audited — the seven round-5 additions named by
-# the r05 verdict (d13 first) + round-6's a24b/a24c EWMA pair,
-# j10 interval-overlap join, w8 cumulative-distinct, and a30 KMV
-# source-overlap sketch. Each verified via the fresh-process driver-sim
-# this round.
-# Block 2 (14): the r02-stale dedup/BPE/packing rows the r05 verdict
-# marked non-optional — their shared engine (operators/dedup.py)
-# changed in round 5 (est/verify join swap, ed86550) after their newest
-# official rows.
-# Block 3 (24): the oldest remaining green rows (r03), registration-
+# ---- r07 gate prefix (exactly 50 entries) ----
+# No new registry entries this round (coverage is 100%), so rule 1 is
+# vacuous and the prefix is pure rotation debt + changed-code re-audit:
+# Block 1 (26): the r03-stale rows the r06 verdict scheduled verbatim —
+# max-staleness debt, all battery-checked per commit. Includes the
+# a13 / a13b pair (adjacent): a13 is permanently rows-only BY DESIGN
+# (engine-specific HLL estimates), so CORRECTNESS_r07 is EXPECTED to
+# show 49 hash-green + 1 rows-only row — that row is the documented
+# design contract re-entering the gate with its hash-gated twin, not a
+# regression.
+# Block 2 (5): operators/rangejoin.py changed in round 7 (min_overlap_us
+# pre-prune parameter on interval_overlap_join) after these rows'
+# newest green rounds — a stale row does not certify changed code:
+# j6, j7, j8, j9, j10 (j2b already leads in block 1; j2 is inline SQL,
+# not a rangejoin.py consumer).
+# Block 3 (19): the oldest remaining green rows (r04), registration-
 # family order.
-# Still r03-stale after this rotation (26 candidates didn't fit; they
-# lead the r07 prefix, all battery-checked per commit):
-# f4_json_serialize_roundtrip, u3_distinct_agg, u4_anti_join,
-# u5_cube_revenue, w1, j2b, w2, a12, a13b (+ its rows-only twin a13,
-# adjacent), k1, a14, t1-t5, m1, t6-t10, m2, t12, t13.
-# Max staleness after r06: r03 rows, 3 rounds.
+# Still r04-stale after this rotation (lead the r08 prefix):
+# u8_except_all_pairs, w4_trailing_range_window, a18_funnel_stages,
+# a19_cohort_retention, w5_scd2_intervals, r6, r9, r10, a20, a21, a22,
+# m4 (+ twin m4b, adjacent — the OTHER expected rows-only row when it
+# re-enters), t14, sh2. Max staleness after r07: r04 rows, 4 rounds
+# (the 4-round full-refresh floor ceil(176/50) arithmetic allows).
 _DRIVER_PRIORITY: list[str] = [
+    "f4_json_serialize_roundtrip",
+    "u3_distinct_agg",
+    "u4_anti_join",
+    "u5_cube_revenue",
+    "w1_running_sum",
+    "j2b_bucketed_interval_join",
+    "w2_session_windows",
+    "a12_percentiles",
+    "a13_approx_count_distinct",
+    "a13b_approx_distinct_gate",
+    "k1_salted_agg",
+    "a14_approx_percentile_gate",
+    "t1_token_stats",
+    "t2_lang_id",
+    "t3_quality_score",
+    "t4_fingerprint",
+    "t5_top_tokens",
+    "m1_binary_metadata",
+    "t6_bpe_token_count",
+    "t7_winnow_fingerprints",
+    "t8_decontamination",
+    "t9_pii_redaction",
+    "t10_repetition_stats",
+    "m2_image_decode_features",
+    "t12_bigram_lm_score",
+    "t13_boilerplate_coverage",
+    "j6_asof_join",
+    "j7_band_join",
+    "j8_asof_forward_join",
+    "j9_asof_nearest_join",
+    "j10_interval_overlap_join",
+    "c3_triangle_count",
+    "a23_mad_outliers",
+    "a24_ewma_per_user",
+    "a25_incremental_state_merge",
+    "w6_peak_concurrency",
+    "a26_column_profile",
+    "r15_top_supplier",
+    "r16_supplier_counts",
+    "r17_small_qty_revenue",
+    "r19_disjunctive_join",
+    "r22_idle_balances",
+    "u6_pivot_status",
+    "t16_quality_classifier",
+    "x7_group_split",
+    "x8_weighted_sample",
+    "t17_char_entropy",
+    "q4_binary_hamming_topk",
+    "q4_recall",
+    "u7_intersect_users",
     "d13_keep_longest_per_cluster",
     "d8b_semantic_dedup_kscaled",
     "d8c_semantic_dedup_signcells",
-    "j8_asof_forward_join",
-    "j9_asof_nearest_join",
     "u11_full_outer_reconcile",
     "w7_rolling_median",
     "a24b_ewma_unbounded",
     "a24c_ewma_timeaware",
-    "j10_interval_overlap_join",
     "w8_cumulative_distinct",
     "a30_kmv_source_overlap",
     "pk1_pack_assignments",
@@ -136,53 +188,6 @@ _DRIVER_PRIORITY: list[str] = [
     "u2_rollup_revenue",
     "f_scalar_battery",
     "f7_iso8601_parse",
-    "f4_json_serialize_roundtrip",
-    "u3_distinct_agg",
-    "u4_anti_join",
-    "u5_cube_revenue",
-    "w1_running_sum",
-    "j2b_bucketed_interval_join",
-    "w2_session_windows",
-    "a12_percentiles",
-    "a13_approx_count_distinct",
-    "a13b_approx_distinct_gate",
-    "k1_salted_agg",
-    "a14_approx_percentile_gate",
-    "t1_token_stats",
-    "t2_lang_id",
-    "t3_quality_score",
-    "t4_fingerprint",
-    "t5_top_tokens",
-    "m1_binary_metadata",
-    "t6_bpe_token_count",
-    "t7_winnow_fingerprints",
-    "t8_decontamination",
-    "t9_pii_redaction",
-    "t10_repetition_stats",
-    "m2_image_decode_features",
-    "t12_bigram_lm_score",
-    "t13_boilerplate_coverage",
-    "j6_asof_join",
-    "c3_triangle_count",
-    "a23_mad_outliers",
-    "a24_ewma_per_user",
-    "a25_incremental_state_merge",
-    "w6_peak_concurrency",
-    "j7_band_join",
-    "a26_column_profile",
-    "r15_top_supplier",
-    "r16_supplier_counts",
-    "r17_small_qty_revenue",
-    "r19_disjunctive_join",
-    "r22_idle_balances",
-    "u6_pivot_status",
-    "t16_quality_classifier",
-    "x7_group_split",
-    "x8_weighted_sample",
-    "t17_char_entropy",
-    "q4_binary_hamming_topk",
-    "q4_recall",
-    "u7_intersect_users",
     "u8_except_all_pairs",
     "w4_trailing_range_window",
     "a18_funnel_stages",

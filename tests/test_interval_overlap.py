@@ -189,3 +189,41 @@ def test_overlap_join_property_vs_python_reference(spark, left_ivs, right_ivs):
         if da > 0 and db > 0 and sa < sb + db and sb < sa + da
     )
     assert got == want
+
+@settings(max_examples=5, deadline=None)
+@given(
+    _iv_strategy,
+    _iv_strategy,
+    st.integers(min_value=0, max_value=7_200),  # min_overlap seconds
+)
+def test_min_overlap_prune_property_vs_python_reference(
+    spark, left_ivs, right_ivs, min_s
+):
+    """Property: min_overlap_us keeps exactly the pairs whose overlap
+    duration >= the threshold (integer-µs arithmetic, [start, end)
+    semantics), and 0 reproduces the unpruned result — the 100 TB
+    pre-prune is a residual filter, never a semantics change."""
+    base = datetime(2026, 1, 1)
+
+    def frame(ivs):
+        rows = [
+            (i, base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+            for i, (s, d) in enumerate(ivs)
+        ]
+        return spark.createDataFrame(rows, "iid long, s timestamp, e timestamp")
+
+    got = sorted(
+        (r["iid"], r["r_iid"])
+        for r in interval_overlap_join(
+            frame(left_ivs), frame(right_ivs), "s", "e",
+            bucket_seconds=3600, min_overlap_us=min_s * 1_000_000,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (sa, da) in enumerate(left_ivs)
+        for j, (sb, db) in enumerate(right_ivs)
+        if da > 0 and db > 0 and sa < sb + db and sb < sa + da
+        and (min(sa + da, sb + db) - max(sa, sb)) * 1_000_000 >= min_s * 1_000_000
+    )
+    assert got == want

@@ -465,3 +465,87 @@ def stream_asof_join(
         F.min_by(F.col(build_value), rank).alias(f"asof_{build_value}"),
         F.min_by(F.col(build_ts), rank).alias("asof_ts"),
     )
+
+
+# --- J10 streaming form: two-stream interval-OVERLAP join ---
+
+def stream_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    max_duration_seconds: int,
+    bucket_seconds: int = 3600,
+    watermark: str = "30 minutes",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming two-stream interval-overlap join — the last rangejoin
+    family member to gain a streaming form (batch:
+    operators/rangejoin.py interval_overlap_join, j10).
+
+    WHY overlap needs an extra assumption the as-of forms don't: as-of
+    bounds look-back/ahead by a STALENESS horizon on two point events,
+    so |probe_ts - build_ts| <= h is inherent to the semantics and the
+    state store evicts on it directly. Overlap has no such bound — an
+    interval that STARTED arbitrarily long ago can still overlap a
+    brand-new one if it is long enough, so with unbounded interval
+    lengths the join would need unbounded state.  The standard fix (and
+    the documented CONTRACT here): a max interval duration D.  Then
+    overlap implies |l.start - r.start| < D, which IS a staleness-style
+    bound on the two watermarked start columns, and state evicts exactly
+    like the as-of joins.  Rows violating the contract (duration > D, or
+    empty end <= start) are dropped on entry — route overlong intervals
+    to the batch operator (or a larger-D job) instead of silently
+    breaking the bound; the drop rule is asserted in tests.
+
+    Mechanics mirror the batch operator so stream == batch holds
+    row-for-row on contract-conforming input: both sides explode into
+    the time buckets they cover (blow-up <= D/bucket + 1 rows per
+    interval, state is the SAME factor), the bucket is the equi-join key
+    (hash join shuffled on (extra_keys..., bucket) — no cross-stream
+    scan), the exact strict-overlap predicate and the later-start
+    meet-once rule are residual conditions (duplicate-free output, no
+    distinct()), and the |l.start - r.start| < D time-range condition on
+    the watermarked columns is what lets the state store evict.  Left
+    columns keep their names, right columns get the batch form's ``r_``
+    prefix.
+    """
+    w_us = bucket_seconds * 1_000_000
+    d_us = max_duration_seconds * 1_000_000
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        s, e = F.unix_micros(F.col(start_col)), F.unix_micros(F.col(end_col))
+        return (
+            df.withWatermark(start_col, watermark)
+            # contract filter: empty intervals overlap nothing; overlong
+            # intervals would break the state bound -> dropped (see doc)
+            .filter((e > s) & (e - s <= F.lit(d_us)))
+            .select(
+                *[
+                    F.col(c).alias(f"{prefix}{c}")
+                    for c in df.columns
+                ],
+                F.explode(
+                    F.sequence(F.floor(s / w_us), F.floor((e - 1) / w_us))
+                ).alias(f"{prefix}_bk"),
+            )
+        )
+
+    keys = list(extra_keys or [])
+    l, r = prep(left, ""), prep(right, "r_")
+    ls, le = F.col(start_col), F.col(end_col)
+    rs, re_ = F.col(f"r_{start_col}"), F.col(f"r_{end_col}")
+    later_start = F.greatest(F.unix_micros(ls), F.unix_micros(rs))
+    cond = (F.col("_bk") == F.col("r__bk")) & (ls < re_) & (rs < le)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    # state-eviction bound: overlap + duration <= D => starts within D.
+    # Expressed directly on the two WATERMARKED event-time columns so the
+    # symmetric hash join can compute both sides' eviction thresholds.
+    horizon = F.expr(f"INTERVAL {max_duration_seconds} SECONDS")
+    cond = cond & (rs > ls - horizon) & (rs < ls + horizon)
+    return (
+        l.join(r, cond, "inner")
+        .filter(F.col("_bk") == F.floor(later_start / w_us))  # meet-once rule
+        .drop("_bk", "r__bk", *[f"r_{k}" for k in keys])
+    )

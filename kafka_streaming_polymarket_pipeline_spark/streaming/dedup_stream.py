@@ -344,3 +344,95 @@ def incremental_dedup_sink(
         write_index_batch(batch, index_path, batch_id, threshold, n, parts=parts)
 
     return foreach_batch_sink(docs_stream, process, checkpoint)
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Offline index compaction: merge every table's ``batch=*`` dirs
+    into ONE batch dir, preserving the ``__kbucket=`` layout and the
+    pinned modulus (bucket values are REUSED from the partition dirs,
+    never recomputed — a legacy/changed-constant index cannot be
+    corrupted by compaction).
+
+    Why: the append-only layout writes one file per touched bucket per
+    batch, so a bucket accumulates one file per batch forever; at ~hourly
+    batches a year-old index pays parquet open/footer overhead on
+    thousands of tiny files per probed bucket (SCALE.md round 7 soak —
+    per-batch cost is flat at 50 batches, the file-count arithmetic is
+    what eventually demands this). Compaction is an OFFLINE maintenance
+    op: run it only with the standing job STOPPED and its checkpoint
+    committed, because it rewrites the batch-dir history that
+    foreachBatch retries address — a retry of a compacted batch id
+    would re-add that batch's rows.
+
+    Crash-safe staged protocol per table (same discipline as
+    sources/sinks.upsert_parquet): (1) write the merged rows to a
+    ``.compact_tmp`` staging dir (Spark's ``_SUCCESS`` marks it
+    complete); (2) delete the original batch dirs; (3) rename staging to
+    ``batch=<max existing id>`` (an id the stopped stream has already
+    passed, so future batch ids cannot collide). On entry, leftover
+    staging state is recovered: staging without ``_SUCCESS`` (crashed in
+    step 1) is discarded and redone from the intact originals; staging
+    WITH ``_SUCCESS`` and no batch dirs (crashed between 2 and 3) is
+    renamed to finish. Returns per-table (files_before, files_after).
+    """
+    import re
+
+    m = _bucket_count(index_path) or N_DOC_BUCKETS
+    stats: dict = {}
+
+    def _parquet_files(p: str) -> int:
+        return sum(
+            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    for name in (SIGS, HASHED, BUCKETS):
+        table = os.path.join(index_path, name)
+        if not os.path.isdir(table):
+            continue
+        tmp = os.path.join(table, ".compact_tmp")
+        batches = sorted(
+            (d for d in os.listdir(table) if re.fullmatch(r"batch=\d+", d)),
+            key=lambda d: int(d.split("=")[1]),
+        )
+        if os.path.isdir(tmp):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")) and not batches:
+                # crashed between delete-originals and rename: finish it
+                os.rename(tmp, os.path.join(table, "batch=0"))
+                stats[name] = ("recovered", _parquet_files(table))
+                continue
+            import shutil
+
+            shutil.rmtree(tmp)  # incomplete staging: originals intact, redo
+        if len(batches) <= 1:
+            continue
+        files_before = _parquet_files(table)
+        target = batches[-1]  # highest existing id: stream already passed it
+        df = spark.read.option("basePath", table).parquet(
+            os.path.join(table, "batch=*")
+        ).drop("batch")
+        if name in (SIGS, HASHED):
+            (
+                df.repartition(m, F.col(_KB))
+                .write.mode("overwrite")
+                .partitionBy(_KB)
+                .parquet(tmp)
+            )
+        else:
+            # size the flat table's output by bytes (~128 MB/file), so
+            # compaction always reduces the file count at small scale and
+            # never produces monster files at large scale
+            table_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(table)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            n_out = max(1, -(-table_bytes // (128 << 20)))  # ceil div
+            df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        for d in batches:
+            shutil.rmtree(os.path.join(table, d))
+        os.rename(tmp, os.path.join(table, target))
+        stats[name] = (files_before, _parquet_files(table))
+    return stats

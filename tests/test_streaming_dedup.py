@@ -230,3 +230,116 @@ def test_retry_after_index_write_emits_no_self_pairs(spark, tmp_path):
     }
     assert all(a != b for a, b, _ in retried)
     assert retried == original and original
+
+def test_compact_index_preserves_probes_and_shrinks_files(spark, tmp_path):
+    """Offline compaction merges all batch dirs into one per table:
+    probe results are identical before/after, parquet file counts
+    shrink, the pinned modulus survives, and the index keeps accepting
+    new batches + probing correctly afterwards."""
+    idx = str(tmp_path / "idx")
+    batches = [
+        spark.createDataFrame(BATCH_A, "doc_id long, text string"),
+        spark.createDataFrame(BATCH_B, "doc_id long, text string"),
+        spark.createDataFrame(
+            [(6, "more filler text about sort merge buckets"),
+             (7, BASE.replace("fox", "wolf"))],
+            "doc_id long, text string",
+        ),
+    ]
+    # pin a small modulus so 3 batches x few-docs MUST overlap buckets:
+    # after compaction each table holds <= 4 files, before it holds one
+    # file per touched bucket per batch — a guaranteed strict shrink
+    orig = DS.N_DOC_BUCKETS
+    try:
+        DS.N_DOC_BUCKETS = 4
+        for i, b in enumerate(batches):
+            DS.write_index_batch(b, idx, i)
+    finally:
+        DS.N_DOC_BUCKETS = orig
+
+    probe = spark.createDataFrame(
+        [(9, BASE.replace("lazy", "idle"))], "doc_id long, text string"
+    )
+
+    def pairs():
+        return {
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in DS.incremental_pairs_against_index(probe, idx).collect()
+        }
+
+    def n_parquet(table):
+        import os as _os
+        return sum(
+            1
+            for _, _, fs in _os.walk(os.path.join(idx, table))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = pairs()
+    files_before = {t: n_parquet(t) for t in (DS.SIGS, DS.HASHED, DS.BUCKETS)}
+    stats = DS.compact_index(spark, idx)
+    assert pairs() == before and before  # identical probe results
+    for t in (DS.SIGS, DS.HASHED, DS.BUCKETS):
+        assert n_parquet(t) < files_before[t]  # 3 batches -> 1
+        assert len(
+            [d for d in os.listdir(os.path.join(idx, t)) if d.startswith("batch=")]
+        ) == 1
+        assert stats[t][0] == files_before[t]
+    assert DS._bucket_count(idx) == 4  # pinned modulus survives compaction
+
+    # the compacted index keeps working: extend with a NEW batch, probe
+    nxt = spark.createDataFrame(
+        [(20, BASE.replace("brown", "grey"))], "doc_id long, text string"
+    )
+    DS.write_index_batch(nxt, idx, 10)
+    got = pairs()
+    assert before < got  # old pairs kept, new near-dup (9, 20)... pair added
+    assert any(20 in (a, b) for a, b, _ in got)
+
+
+def test_compact_index_recovers_from_crash_states(spark, tmp_path):
+    """Staged-protocol recovery: an incomplete staging dir (no _SUCCESS)
+    is discarded and compaction redone from the intact originals; a
+    complete staging dir with the originals already deleted is renamed
+    to finish the interrupted run."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+    DS.write_index_batch(a, idx, 0)
+    DS.write_index_batch(b, idx, 1)
+    probe = spark.createDataFrame(
+        [(9, BASE.replace("lazy", "idle"))], "doc_id long, text string"
+    )
+    want = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in DS.incremental_pairs_against_index(probe, idx).collect()
+    }
+
+    # crash in step 1: staging exists, no _SUCCESS, originals intact
+    tmp = os.path.join(idx, DS.SIGS, ".compact_tmp")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    DS.compact_index(spark, idx)
+    assert not os.path.exists(tmp)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in DS.incremental_pairs_against_index(probe, idx).collect()
+    }
+    assert got == want and want
+
+    # crash between steps 2 and 3: staging complete, originals gone
+    table = os.path.join(idx, DS.BUCKETS)
+    [batch_dir] = [d for d in os.listdir(table) if d.startswith("batch=")]
+    os.rename(os.path.join(table, batch_dir), os.path.join(table, ".compact_tmp"))
+    open(os.path.join(table, ".compact_tmp", "_SUCCESS"), "a").close()
+    DS.compact_index(spark, idx)
+    assert [d for d in os.listdir(table) if d.startswith("batch=")] == ["batch=0"]
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in DS.incremental_pairs_against_index(probe, idx).collect()
+    }
+    assert got == want

@@ -119,3 +119,53 @@ def test_stream_overlap_checkpoint_recovery(spark, tmp_path):
     _run(spark, tmp_path)
     got = {(r["iid"], r["r_iid"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 10), (2, 12)}  # old pair kept once, new pair appended
+
+
+def test_stream_overlap_extra_keys_scopes_pairs(spark, tmp_path):
+    """extra_keys joins intervals only within the same key: identical
+    time spans on different symbols must NOT pair."""
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    (ldir / "f0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"iid": i, "sym": s, "s": st, "e": en})
+            for i, s, st, en in [
+                (1, "BTC", "2024-01-01T01:00:00", "2024-01-01T03:00:00"),
+                (2, "ETH", "2024-01-01T01:00:00", "2024-01-01T03:00:00"),
+            ]
+        )
+    )
+    (rdir / "f0.jsonl").write_text(
+        json.dumps(
+            {"iid": 10, "sym": "BTC", "s": "2024-01-01T02:00:00", "e": "2024-01-01T04:00:00"}
+        )
+    )
+
+    def stream(d):
+        return (
+            spark.readStream.schema("iid long, sym string, s string, e string")
+            .json(str(d))
+            .select(
+                "iid", "sym",
+                F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"),
+            )
+        )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        jobs.stream_interval_overlap_join(
+            stream(ldir), stream(rdir), "s", "e",
+            max_duration_seconds=4 * 3600, bucket_seconds=3600,
+            extra_keys=["sym"],
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert {(r["iid"], r["r_iid"], r["sym"]) for r in rows} == {(1, 10, "BTC")}
+    assert "r_sym" not in spark.read.parquet(out).columns  # key kept once

@@ -53,16 +53,23 @@ def neardup_route_stats(
     d = docs.select(F.split(F.col(text_col), r"\s+").alias("toks"))
     if sample_fraction:
         d = d.sample(fraction=sample_fraction, seed=seed)
-    df_sq, n, avg_toks = (
-        d.select(F.explode(F.array_distinct("toks")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-        .agg(F.sum(F.col("df") * F.col("df")).alias("df_sq"))
-        .collect()[0]["df_sq"],
-        *d.agg(
+    # two aggregations consume the tokenized frame (DF² needs a token-key
+    # shuffle, n/avg are doc-level) — persist so the input scan +
+    # tokenize + sample run once, not once per action
+    d = d.persist()
+    try:
+        df_sq = (
+            d.select(F.explode(F.array_distinct("toks")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("df_sq"))
+            .collect()[0]["df_sq"]
+        )
+        n, avg_toks = d.agg(
             F.count("*").alias("n"), F.avg(F.size("toks")).alias("avg_toks")
-        ).collect()[0],
-    )
+        ).collect()[0]
+    finally:
+        d.unpersist()
     n = max(n, 1)
     avg_toks = float(avg_toks or 1.0)
     cand_per_doc = float(df_sq or 0.0) / n

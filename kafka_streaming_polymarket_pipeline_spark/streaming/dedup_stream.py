@@ -141,6 +141,23 @@ def _bucket_count(index_path: str) -> int | None:
     return N_DOC_BUCKETS
 
 
+def _table_is_flat(table_path: str) -> bool:
+    """True if an existing table's batch dirs hold parquet files directly
+    (pre-``__kbucket=`` legacy layout). Spark's partition discovery
+    rejects leaf files at mixed depths under one basePath, so NEW batches
+    must match the layout already on disk — writing a kbucketed batch
+    into a flat table would make every subsequent read of the table
+    raise, which is worse than the unpruned-but-working reads the legacy
+    fallback promises."""
+    if not os.path.isdir(table_path):
+        return False
+    for d in os.listdir(table_path):
+        if d.startswith("batch="):
+            sub = os.path.join(table_path, d)
+            return not any(x.startswith(_KB + "=") for x in os.listdir(sub))
+    return False
+
+
 def _index_parts(docs: DataFrame, threshold: float, n: int):
     rows, _, _ = D._lsh_params(threshold)
     sigs = D.minhash_signatures(D.shingle_index(docs, "doc_id", "text", n))
@@ -170,12 +187,21 @@ def write_index_batch(
     # pruned, so the modulus only shapes new batches' file counts there.
     m = _ensure_meta(index_path) or N_DOC_BUCKETS
     for name, part in ((SIGS, sigs), (HASHED, hashed)):
+        table = os.path.join(index_path, name)
+        if _table_is_flat(table):
+            # pre-kbucket legacy table: new batches must stay flat or
+            # mixed partition depths break every later read (see
+            # _table_is_flat); the table is probed unpruned regardless.
+            part.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(table, f"batch={batch_id}")
+            )
+            continue
         (
             part.withColumn(_KB, _dbucket(n=m))
             .repartition(m, F.col(_KB))  # one file per bucket dir
             .write.mode("overwrite")
             .partitionBy(_KB)
-            .parquet(os.path.join(index_path, name, f"batch={batch_id}"))
+            .parquet(os.path.join(table, f"batch={batch_id}"))
         )
     buckets.write.mode("overwrite").parquet(
         os.path.join(index_path, BUCKETS, f"batch={batch_id}")
@@ -370,12 +396,23 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     complete); (2) delete the original batch dirs; (3) rename staging to
     ``batch=<max existing id>`` (an id the stopped stream has already
     passed, so future batch ids cannot collide). On entry, leftover
-    staging state is recovered: staging without ``_SUCCESS`` (crashed in
-    step 1) is discarded and redone from the intact originals; staging
-    WITH ``_SUCCESS`` and no batch dirs (crashed between 2 and 3) is
-    renamed to finish. Returns per-table (files_before, files_after).
+    staging state is recovered: staging WITH ``_SUCCESS`` is a COMPLETE
+    merged copy of the originals (the stopped-job precondition means no
+    batch arrived after staging), so any surviving originals are the
+    remains of an interrupted step 2 — deletion resumes and the rename
+    finishes, landing as ``batch=0`` (an id the stream retired long
+    ago); staging WITHOUT ``_SUCCESS`` crashed in step 1 and is
+    discarded, the originals being intact.  Pre-kbucket legacy tables
+    (flat batch dirs, no ``__kbucket=`` level) compact through the flat
+    path — sized output, no partition columns invented.
+
+    Returns per-table ``{"files_before": int | None, "files_after":
+    int, "recovered": bool}`` (files_before is None when the run
+    resumed an interrupted compaction — the originals were partially
+    gone, so there is no honest before-count).
     """
     import re
+    import shutil
 
     m = _bucket_count(index_path) or N_DOC_BUCKETS
     stats: dict = {}
@@ -384,6 +421,18 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         return sum(
             1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
         )
+
+    def _write_flat_sized(df, table: str, tmp: str) -> None:
+        # size the flat output by bytes (~128 MB/file): always reduces
+        # file count at small scale, never produces monster files at large
+        table_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(table)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_out = max(1, -(-table_bytes // (128 << 20)))  # ceil div
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
 
     for name in (SIGS, HASHED, BUCKETS):
         table = os.path.join(index_path, name)
@@ -395,14 +444,22 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
             key=lambda d: int(d.split("=")[1]),
         )
         if os.path.isdir(tmp):
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")) and not batches:
-                # crashed between delete-originals and rename: finish it
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                # Staging is complete: finish the interrupted run. Any
+                # surviving batch dirs are step-2 leftovers already merged
+                # into staging — deleting them loses nothing; treating the
+                # staging as "incomplete" here WOULD lose the already-
+                # deleted originals' rows.
+                for d in batches:
+                    shutil.rmtree(os.path.join(table, d))
                 os.rename(tmp, os.path.join(table, "batch=0"))
-                stats[name] = ("recovered", _parquet_files(table))
+                stats[name] = {
+                    "files_before": None,
+                    "files_after": _parquet_files(table),
+                    "recovered": True,
+                }
                 continue
-            import shutil
-
-            shutil.rmtree(tmp)  # incomplete staging: originals intact, redo
+            shutil.rmtree(tmp)  # crashed in step 1: originals intact, redo
         if len(batches) <= 1:
             continue
         files_before = _parquet_files(table)
@@ -410,7 +467,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         df = spark.read.option("basePath", table).parquet(
             os.path.join(table, "batch=*")
         ).drop("batch")
-        if name in (SIGS, HASHED):
+        if name in (SIGS, HASHED) and _KB in df.columns:
             (
                 df.repartition(m, F.col(_KB))
                 .write.mode("overwrite")
@@ -418,21 +475,13 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
                 .parquet(tmp)
             )
         else:
-            # size the flat table's output by bytes (~128 MB/file), so
-            # compaction always reduces the file count at small scale and
-            # never produces monster files at large scale
-            table_bytes = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(table)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-            n_out = max(1, -(-table_bytes // (128 << 20)))  # ceil div
-            df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
-        import shutil
-
+            _write_flat_sized(df, table, tmp)
         for d in batches:
             shutil.rmtree(os.path.join(table, d))
         os.rename(tmp, os.path.join(table, target))
-        stats[name] = (files_before, _parquet_files(table))
+        stats[name] = {
+            "files_before": files_before,
+            "files_after": _parquet_files(table),
+            "recovered": False,
+        }
     return stats

@@ -285,7 +285,11 @@ def test_compact_index_preserves_probes_and_shrinks_files(spark, tmp_path):
         assert len(
             [d for d in os.listdir(os.path.join(idx, t)) if d.startswith("batch=")]
         ) == 1
-        assert stats[t][0] == files_before[t]
+        assert stats[t] == {
+            "files_before": files_before[t],
+            "files_after": n_parquet(t),
+            "recovered": False,
+        }
     assert DS._bucket_count(idx) == 4  # pinned modulus survives compaction
 
     # the compacted index keeps working: extend with a NEW batch, probe
@@ -343,3 +347,99 @@ def test_compact_index_recovers_from_crash_states(spark, tmp_path):
         for r in DS.incremental_pairs_against_index(probe, idx).collect()
     }
     assert got == want
+
+
+def test_compact_index_recovers_partial_deletion_without_data_loss(spark, tmp_path):
+    """The nastiest crash window: staging complete (_SUCCESS), crash
+    after SOME originals were deleted but not all. The survivors'
+    rows are already merged into staging, so recovery must finish
+    (delete survivors, rename staging) — treating the staging as
+    incomplete here would discard the only copy of the already-deleted
+    batches' rows and probes would silently miss their pairs."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    for i, rows in enumerate(
+        (BATCH_A, BATCH_B, [(6, BASE.replace("fox", "wolf"))])
+    ):
+        DS.write_index_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), idx, i
+        )
+    probe = spark.createDataFrame(
+        [(9, BASE.replace("lazy", "idle"))], "doc_id long, text string"
+    )
+    want = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in DS.incremental_pairs_against_index(probe, idx).collect()
+    }
+    assert want  # pairs against batches 0 and 2 exist
+
+    # produce a COMPLETE staging dir (run a real compaction, then turn
+    # its result back into the mid-crash state)
+    DS.compact_index(spark, idx)
+    table = os.path.join(idx, DS.HASHED)
+    [merged] = [d for d in os.listdir(table) if d.startswith("batch=")]
+    os.rename(os.path.join(table, merged), os.path.join(table, ".compact_tmp"))
+    assert os.path.exists(os.path.join(table, ".compact_tmp", "_SUCCESS"))
+    # a surviving original whose rows staging already holds (batch 1)
+    DS.write_index_batch(
+        spark.createDataFrame(BATCH_B, "doc_id long, text string"), idx, 1
+    )
+
+    stats = DS.compact_index(spark, idx)
+    assert stats[DS.HASHED]["recovered"] is True
+    assert stats[DS.HASHED]["files_before"] is None
+    assert [d for d in os.listdir(table) if d.startswith("batch=")] == ["batch=0"]
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in DS.incremental_pairs_against_index(probe, idx).collect()
+    }
+    assert got == want  # batches 0 and 2's rows survived the crash
+
+
+def test_flat_legacy_table_stays_flat_and_probes_keep_working(spark, tmp_path):
+    """A pre-kbucket index (flat batch dirs) must keep accepting new
+    batches WITHOUT inventing the __kbucket level — mixed partition
+    depths under one basePath make every later read raise — and both
+    probing and compaction must work on it (unpruned, warned)."""
+    import warnings as W
+
+    idx = str(tmp_path / "idx")
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    # hand-build the legacy layout: flat batch dirs, no meta
+    sigs, buckets, hashed = DS._index_parts(a, 0.5, 5)
+    for name, part in ((DS.SIGS, sigs), (DS.HASHED, hashed), (DS.BUCKETS, buckets)):
+        part.coalesce(1).write.parquet(os.path.join(idx, name, "batch=0"))
+    assert DS._table_is_flat(os.path.join(idx, DS.HASHED))
+
+    # new batch: must stay flat (and pin legacy meta with a warning)
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+    with W.catch_warnings(record=True):
+        W.simplefilter("always")
+        DS.write_index_batch(b, idx, 1)
+    hashed_b1 = os.path.join(idx, DS.HASHED, "batch=1")
+    assert not any(x.startswith(DS._KB) for x in os.listdir(hashed_b1))
+
+    probe = spark.createDataFrame(
+        [(9, BASE.replace("lazy", "idle"))], "doc_id long, text string"
+    )
+    full = a.unionByName(b).unionByName(probe)
+    want = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.ngram_jaccard_pairs(full, 0.5).collect()
+        if 9 in (r["doc_id_a"], r["doc_id_b"])
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in DS.incremental_pairs_against_index(probe, idx).collect()
+    }
+    assert got == want and want
+
+    # compaction takes the flat path (no __kbucket column to invent)
+    stats = DS.compact_index(spark, idx)
+    assert stats[DS.HASHED]["recovered"] is False
+    got2 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in DS.incremental_pairs_against_index(probe, idx).collect()
+    }
+    assert got2 == want

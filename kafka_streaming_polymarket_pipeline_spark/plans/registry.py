@@ -47,8 +47,8 @@ _REGISTRY: dict[str, Query] = {}
 
 # The driver's correctness gate checks the first 50 registry entries per
 # round (CORRECTNESS_r01..r05 are each exactly the registry's 50-entry
-# prefix of their round). With 176 registered queries a full refresh
-# takes ceil(176/50) = 4 rounds, so the old "every query's newest green
+# prefix of their round). With 178 registered queries a full refresh
+# takes ceil(178/50) = 4 rounds, so the old "every query's newest green
 # row stays <= 2 rounds old" promise is arithmetically impossible; the
 # ACTUAL invariant this rotation guarantees (r05 verdict task 4):
 #   1. never-audited queries lead the prefix (newest additions
@@ -84,12 +84,17 @@ _REGISTRY: dict[str, Query] = {}
 # not a rangejoin.py consumer).
 # Block 3 (19): the oldest remaining green rows (r04), registration-
 # family order.
-# Still r04-stale after this rotation (lead the r08 prefix):
+# r08 prefix plan (rotation rule order): the two round-7 additions
+# registered PAST the gate window lead as never-audited (a31_psi_drift,
+# a32_ks_two_sample — the r05-round precedent: each locally
+# hash-verified at sf0.001/0.01/0.1 via scripts/driver_sim.py, listed
+# at the END of this rotation, battery-checked per commit until their
+# first official row); then the r04-stale rows:
 # u8_except_all_pairs, w4_trailing_range_window, a18_funnel_stages,
 # a19_cohort_retention, w5_scd2_intervals, r6, r9, r10, a20, a21, a22,
 # m4 (+ twin m4b, adjacent — the OTHER expected rows-only row when it
 # re-enters), t14, sh2. Max staleness after r07: r04 rows, 4 rounds
-# (the 4-round full-refresh floor ceil(176/50) arithmetic allows).
+# (the 4-round full-refresh floor ceil(178/50) arithmetic allows).
 _DRIVER_PRIORITY: list[str] = [
     "f4_json_serialize_roundtrip",
     "u3_distinct_agg",
@@ -267,6 +272,11 @@ _DRIVER_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "regional_revenue",
     "order_priority_check",
+    # round-7 additions registered past the gate window (r05 precedent):
+    # never-audited, locally hash-verified at three SFs, lead the r08
+    # prefix per rotation rule 1
+    "a31_psi_drift",
+    "a32_ks_two_sample",
 ]
 
 

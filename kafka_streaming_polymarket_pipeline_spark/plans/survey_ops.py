@@ -2667,3 +2667,157 @@ def j9_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(take_back, F.col("bval")).otherwise(F.col("fval")), 6
         ).alias("view_value"),
     )
+
+
+@register(
+    "a31_psi_drift",
+    oracle="""
+WITH rng AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+binned AS (
+  SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS INTEGER) AS bin,
+         user_id % 2 AS slice
+  FROM events, rng
+),
+a AS (SELECT bin, count(*) AS cnt FROM binned WHERE slice = 0 GROUP BY bin),
+b AS (SELECT bin, count(*) AS cnt FROM binned WHERE slice = 1 GROUP BY bin),
+tot AS (
+  SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM a) AS na,
+         (SELECT CAST(sum(cnt) AS DOUBLE) FROM b) AS nb
+)
+SELECT
+  COALESCE(a.bin, b.bin) AS bin,
+  CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt_a,
+  CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt_b,
+  round((COALESCE(a.cnt, 0) / na + 1e-6) - (COALESCE(b.cnt, 0) / nb + 1e-6), 6)
+    AS share_gap,
+  round(((COALESCE(a.cnt, 0) / na + 1e-6) - (COALESCE(b.cnt, 0) / nb + 1e-6))
+        * ln((COALESCE(a.cnt, 0) / na + 1e-6) / (COALESCE(b.cnt, 0) / nb + 1e-6)), 6)
+    AS psi_term
+FROM a FULL JOIN b ON a.bin = b.bin, tot
+""",
+)
+def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift gate — the standard production
+    monitor for "has this feature's distribution moved between two
+    populations" (credit-scoring lineage; Σ (p−q)·ln(p/q) over shared
+    bins, smoothing ε=1e-6 on both shares). Here the two populations
+    are deterministic user_id-parity slices of events.value; a real
+    pipeline compares a reference window against the live batch — the
+    plan is identical, only the slice predicate changes (e.g. ts
+    windows). Per-bin rows so the consumer can localize the drift, not
+    just threshold the sum.
+
+    Float discipline (the j7 band-edge lesson): the 10-bin assignment
+    is ONE shared expression shape — floor((value−mn)·10/(mx−mn))
+    clamped to 9 — where mn/mx are each engine's exact min/max of the
+    same stored doubles, so both engines bin identically; shares and
+    psi terms are rounded to 6 dp on both sides. Scale: two map-side
+    binning passes + one 10-row join — the shuffle is the groupBy(bin)
+    count, partial-aggregated map-side; nothing here grows with n but
+    the scan."""
+    ev = load(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))),
+            F.lit(9),
+        ).cast("int").alias("bin"),
+        (F.col("user_id") % 2).alias("slice"),
+    )
+    a = binned.filter(F.col("slice") == 0).groupBy("bin").count()
+    b = binned.filter(F.col("slice") == 1).groupBy("bin").count()
+    na = a.agg(F.sum("count").cast("double").alias("na"))
+    nb = b.agg(F.sum("count").cast("double").alias("nb"))
+    joined = (
+        a.withColumnRenamed("count", "raw_a")
+        .join(b.withColumnRenamed("count", "raw_b"), "bin", "full")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    cnt_a = F.coalesce(F.col("raw_a"), F.lit(0))
+    cnt_b = F.coalesce(F.col("raw_b"), F.lit(0))
+    p = cnt_a / F.col("na") + F.lit(1e-6)
+    q = cnt_b / F.col("nb") + F.lit(1e-6)
+    return joined.select(
+        "bin",
+        cnt_a.cast("long").alias("cnt_a"),
+        cnt_b.cast("long").alias("cnt_b"),
+        F.round(p - q, 6).alias("share_gap"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+@register(
+    "a32_ks_two_sample",
+    oracle="""
+WITH rng AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+binned AS (
+  SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS INTEGER) AS bin,
+         user_id % 2 AS slice
+  FROM events, rng
+),
+a AS (SELECT bin, count(*) AS cnt FROM binned WHERE slice = 0 GROUP BY bin),
+b AS (SELECT bin, count(*) AS cnt FROM binned WHERE slice = 1 GROUP BY bin),
+joined AS (
+  SELECT COALESCE(a.bin, b.bin) AS bin,
+         COALESCE(a.cnt, 0) AS cnt_a, COALESCE(b.cnt, 0) AS cnt_b
+  FROM a FULL JOIN b ON a.bin = b.bin
+),
+cum AS (
+  SELECT bin,
+         SUM(cnt_a) OVER (ORDER BY bin) / (SELECT CAST(sum(cnt_a) AS DOUBLE) FROM joined) AS cdf_a,
+         SUM(cnt_b) OVER (ORDER BY bin) / (SELECT CAST(sum(cnt_b) AS DOUBLE) FROM joined) AS cdf_b
+  FROM joined
+)
+SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks_stat,
+       CAST((SELECT sum(cnt_a) FROM joined) AS BIGINT) AS n_a,
+       CAST((SELECT sum(cnt_b) FROM joined) AS BIGINT) AS n_b
+FROM cum
+""",
+)
+def a32_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Kolmogorov–Smirnov two-sample statistic — PSI's (a31)
+    companion drift gate: max |CDF_a − CDF_b| over the SAME shared
+    10-bin discretization and user-parity slices, so one binning pass
+    serves both monitors in a real deployment. This is the BINNED KS
+    (the distributed-monitoring form); the exact order statistic needs
+    a full sort and is what you reach for only on samples.
+
+    The cumulative window runs over at most 10 rows (one per bin) —
+    unpartitioned by construction and provably bounded, like a30's
+    ≤2k-row KMV rank window. Single-row output: (ks_stat, n_a, n_b)."""
+    ev = load(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))),
+            F.lit(9),
+        ).cast("int").alias("bin"),
+        (F.col("user_id") % 2).alias("slice"),
+    )
+    a = binned.filter(F.col("slice") == 0).groupBy("bin").count()
+    b = binned.filter(F.col("slice") == 1).groupBy("bin").count()
+    joined = (
+        a.withColumnRenamed("count", "raw_a")
+        .join(b.withColumnRenamed("count", "raw_b"), "bin", "full")
+        .select(
+            "bin",
+            F.coalesce(F.col("raw_a"), F.lit(0)).alias("cnt_a"),
+            F.coalesce(F.col("raw_b"), F.lit(0)).alias("cnt_b"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("cnt_a").cast("double").alias("ta"),
+        F.sum("cnt_b").cast("double").alias("tb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = joined.crossJoin(F.broadcast(totals)).select(
+        (F.sum("cnt_a").over(w) / F.col("ta")).alias("cdf_a"),
+        (F.sum("cnt_b").over(w) / F.col("tb")).alias("cdf_b"),
+        F.col("ta"), F.col("tb"),
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat"),
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+    )

@@ -56,6 +56,13 @@ ALLOWED_NESTED = {
     "d3c_minhash_lsh_dfpruned": "crossJoin against the broadcast one-row "
                                 "corpus doc-count aggregate (the integer "
                                 "max-df cut df*100 <= pct*n_docs)",
+    "a31_psi_drift": "crossJoins against broadcast ONE-ROW aggregates only "
+                     "(global min/max for the shared binning; each slice's "
+                     "total count); the per-bin merge is a <=10-row full "
+                     "equi-join",
+    "a32_ks_two_sample": "same one-row broadcast aggregates as a31 (binning "
+                         "range, totals); the CDF window runs over <=10 "
+                         "bin rows",
     "c1_kmeans_assign": "Lloyd assignment passes crossJoin against the "
                         "broadcast k-row (k=8) centroid table",
     "x6_unimax_budget": "crossJoins against the broadcast one-row "

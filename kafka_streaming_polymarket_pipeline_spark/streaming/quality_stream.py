@@ -54,3 +54,106 @@ def quality_split(
     a row lands in exactly one sink."""
     feats = quality_features_frame(docs, entropy_min)
     return feats.filter(F.col("keep")), feats.filter(~F.col("keep"))
+
+
+def reference_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    mn: float | None = None,
+    mx: float | None = None,
+    n_bins: int = 10,
+) -> tuple[DataFrame, float, float]:
+    """Build the static reference histogram a drift monitor compares
+    against: (bin, ref_share) over ``n_bins`` fixed bins. Returns the
+    (mn, mx) binning range too — the REFERENCE WINDOW defines the bin
+    edges (a stream cannot know a global min/max), and the live monitor
+    must bin with the same constants or the comparison is meaningless."""
+    if mn is None or mx is None:
+        row = df.agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx")).collect()[0]
+        mn = float(row["mn"]) if mn is None else mn
+        mx = float(row["mx"]) if mx is None else mx
+    binned = df.select(
+        F.least(
+            F.floor((F.col(value_col) - F.lit(mn)) * n_bins / F.lit(mx - mn)),
+            F.lit(n_bins - 1),
+        ).cast("int").alias("bin")
+    )
+    counts = binned.groupBy("bin").count()
+    total = counts.agg(F.sum("count").cast("double").alias("t"))
+    hist = counts.crossJoin(F.broadcast(total)).select(
+        "bin", (F.col("count") / F.col("t")).alias("ref_share")
+    )
+    return hist, mn, mx
+
+
+def stream_psi_drift(
+    events: DataFrame,
+    reference: DataFrame,
+    mn: float,
+    mx: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    every: str = "15 minutes",
+    watermark: str = "2 minutes",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming drift monitor — a31's PSI as a standing job: one PSI
+    reading per event-time window of the live stream against the static
+    ``reference`` histogram (from ``reference_histogram``, which also
+    fixes the binning constants). Emits (window_start, window_end,
+    n_events, psi) when the watermark closes each window.
+
+    Plan shape: the reference is <= n_bins rows BY CONSTRUCTION, so it
+    folds into the plan as a literal bin->share map (driver-side
+    collect of a bounded frame, the sanctioned class) — no stream-
+    static join at all. Binning is the SAME clamped-floor expression as
+    batch a31 with the same constants -> identical bins. One
+    watermarked (window, bin) count agg, then a per-window roll-up
+    (collect_list bounded by n_bins) — two chained stateful aggs in
+    append mode, the Spark-4 pattern stream_asof_join uses. Reference
+    bins ABSENT from a window still contribute (that absence is the
+    drift signal): each one's zero-count term (eps - r - eps) *
+    ln(eps / (r + eps)) is a constant, so their sum C_all is baked in
+    and each PRESENT bin subtracts its own zero-term before adding its
+    real term."""
+    import math
+
+    ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
+    c_all = sum(-r * math.log(eps / (r + eps)) for r in ref_rows.values())
+    ref_map = F.create_map(
+        *[F.lit(x) for kv in ref_rows.items() for x in kv]
+    )
+
+    binned = events.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.least(
+            F.floor((F.col(value_col) - F.lit(mn)) * n_bins / F.lit(mx - mn)),
+            F.lit(n_bins - 1),
+        ).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy(F.window(ts_col, every).alias("w"), "bin").count()
+    with_ref = counts.select(
+        "w",
+        F.col("count").alias("c"),
+        F.coalesce(ref_map[F.col("bin")], F.lit(0.0)).alias("r"),
+    )
+    rolled = with_ref.groupBy("w").agg(
+        F.sum("c").alias("n_events"),
+        F.collect_list(F.struct("c", "r")).alias("bins"),  # <= n_bins entries
+    )
+
+    def term(acc, x):
+        p = x["c"] / F.col("n_events") + F.lit(eps)
+        q = x["r"] + F.lit(eps)
+        zero = (F.lit(eps) - q) * F.log(F.lit(eps) / q)
+        return acc + (p - q) * F.log(p / q) - zero
+
+    return rolled.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        F.round(
+            F.aggregate("bins", F.lit(float(c_all)), term), 6
+        ).alias("psi"),
+    )

@@ -68,3 +68,78 @@ def test_entropy_floor_is_the_binding_gate_for_junk(spark):
     out = QS.quality_features_frame(df).collect()[0]
     assert out.char_entropy_bits == 1.0
     assert not out.keep
+
+
+def test_stream_psi_drift_matches_python_reference(spark, tmp_path):
+    """Streaming PSI monitor vs a plain-Python recomputation from the
+    same rows: identical windows, counts, and PSI values (<= 1e-6 —
+    the only slack is float summation order across <= n_bins terms).
+    Window 1 mirrors the reference distribution (PSI near 0); window 2
+    concentrates all mass in one bin AND leaves reference bins empty —
+    both drift directions (new-bin mass + vanished-bin mass) must
+    contribute."""
+    import json
+    import math
+
+    eps, n_bins = 1e-6, 10
+    ref_frame = spark.createDataFrame(
+        [(float(v),) for v in (5, 15, 25, 35, 45, 55, 65, 75, 85, 95)] * 3,
+        "value double",
+    )
+    reference, mn, mx = QS.reference_histogram(ref_frame, "value", mn=0.0, mx=100.0)
+    ref = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
+
+    rows = [
+        # window 1 (00:00-00:15): one event per bin — matches reference
+        *[("2024-01-01T00:%02d:00" % (i + 1), float(10 * i + 5)) for i in range(10)],
+        # window 2 (00:15-00:30): everything piles into bin 0
+        *[("2024-01-01T00:%02d:00" % (16 + i), 1.0) for i in range(5)],
+        # watermark sentinel: pushes event time past window 2's close so
+        # append mode emits it; its own window stays open and unemitted
+        ("2024-01-01T00:40:00", 50.0),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f0.jsonl").write_text(
+        "\n".join(json.dumps({"ts": t, "value": v}) for t, v in rows)
+    )
+    stream = (
+        spark.readStream.schema("ts string, value double")
+        .json(str(src))
+        .select(F.to_timestamp("ts").alias("ts"), "value")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        QS.stream_psi_drift(stream, reference, mn, mx, every="15 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        r["window_start"].minute: (r["n_events"], r["psi"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {0, 15}
+
+    def py_psi(values):
+        n = len(values)
+        cnt: dict[int, int] = {}
+        for v in values:
+            b = min(int((v - 0.0) * n_bins / 100.0), n_bins - 1)
+            cnt[b] = cnt.get(b, 0) + 1
+        psi = 0.0
+        for b in set(cnt) | set(ref):
+            p = cnt.get(b, 0) / n + eps
+            r = ref.get(b, 0.0) + eps
+            psi += (p - r) * math.log(p / r)
+        return n, psi
+
+    for minute, values in ((0, [10.0 * i + 5 for i in range(10)]), (15, [1.0] * 5)):
+        n, psi = py_psi(values)
+        assert got[minute][0] == n
+        assert abs(got[minute][1] - psi) <= 1e-6, (minute, got[minute][1], psi)
+    assert got[0][1] < 0.05 < got[15][1]  # matched window ~0, drifted window large

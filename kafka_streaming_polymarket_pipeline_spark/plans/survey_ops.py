@@ -2697,24 +2697,26 @@ FROM a FULL JOIN b ON a.bin = b.bin, tot
 """,
 )
 def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-Stability-Index drift gate — the standard production
-    monitor for "has this feature's distribution moved between two
-    populations" (credit-scoring lineage; Σ (p−q)·ln(p/q) over shared
-    bins, smoothing ε=1e-6 on both shares). Here the two populations
-    are deterministic user_id-parity slices of events.value; a real
-    pipeline compares a reference window against the live batch — the
-    plan is identical, only the slice predicate changes (e.g. ts
-    windows). Per-bin rows so the consumer can localize the drift, not
-    just threshold the sum.
+    """PSI drift gate: per-bin (p−q)·ln(p/q) between two slices.
+
+    Population Stability Index — the standard production monitor for
+    "has this feature's distribution moved between two populations"
+    (credit-scoring lineage; smoothing ε=1e-6 on both shares). Here the
+    two populations are deterministic user_id-parity slices of
+    events.value; a real pipeline compares a reference window against
+    the live batch — the plan is identical, only the slice predicate
+    changes (e.g. ts windows). Per-bin rows so the consumer can
+    localize the drift, not just threshold the sum.
 
     Float discipline (the j7 band-edge lesson): the 10-bin assignment
     is ONE shared expression shape — floor((value−mn)·10/(mx−mn))
     clamped to 9 — where mn/mx are each engine's exact min/max of the
-    same stored doubles, so both engines bin identically; shares and
-    psi terms are rounded to 6 dp on both sides. Scale: two map-side
-    binning passes + one 10-row join — the shuffle is the groupBy(bin)
-    count, partial-aggregated map-side; nothing here grows with n but
-    the scan."""
+    same stored doubles (every value is in [mn, mx] by construction,
+    so only the top edge needs clamping); shares and psi terms are
+    rounded to 6 dp on both sides. Scale: one map-side binning pass +
+    one ≤10-row full join; slice totals come from unpartitioned window
+    sums over that ≤10-row frame (bounded like a30's rank window), not
+    from extra aggregations whose lineage would rescan events."""
     ev = load(spark, sf_dir, "events")
     rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     binned = ev.crossJoin(F.broadcast(rng)).select(
@@ -2726,18 +2728,19 @@ def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = binned.filter(F.col("slice") == 0).groupBy("bin").count()
     b = binned.filter(F.col("slice") == 1).groupBy("bin").count()
-    na = a.agg(F.sum("count").cast("double").alias("na"))
-    nb = b.agg(F.sum("count").cast("double").alias("nb"))
-    joined = (
-        a.withColumnRenamed("count", "raw_a")
-        .join(b.withColumnRenamed("count", "raw_b"), "bin", "full")
-        .crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
+    joined = a.withColumnRenamed("count", "raw_a").join(
+        b.withColumnRenamed("count", "raw_b"), "bin", "full"
     )
     cnt_a = F.coalesce(F.col("raw_a"), F.lit(0))
     cnt_b = F.coalesce(F.col("raw_b"), F.lit(0))
-    p = cnt_a / F.col("na") + F.lit(1e-6)
-    q = cnt_b / F.col("nb") + F.lit(1e-6)
+    # totals via window sums over the <=10-bin joined frame: the full
+    # join preserves every bin's count exactly once, so these equal the
+    # per-slice totals without re-deriving the scan lineage
+    wtot = Window.partitionBy()
+    na = F.sum(cnt_a).over(wtot).cast("double")
+    nb = F.sum(cnt_b).over(wtot).cast("double")
+    p = cnt_a / na + F.lit(1e-6)
+    q = cnt_b / nb + F.lit(1e-6)
     return joined.select(
         "bin",
         cnt_a.cast("long").alias("cnt_a"),
@@ -2776,16 +2779,20 @@ FROM cum
 """,
 )
 def a32_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned Kolmogorov–Smirnov two-sample statistic — PSI's (a31)
-    companion drift gate: max |CDF_a − CDF_b| over the SAME shared
-    10-bin discretization and user-parity slices, so one binning pass
-    serves both monitors in a real deployment. This is the BINNED KS
-    (the distributed-monitoring form); the exact order statistic needs
-    a full sort and is what you reach for only on samples.
+    """Binned KS two-sample statistic: max |CDF_a − CDF_b|.
 
-    The cumulative window runs over at most 10 rows (one per bin) —
-    unpartitioned by construction and provably bounded, like a30's
-    ≤2k-row KMV rank window. Single-row output: (ks_stat, n_a, n_b)."""
+    Kolmogorov–Smirnov — PSI's (a31) companion drift gate over the
+    SAME shared 10-bin discretization and user-parity slices, so one
+    binning pass serves both monitors in a real deployment. This is
+    the BINNED KS (the distributed-monitoring form); the exact order
+    statistic needs a full sort and is what you reach for only on
+    samples.
+
+    The cumulative and total window sums run over at most 10 rows (one
+    per bin) — unpartitioned by construction and provably bounded,
+    like a30's ≤2k-row KMV rank window — so the ≤10-row joined frame
+    is consumed in ONE pass (no totals aggregation whose lineage
+    rescans events). Single-row output: (ks_stat, n_a, n_b)."""
     ev = load(spark, sf_dir, "events")
     rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     binned = ev.crossJoin(F.broadcast(rng)).select(
@@ -2806,15 +2813,14 @@ def a32_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("raw_b"), F.lit(0)).alias("cnt_b"),
         )
     )
-    totals = joined.agg(
-        F.sum("cnt_a").cast("double").alias("ta"),
-        F.sum("cnt_b").cast("double").alias("tb"),
-    )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = joined.crossJoin(F.broadcast(totals)).select(
-        (F.sum("cnt_a").over(w) / F.col("ta")).alias("cdf_a"),
-        (F.sum("cnt_b").over(w) / F.col("tb")).alias("cdf_b"),
-        F.col("ta"), F.col("tb"),
+    wtot = Window.partitionBy()  # <=10 rows: bounded by the bin count
+    ta = F.sum("cnt_a").over(wtot).cast("double")
+    tb = F.sum("cnt_b").over(wtot).cast("double")
+    cum = joined.select(
+        (F.sum("cnt_a").over(w) / ta).alias("cdf_a"),
+        (F.sum("cnt_b").over(w) / tb).alias("cdf_b"),
+        ta.alias("ta"), tb.alias("tb"),
     )
     return cum.agg(
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat"),

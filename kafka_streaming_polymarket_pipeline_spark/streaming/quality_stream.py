@@ -56,6 +56,26 @@ def quality_split(
     return feats.filter(F.col("keep")), feats.filter(~F.col("keep"))
 
 
+def _bin_expr(value_col: str, mn: float, mx: float, n_bins: int) -> F.Column:
+    """The ONE bin-assignment expression both the reference histogram
+    and the live monitor must share (mismatched binning makes the
+    comparison meaningless): clamped-floor over the reference window's
+    frozen [mn, mx]. Unlike batch a31 (where mn/mx are the global
+    min/max so only the top edge can clip), a live stream drifts BELOW
+    mn too — both edges clamp, so outliers fold into the edge bins and
+    per-window state stays <= n_bins no matter how far the stream
+    drifts (the unclamped form would mint one pseudo-bin per outlier
+    stride, unbounding the (window, bin) state store exactly in the
+    scenario the monitor exists to catch)."""
+    return F.greatest(
+        F.least(
+            F.floor((F.col(value_col) - F.lit(mn)) * n_bins / F.lit(mx - mn)),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    ).cast("int")
+
+
 def reference_histogram(
     df: DataFrame,
     value_col: str = "value",
@@ -67,17 +87,20 @@ def reference_histogram(
     against: (bin, ref_share) over ``n_bins`` fixed bins. Returns the
     (mn, mx) binning range too — the REFERENCE WINDOW defines the bin
     edges (a stream cannot know a global min/max), and the live monitor
-    must bin with the same constants or the comparison is meaningless."""
+    must bin with the same constants or the comparison is meaningless.
+    A degenerate range (mx <= mn, e.g. a stuck constant-valued
+    reference) raises instead of silently folding everything into one
+    bin and reporting near-zero PSI forever."""
     if mn is None or mx is None:
         row = df.agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx")).collect()[0]
         mn = float(row["mn"]) if mn is None else mn
         mx = float(row["mx"]) if mx is None else mx
-    binned = df.select(
-        F.least(
-            F.floor((F.col(value_col) - F.lit(mn)) * n_bins / F.lit(mx - mn)),
-            F.lit(n_bins - 1),
-        ).cast("int").alias("bin")
-    )
+    if mx <= mn:
+        raise ValueError(
+            f"degenerate binning range [{mn}, {mx}]: the reference window is "
+            "constant-valued; widen the window or pass explicit mn/mx"
+        )
+    binned = df.select(_bin_expr(value_col, mn, mx, n_bins).alias("bin"))
     counts = binned.groupBy("bin").count()
     total = counts.agg(F.sum("count").cast("double").alias("t"))
     hist = counts.crossJoin(F.broadcast(total)).select(
@@ -119,6 +142,8 @@ def stream_psi_drift(
     real term."""
     import math
 
+    if mx <= mn:
+        raise ValueError(f"degenerate binning range [{mn}, {mx}]")
     ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
     c_all = sum(-r * math.log(eps / (r + eps)) for r in ref_rows.values())
     ref_map = F.create_map(
@@ -127,10 +152,7 @@ def stream_psi_drift(
 
     binned = events.withWatermark(ts_col, watermark).select(
         F.col(ts_col),
-        F.least(
-            F.floor((F.col(value_col) - F.lit(mn)) * n_bins / F.lit(mx - mn)),
-            F.lit(n_bins - 1),
-        ).cast("int").alias("bin"),
+        _bin_expr(value_col, mn, mx, n_bins).alias("bin"),
     )
     counts = binned.groupBy(F.window(ts_col, every).alias("w"), "bin").count()
     with_ref = counts.select(

@@ -92,8 +92,13 @@ def test_stream_psi_drift_matches_python_reference(spark, tmp_path):
     rows = [
         # window 1 (00:00-00:15): one event per bin — matches reference
         *[("2024-01-01T00:%02d:00" % (i + 1), float(10 * i + 5)) for i in range(10)],
-        # window 2 (00:15-00:30): everything piles into bin 0
-        *[("2024-01-01T00:%02d:00" % (16 + i), 1.0) for i in range(5)],
+        # window 2 (00:15-00:30): everything piles into bin 0, including
+        # BELOW-RANGE outliers (v < mn) that must clamp into bin 0
+        # instead of minting unbounded negative pseudo-bins — the
+        # downward-drift scenario the monitor exists to catch
+        *[("2024-01-01T00:%02d:00" % (16 + i), 1.0) for i in range(3)],
+        ("2024-01-01T00:19:00", -50.0),
+        ("2024-01-01T00:20:00", -1000.0),
         # watermark sentinel: pushes event time past window 2's close so
         # append mode emits it; its own window stays open and unemitted
         ("2024-01-01T00:40:00", 50.0),
@@ -129,7 +134,9 @@ def test_stream_psi_drift_matches_python_reference(spark, tmp_path):
         n = len(values)
         cnt: dict[int, int] = {}
         for v in values:
-            b = min(int((v - 0.0) * n_bins / 100.0), n_bins - 1)
+            # floor (not int(): truncation diverges below zero) + BOTH
+            # clamps — the production _bin_expr contract
+            b = max(min(math.floor((v - 0.0) * n_bins / 100.0), n_bins - 1), 0)
             cnt[b] = cnt.get(b, 0) + 1
         psi = 0.0
         for b in set(cnt) | set(ref):
@@ -138,8 +145,21 @@ def test_stream_psi_drift_matches_python_reference(spark, tmp_path):
             psi += (p - r) * math.log(p / r)
         return n, psi
 
-    for minute, values in ((0, [10.0 * i + 5 for i in range(10)]), (15, [1.0] * 5)):
+    for minute, values in (
+        (0, [10.0 * i + 5 for i in range(10)]),
+        (15, [1.0, 1.0, 1.0, -50.0, -1000.0]),
+    ):
         n, psi = py_psi(values)
         assert got[minute][0] == n
         assert abs(got[minute][1] - psi) <= 1e-6, (minute, got[minute][1], psi)
     assert got[0][1] < 0.05 < got[15][1]  # matched window ~0, drifted window large
+
+
+def test_reference_histogram_rejects_degenerate_range(spark):
+    import pytest
+
+    const = spark.createDataFrame([(42.0,)] * 5, "value double")
+    with pytest.raises(ValueError, match="degenerate"):
+        QS.reference_histogram(const, "value")
+    with pytest.raises(ValueError, match="degenerate"):
+        QS.stream_psi_drift(const, const, mn=1.0, mx=1.0)

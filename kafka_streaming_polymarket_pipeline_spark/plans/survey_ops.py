@@ -2713,10 +2713,14 @@ def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped to 9 — where mn/mx are each engine's exact min/max of the
     same stored doubles (every value is in [mn, mx] by construction,
     so only the top edge needs clamping); shares and psi terms are
-    rounded to 6 dp on both sides. Scale: one map-side binning pass +
-    one ≤10-row full join; slice totals come from unpartitioned window
-    sums over that ≤10-row frame (bounded like a30's rank window), not
-    from extra aggregations whose lineage would rescan events."""
+    rounded to 6 dp on both sides. Scale: ONE map-side binning pass —
+    both slices' counts come from a single groupBy(bin) with
+    conditional sums (r07 ADVICE: the earlier per-slice filter branches
+    each re-executed the events scan), so events is scanned once and
+    the ≤10-row counts frame needs no join at all; slice totals come
+    from unpartitioned window sums over that ≤10-row frame (bounded
+    like a30's rank window), not from extra aggregations whose lineage
+    would rescan events."""
     ev = load(spark, sf_dir, "events")
     rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     binned = ev.crossJoin(F.broadcast(rng)).select(
@@ -2726,15 +2730,16 @@ def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("bin"),
         (F.col("user_id") % 2).alias("slice"),
     )
-    a = binned.filter(F.col("slice") == 0).groupBy("bin").count()
-    b = binned.filter(F.col("slice") == 1).groupBy("bin").count()
-    joined = a.withColumnRenamed("count", "raw_a").join(
-        b.withColumnRenamed("count", "raw_b"), "bin", "full"
+    # one shuffle on bin; a bin with rows in only one slice gets 0 in the
+    # other column — exactly the oracle's FULL JOIN + COALESCE semantics
+    joined = binned.groupBy("bin").agg(
+        F.count_if(F.col("slice") == 0).alias("raw_a"),
+        F.count_if(F.col("slice") == 1).alias("raw_b"),
     )
-    cnt_a = F.coalesce(F.col("raw_a"), F.lit(0))
-    cnt_b = F.coalesce(F.col("raw_b"), F.lit(0))
-    # totals via window sums over the <=10-bin joined frame: the full
-    # join preserves every bin's count exactly once, so these equal the
+    cnt_a = F.col("raw_a")
+    cnt_b = F.col("raw_b")
+    # totals via window sums over the <=10-bin counts frame: groupBy(bin)
+    # preserves every bin's count exactly once, so these equal the
     # per-slice totals without re-deriving the scan lineage
     wtot = Window.partitionBy()
     na = F.sum(cnt_a).over(wtot).cast("double")
@@ -2790,9 +2795,11 @@ def a32_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cumulative and total window sums run over at most 10 rows (one
     per bin) — unpartitioned by construction and provably bounded,
-    like a30's ≤2k-row KMV rank window — so the ≤10-row joined frame
+    like a30's ≤2k-row KMV rank window — so the ≤10-row counts frame
     is consumed in ONE pass (no totals aggregation whose lineage
-    rescans events). Single-row output: (ks_stat, n_a, n_b)."""
+    rescans events). Like a31, both slices count in a single
+    groupBy(bin) with conditional sums (one events scan, no join —
+    r07 ADVICE). Single-row output: (ks_stat, n_a, n_b)."""
     ev = load(spark, sf_dir, "events")
     rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     binned = ev.crossJoin(F.broadcast(rng)).select(
@@ -2802,16 +2809,9 @@ def a32_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("bin"),
         (F.col("user_id") % 2).alias("slice"),
     )
-    a = binned.filter(F.col("slice") == 0).groupBy("bin").count()
-    b = binned.filter(F.col("slice") == 1).groupBy("bin").count()
-    joined = (
-        a.withColumnRenamed("count", "raw_a")
-        .join(b.withColumnRenamed("count", "raw_b"), "bin", "full")
-        .select(
-            "bin",
-            F.coalesce(F.col("raw_a"), F.lit(0)).alias("cnt_a"),
-            F.coalesce(F.col("raw_b"), F.lit(0)).alias("cnt_b"),
-        )
+    joined = binned.groupBy("bin").agg(
+        F.count_if(F.col("slice") == 0).alias("cnt_a"),
+        F.count_if(F.col("slice") == 1).alias("cnt_b"),
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     wtot = Window.partitionBy()  # <=10 rows: bounded by the bin count

@@ -56,13 +56,14 @@ ALLOWED_NESTED = {
     "d3c_minhash_lsh_dfpruned": "crossJoin against the broadcast one-row "
                                 "corpus doc-count aggregate (the integer "
                                 "max-df cut df*100 <= pct*n_docs)",
-    "a31_psi_drift": "crossJoins against broadcast ONE-ROW aggregates only "
-                     "(global min/max for the shared binning; each slice's "
-                     "total count); the per-bin merge is a <=10-row full "
-                     "equi-join",
-    "a32_ks_two_sample": "same one-row broadcast aggregates as a31 (binning "
-                         "range, totals); the CDF window runs over <=10 "
-                         "bin rows",
+    "a31_psi_drift": "crossJoin against the broadcast ONE-ROW min/max "
+                     "aggregate for the shared binning; both slices count "
+                     "in one groupBy(bin) conditional-sum pass (r08: no "
+                     "per-slice branches, no join), totals from "
+                     "unpartitioned window sums over <=10 bin rows",
+    "a32_ks_two_sample": "same one-row broadcast min/max aggregate and "
+                         "single conditional-sum binning pass as a31; the "
+                         "CDF window runs over <=10 bin rows",
     "c1_kmeans_assign": "Lloyd assignment passes crossJoin against the "
                         "broadcast k-row (k=8) centroid table",
     "x6_unimax_budget": "crossJoins against the broadcast one-row "

@@ -86,9 +86,13 @@ HEADLINE = [
 # Heavy tier: the most expensive registered operators, trend-tracked with
 # their own subtotal so regressions in the expensive tier show up in the
 # bench artifact instead of living only in SCALE.md probes. Timed for
-# SPARK_GRAFT_BENCH_HEAVY_RUNS passes (default 1 — each is tens of
-# seconds, long enough to average over this box's contention waves, and
-# one pass keeps the suite's wall bounded).
+# SPARK_GRAFT_BENCH_HEAVY_RUNS passes (default 2 since round 8: the r07
+# artifact's min-of-1 recorded d12 at 69.6 s in a contention wave where
+# the true trend was ~20-27 s — VERDICT r07 "what's wrong" #1; a second
+# pass costs ~1 min and makes the min robust to a single wave). Each
+# heavy pass is additionally bracketed by its own control probes
+# (heavy_control_secs) so an outlier pass is self-explaining the way
+# the headline tier's is.
 HEAVY = [
     "d12_prefix_jaccard_join",      # AllPairs/PPJoin exact Jaccard
     "d13_keep_longest_per_cluster", # LSH -> CC -> per-cluster argmax
@@ -136,6 +140,9 @@ def build_output(
     control_secs: list[float],
     min_pass: dict[str, int],
     flaky: dict[str, int],
+    heavy_control_secs: list[float] | None = None,
+    heavy_min_pass: dict[str, int] | None = None,
+    heavy_runs: int | None = None,
 ) -> tuple[dict, str]:
     """(detail payload, compact driver-facing stdout line).
 
@@ -164,12 +171,27 @@ def build_output(
         "runs_per_query": runs,
         "passes_separated_windows": True,
         "control_sec": control,
+        # HEADLINE-tier probes only (r07 ADVICE: a heavy-tier probe was
+        # appended here, silently breaking this documented mapping):
+        "control_layout": "entry i ran before headline pass i; final "
+                          "entry after the last headline pass",
         "control_secs": [round(c, 3) for c in control_secs],
         "query_min_pass": min_pass,
         "flaky_queries": flaky,
         "control_baseline_sec": CONTROL_BASELINE_SEC,
         "control_ratio": round(control / CONTROL_BASELINE_SEC, 2),
     }
+    heavy_control = None
+    if heavy_control_secs:
+        heavy_control = round(min(heavy_control_secs), 3)
+        detail["heavy_runs"] = heavy_runs
+        detail["heavy_control_layout"] = (
+            "entry i ran before heavy pass i; final entry after the last "
+            "heavy pass"
+        )
+        detail["heavy_control_secs"] = [round(c, 3) for c in heavy_control_secs]
+        detail["heavy_control_ratio"] = round(heavy_control / CONTROL_BASELINE_SEC, 2)
+        detail["heavy_min_pass"] = heavy_min_pass or {}
 
     short = _short_keys(sorted(set(timings) | set(heavy)))
     plurality = Counter(min_pass.values()).most_common(1)[0][0] if min_pass else 0
@@ -192,6 +214,23 @@ def build_output(
         "control_ratio": round(control / CONTROL_BASELINE_SEC, 2),
         "detail": DETAIL_FILE,
     }
+    if heavy_control is not None:
+        compact["heavy_runs"] = heavy_runs
+        compact["heavy_control_ratio"] = round(
+            heavy_control / CONTROL_BASELINE_SEC, 2
+        )
+        hplural = (
+            Counter((heavy_min_pass or {}).values()).most_common(1)[0][0]
+            if heavy_min_pass
+            else 0
+        )
+        hanom = {
+            short[n]: p
+            for n, p in sorted((heavy_min_pass or {}).items())
+            if p != hplural and n in short
+        }
+        if hanom:
+            compact["heavy_anom"] = hanom
     if flaky:
         compact["flaky"] = {short.get(n, n): p for n, p in flaky.items()}
     if anom:
@@ -209,6 +248,7 @@ def build_output(
     # slowest entries + an omitted-count marker.
     if len(line) > MAX_LINE_CHARS:
         compact.pop("anom", None)
+        compact.pop("heavy_anom", None)
         compact.pop("flaky", None)
         line = _dump(compact)
     keep = len(compact["queries"])
@@ -299,6 +339,31 @@ def streaming_throughput(spark, sf_dir: str, n_rows: int = 1_000_000) -> dict:
 CONTROL_BASELINE_SEC = 0.65
 
 
+def _round_guess(here: str) -> int | None:
+    """Current build round, inferred from the driver's recorded
+    BENCH_r{N}.json artifacts (this run's own record lands after it, so
+    the round in flight is max(existing) + 1; None before round 1)."""
+    import glob
+    import re
+
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return max(ns) + 1 if ns else None
+
+
+def _quiet(spark) -> None:
+    """Bench sessions run at ERROR log level: the provably-bounded
+    unpartitioned windows (a30/a31/a32/pk/sh — documented and
+    plan-guarded) each emit a WindowExec warning, and the flood was
+    eating most of the driver's bounded stdout/stderr tail capture
+    (VERDICT r07 "what's wrong" #2). Scoped to bench only — tests and
+    interactive sessions keep default logging."""
+    spark.sparkContext.setLogLevel("ERROR")
+
+
 def _control_probe(spark) -> float:
     from pyspark.sql import functions as F
 
@@ -362,6 +427,7 @@ def main() -> None:
         # a sf0.01-size run if available, then best-of-N at the target SF
         # (contention-waves protocol).
         spark = get_spark(app_name="pmps-bench-sdedup", cpus=cpus, shuffle_partitions=cpus)
+        _quiet(spark)
         warm_dir = "/root/testdata/sf0.01"
         streaming_dedup_throughput(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir)
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -381,6 +447,7 @@ def main() -> None:
         # load comes in waves (round-2 recorded 21.5k events/s in a
         # contention window vs 200-250k healthy, same code).
         spark = get_spark(app_name="pmps-bench-stream", cpus=cpus, shuffle_partitions=cpus)
+        _quiet(spark)
         streaming_throughput(spark, sf_dir, n_rows=100_000)
         # Best-of-3 (one more than the batch default): the streaming number
         # is the headline baseline comparison and this box's contention
@@ -395,6 +462,7 @@ def main() -> None:
         return
 
     spark = get_spark(app_name="pmps-bench", cpus=cpus, shuffle_partitions=cpus)
+    _quiet(spark)
 
     # Warm the JVM/codegen paths so per-query numbers reflect steady state,
     # not first-action classloading (a cluster amortizes this once per job).
@@ -449,13 +517,21 @@ def main() -> None:
 
     # Heavy tier: the expensive operators get their own loop AFTER the
     # headline passes (so their tens-of-seconds runs don't sit between a
-    # fast query's repeats), bracketed by control probes for
-    # attribution. Skipped under BENCH_ALL (the full registry already
-    # includes them).
+    # fast query's repeats). Min-of-2 by default and bracketed by its OWN
+    # control probes (heavy_control_secs — one before each pass, one
+    # after the last), so a contention-wave outlier pass is visibly
+    # attributed instead of landing as the official trend number
+    # (VERDICT r07 #1: min-of-1 recorded d12 at 2.5x its trend).
+    # control_secs itself stays headline-only (r07 ADVICE: the old
+    # post-heavy append broke its documented layout). Skipped under
+    # BENCH_ALL (the full registry already includes them).
     heavy: dict[str, float] = {}
+    heavy_control_secs: list[float] = []
+    heavy_min_pass: dict[str, int] = {}
+    heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
     if not os.environ.get("SPARK_GRAFT_BENCH_ALL"):
-        heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "1"))
         for _pass in range(max(heavy_runs, 1)):
+            heavy_control_secs.append(_control_probe(spark))
             for name in HEAVY:
                 if name not in registry or heavy.get(name, 0.0) < 0:
                     continue
@@ -472,8 +548,9 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if name not in heavy or dt < heavy[name]:
                     heavy[name] = dt
+                    heavy_min_pass[name] = _pass
                 spark.catalog.clearCache()
-        control_secs.append(_control_probe(spark))
+        heavy_control_secs.append(_control_probe(spark))
 
     # Streaming throughput runs in its own fresh *process* (a streaming job
     # is its own long-lived app in production; measuring it inside the JVM
@@ -512,11 +589,27 @@ def main() -> None:
     detail, line = build_output(
         timings, heavy, stream, stream_dedup, sf, cpus, runs,
         control_secs, min_pass, flaky,
+        heavy_control_secs=heavy_control_secs,
+        heavy_min_pass=heavy_min_pass,
+        heavy_runs=heavy_runs,
     )
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_FILE)
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, DETAIL_FILE)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"bench: full payload written to {detail_path}", file=sys.stderr)
+    # Round-suffixed copy: BENCH_DETAIL.json is overwritten every round,
+    # so per-query trend history would only survive in the driver's
+    # bounded tail capture (r06's detail is gone for exactly this
+    # reason — VERDICT r07 task 6). The round is inferred from the
+    # driver's own artifacts: it records BENCH_r{N}.json after this run,
+    # so the current round is max(existing N) + 1.
+    rnd = _round_guess(here)
+    if rnd is not None:
+        versioned = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+        with open(versioned, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"bench: round-suffixed payload written to {versioned}", file=sys.stderr)
     # The driver parses the LAST stdout line from a bounded tail capture:
     # this must be the only/final stdout line, and stay short (tested).
     print(line)

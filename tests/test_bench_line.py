@@ -25,10 +25,15 @@ def _worst_case(names, heavy_names):
     flaky = {n: 1 for n in list(names)[:3]}
     stream = {"events": 1_000_000, "sec": 999.999, "events_per_sec": 999_999}
     sdedup = {"docs": 60_000, "batches": 5, "sec": 9999.999, "docs_per_sec": 99_999}
+    # heavy tier: min-of-2 with its own bracketing probes; one heavy min
+    # from a non-plurality pass (first name -> pass 0, plurality is 1)
+    heavy_min_pass = {n: (1 if i else 0) for i, n in enumerate(heavy_names)}
     return bench.build_output(
         timings, heavy, stream, sdedup,
         sf=0.1, cpus=32, runs=2,
         control_secs=[9.999] * 4, min_pass=min_pass, flaky=flaky,
+        heavy_control_secs=[9.999] * 3, heavy_min_pass=heavy_min_pass,
+        heavy_runs=2,
     )
 
 
@@ -44,11 +49,32 @@ def test_headline_line_under_budget_worst_case():
     assert parsed["detail"] == bench.DETAIL_FILE
     # anomaly attribution is capped, not unbounded
     assert len(parsed.get("anom", {})) <= 9  # 8 entries + "more" marker
+    # heavy tier self-attribution survives on the line
+    assert parsed["heavy_runs"] == 2
+    assert parsed["heavy_control_ratio"] == round(9.999 / bench.CONTROL_BASELINE_SEC, 2)
+    assert len(parsed["heavy_anom"]) == 1  # the single non-plurality pass
     # detail keeps FULL names and full attribution
     assert set(detail["queries"]) == set(bench.HEADLINE)
     assert set(detail["query_min_pass"]) == set(bench.HEADLINE)
     assert set(detail["heavy"]) == set(bench.HEAVY)
     assert len(detail["control_secs"]) == 4
+    # r07 ADVICE: control layouts are separate AND documented in-payload
+    assert "headline" in detail["control_layout"]
+    assert len(detail["heavy_control_secs"]) == 3  # one per pass + final
+    assert "heavy pass" in detail["heavy_control_layout"]
+    assert set(detail["heavy_min_pass"]) == set(bench.HEAVY)
+
+
+def test_heavy_controls_absent_when_tier_skipped():
+    """BENCH_ALL mode passes no heavy controls: neither artifact should
+    invent heavy attribution fields."""
+    detail, line = bench.build_output(
+        {"a_ok": 2.0}, {}, None, None, sf=0.1, cpus=32, runs=2,
+        control_secs=[1.0], min_pass={"a_ok": 0}, flaky={},
+    )
+    parsed = json.loads(line)
+    assert "heavy_control_ratio" not in parsed and "heavy_anom" not in parsed
+    assert "heavy_control_secs" not in detail and "heavy_min_pass" not in detail
 
 
 def test_bench_all_line_under_budget_via_trim_ladder():

@@ -394,17 +394,24 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     sources/sinks.upsert_parquet): (1) write the merged rows to a
     ``.compact_tmp`` staging dir (Spark's ``_SUCCESS`` marks it
     complete); (2) delete the original batch dirs; (3) rename staging to
-    ``batch=<max existing id>`` (an id the stopped stream has already
-    passed, so future batch ids cannot collide). On entry, leftover
-    staging state is recovered: staging WITH ``_SUCCESS`` is a COMPLETE
-    merged copy of the originals (the stopped-job precondition means no
-    batch arrived after staging), so any surviving originals are the
-    remains of an interrupted step 2 — deletion resumes and the rename
-    finishes, landing as ``batch=0`` (an id the stream retired long
-    ago); staging WITHOUT ``_SUCCESS`` crashed in step 1 and is
-    discarded, the originals being intact.  Pre-kbucket legacy tables
-    (flat batch dirs, no ``__kbucket=`` level) compact through the flat
-    path — sized output, no partition columns invented.
+    ``batch=0``.  The merged dir lands as batch **0** — NEVER the
+    highest existing id (r07 ADVICE): the highest id is exactly the
+    batch a foreachBatch retry replays if the stopped-checkpoint
+    precondition is violated, and ``write_index_batch`` overwrites per
+    batch dir, so that retry would silently replace the ENTIRE merged
+    index with one batch's rows.  batch=0 is an id the resumed stream
+    retired long ago (a retry of id 0 only happens against a brand-new
+    checkpoint, which is index-corrupting operator error regardless of
+    layout), and both the normal and the recovery path now land there,
+    so the two paths cannot diverge.  On entry, leftover staging state
+    is recovered: staging WITH ``_SUCCESS`` is a COMPLETE merged copy of
+    the originals (the stopped-job precondition means no batch arrived
+    after staging), so any surviving originals are the remains of an
+    interrupted step 2 — deletion resumes and the rename finishes;
+    staging WITHOUT ``_SUCCESS`` crashed in step 1 and is discarded, the
+    originals being intact.  Pre-kbucket legacy tables (flat batch dirs,
+    no ``__kbucket=`` level) compact through the flat path — sized
+    output, no partition columns invented.
 
     Returns per-table ``{"files_before": int | None, "files_after":
     int, "recovered": bool}`` (files_before is None when the run
@@ -463,7 +470,10 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         if len(batches) <= 1:
             continue
         files_before = _parquet_files(table)
-        target = batches[-1]  # highest existing id: stream already passed it
+        # batch=0, not the highest id: the highest id is the one a
+        # foreachBatch retry replays (see docstring — a retried
+        # overwrite of the merged dir would drop the whole index)
+        target = "batch=0"
         df = spark.read.option("basePath", table).parquet(
             os.path.join(table, "batch=*")
         ).drop("batch")
@@ -485,3 +495,58 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
             "recovered": False,
         }
     return stats
+
+
+def needs_compaction(index_path: str, max_files_per_bucket: int = 32) -> dict:
+    """Decision arithmetic for WHEN to run :func:`compact_index` — the
+    r07 soak measured per-batch probe cost flat over 50 batches but the
+    file-count arithmetic is unforgiving: the kbucketed payload tables
+    gain one file per touched bucket per batch FOREVER, and every pruned
+    probe pays one parquet open/footer read per file in each candidate
+    bucket.  The metric is therefore the worst per-probe-unit file
+    count:
+
+    - sigs/hashed (kbucketed): max over ``__kbucket`` values of the
+      file count summed across batch dirs — what one candidate bucket's
+      pruned read opens;
+    - buckets (flat, probed by a full scan): total parquet file count —
+      what every probe opens.
+
+    Returns ``{"needed": bool, "worst": int, "tables": {name: count}}``.
+    The default threshold 32 ≈ half a day of hourly batches: the soak's
+    measured 2.1x probe speedup at 20 batches says compacting around
+    this cadence keeps open/footer overhead a rounding error while the
+    (stop-the-job) maintenance window stays rare.  The standing job's
+    operator checks this between stopped-job windows::
+
+        if needs_compaction(idx)["needed"]:
+            compact_index(spark, idx)   # job STOPPED, checkpoint committed
+
+    Pure local-FS metadata walk (no Spark session) — same I/O class as
+    the rest of this module's directory probing."""
+    from collections import Counter
+
+    tables: dict[str, int] = {}
+    for name in (SIGS, HASHED, BUCKETS):
+        table = os.path.join(index_path, name)
+        if not os.path.isdir(table):
+            continue
+        per_bucket: Counter = Counter()
+        total = 0
+        for root, _dirs, files in os.walk(table):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if not n:
+                continue
+            total += n
+            kb = next(
+                (p for p in root.split(os.sep) if p.startswith(_KB + "=")), None
+            )
+            if kb is not None:
+                per_bucket[kb] += n
+        tables[name] = max(per_bucket.values()) if per_bucket else total
+    worst = max(tables.values(), default=0)
+    return {
+        "needed": worst > max_files_per_bucket,
+        "worst": worst,
+        "tables": tables,
+    }

@@ -443,3 +443,120 @@ def test_flat_legacy_table_stays_flat_and_probes_keep_working(spark, tmp_path):
         for r in DS.incremental_pairs_against_index(probe, idx).collect()
     }
     assert got2 == want
+
+
+def test_compacted_dir_is_batch_zero_never_a_retryable_id(spark, tmp_path):
+    """The merged dir must land as batch=0, NOT the highest existing id:
+    the highest id is exactly the batch a foreachBatch retry replays if
+    the stopped-checkpoint precondition is violated, and a retried
+    write_index_batch(mode=overwrite) of the merged dir would replace
+    the whole index with one batch's rows (r07 ADVICE). Simulate that
+    worst case: after compaction, a retry of the last batch id must
+    leave the merged rows intact."""
+    idx = str(tmp_path / "idx")
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+    DS.write_index_batch(a, idx, 0)
+    DS.write_index_batch(b, idx, 1)
+    DS.compact_index(spark, idx)
+    for t in (DS.SIGS, DS.HASHED, DS.BUCKETS):
+        dirs = [d for d in os.listdir(os.path.join(idx, t)) if d.startswith("batch=")]
+        assert dirs == ["batch=0"]
+    # the violated-precondition retry: batch id 1 replays post-compaction
+    DS.write_index_batch(b, idx, 1)
+    hashed = spark.read.option("basePath", f"{idx}/hashed").parquet(
+        f"{idx}/hashed/batch=*"
+    )
+    # all 6 docs still indexed (merged rows survive; the retry only
+    # re-added its own 3 under batch=1)
+    assert hashed.select("doc_id").distinct().count() == 6
+
+
+def test_needs_compaction_decision_arithmetic(spark, tmp_path):
+    """The trigger policy reports the worst per-probe-unit file count
+    (max files per kbucket for payload tables, total files for the flat
+    buckets table), flips needed at the threshold, and resets after
+    compact_index runs."""
+    idx = str(tmp_path / "idx")
+    orig = DS.N_DOC_BUCKETS
+    try:
+        DS.N_DOC_BUCKETS = 2  # 6 docs over 2 buckets -> every batch hits both
+        batch_c = [
+            (8, BASE.replace("fox", "hare")),
+            (9, "a third batch of entirely new content for bucket spread"),
+            (10, BASE.replace("lazy", "sleepy")),
+        ]
+        for i, rows in enumerate((BATCH_A, BATCH_B, batch_c)):
+            DS.write_index_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), idx, i
+            )
+    finally:
+        DS.N_DOC_BUCKETS = orig
+    before = DS.needs_compaction(idx, max_files_per_bucket=2)
+    assert set(before["tables"]) == {DS.SIGS, DS.HASHED, DS.BUCKETS}
+    assert before["worst"] >= 3  # one file per bucket per batch, 3 batches
+    assert before["needed"] is True
+    # a lax threshold says don't bother
+    assert DS.needs_compaction(idx, max_files_per_bucket=100)["needed"] is False
+    DS.compact_index(spark, idx)
+    after = DS.needs_compaction(idx, max_files_per_bucket=2)
+    assert after["worst"] < before["worst"]
+    assert after["needed"] is False
+
+
+def test_compaction_between_micro_batches_leaves_emissions_identical(spark, tmp_path):
+    """VERDICT r07 task 5: stop the standing job after its first batches,
+    compact the index, resume the SAME checkpoint with new files — the
+    resumed batch's pair emissions must be byte-identical to a twin run
+    that never compacted."""
+    import shutil
+    import time as _time
+
+    late = [(6, BASE.replace("brown", "grey")), (7, "nothing like the others here")]
+
+    def run(root, compact_between):
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        idx, pairs, ck = (os.path.join(root, d) for d in ("idx", "pairs", "ck"))
+        a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+        b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+        a.coalesce(1).write.parquet(os.path.join(src, "f0"))
+        _time.sleep(1.1)
+        b.coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+        def start():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/f*")
+            )
+            return DS.incremental_dedup_sink(stream, idx, pairs, ck)
+
+        q = start()
+        q.awaitTermination(120)
+        q.stop()  # standing job STOPPED, checkpoint committed
+        if compact_between:
+            assert DS.compact_index(spark, idx)  # actually compacted
+        _time.sleep(1.1)
+        spark.createDataFrame(late, "doc_id long, text string").coalesce(1).write.parquet(
+            os.path.join(src, "f2")
+        )
+        q = start()  # resume from the same checkpoint
+        q.awaitTermination(120)
+        q.stop()
+        out = {}
+        for d in os.listdir(pairs):
+            if d.startswith("batch="):
+                out[d] = {
+                    (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+                    for r in spark.read.parquet(os.path.join(pairs, d)).collect()
+                }
+        return out
+
+    plain = run(str(tmp_path / "plain"), compact_between=False)
+    compacted = run(str(tmp_path / "compacted"), compact_between=True)
+    assert compacted == plain
+    # the resumed batch actually probed the (compacted) index: doc 6 is
+    # a near-dup of doc 0 from the FIRST pre-compaction batch
+    resumed = compacted[max(compacted, key=lambda d: int(d.split("=")[1]))]
+    assert any({a, b} & {6} and {a, b} & {0, 1, 3, 5} for a, b, _ in resumed)

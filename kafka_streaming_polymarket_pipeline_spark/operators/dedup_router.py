@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+
 
 def neardup_route_stats(
     docs: DataFrame,
@@ -99,3 +101,129 @@ def neardup_route(
         else "allpairs"
     )
     return route, stats
+
+
+def token_set_lsh_pairs(
+    docs: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The router's LSH leg: the MinHash banded funnel run over DISTINCT
+    LOWERCASE WORD TOKENS — i.e. d12's exact similarity definition
+    (token-set Jaccard >= num/den) served by d3's plan shape.  The point
+    of the router is to swap the PLAN, never the semantics: d3c's
+    DF-pruned funnel computes pruned-set char-shingle Jaccard, a
+    deliberately different similarity, so routing a d12 caller there
+    would silently change the answer — this leg keeps the answer and
+    changes only the candidate-generation physics (banded signatures,
+    which are DF-blind, where AllPairs' rare-prefix lever has provably
+    degenerated; SCALE.md round 6).
+
+    Funnel stages and their exactness bounds are the d3 machinery
+    verbatim (band buckets -> band-count cut -> 128-column signature
+    estimate -> exact verify); the verify predicate is d12's INTEGER
+    cross-multiplication ``den*i >= num*(sa+sb-i)`` over hashed token
+    arrays, so the two routes agree bit-for-bit on emitted pairs (no
+    float threshold edge; hash-collision odds ~5e-15/pair, the funnel's
+    standing tolerance).  Banding miss probability at t>=0.5 is
+    <=1e-8/pair (``_lsh_params``) — the documented approximation the
+    LSH family always carries."""
+    from pyspark.storagelevel import StorageLevel
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    rows, min_bands, est_cutoff = D._lsh_params(num / den)
+    toks_arr = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    index = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(toks_arr).alias("sh"),
+    )
+    sigs = D.minhash_signatures(index).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = D._band_buckets(sigs, rows)
+    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
+    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") >= min_bands)
+        .drop("k")
+    )
+    hashed = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(toks_arr, lambda t: F.xxhash64(t)).alias("hsh"),
+        )
+        .withColumn("sz", F.size("hsh"))
+        .filter(F.col("sz") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = sigs.count()  # materializes the persisted signatures once
+    survivors = D._est_filter(cand, sigs, est_cutoff, n_docs)
+    sh_a = hashed.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hsh").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    sh_b = hashed.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("hsh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        survivors.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .withColumn("_i", i)
+        .filter(den * F.col("_i") >= num * (F.col("sz_a") + F.col("sz_b") - F.col("_i")))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("_i") / (F.col("sz_a") + F.col("sz_b") - F.col("_i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def neardup_pairs_auto(
+    docs: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    factor: float = 10.0,
+    sample_fraction: float | None = None,
+    route: str | None = None,
+) -> tuple[DataFrame, str, dict]:
+    """Routed facade for exact token-set-Jaccard >= num/den near-dup
+    pairs — the executable form of the routing contract (VERDICT r07
+    task 3: the contract existed but nothing called it).  Returns
+    ``(pairs, route, stats)`` so callers can log the decision:
+
+    - ``allpairs``: :func:`~...dedup.prefix_jaccard_pairs` (d12) — exact,
+      near-linear candidate mass on long-tail vocabularies where the
+      rare-prefix filter has a lever;
+    - ``lsh``: :func:`token_set_lsh_pairs` — the banded funnel, DF-blind,
+      for template-heavy/flat-DF corpora where AllPairs' candidate mass
+      degenerates to ~n²/|V| (measured: 1140 s at 50k docs on the
+      30-word-vocab probe vs near-linear on long-tail text).
+
+    Both legs emit the SAME pair set — (doc_id_a, doc_id_b, jaccard),
+    identical integer verify predicate — modulo the LSH leg's documented
+    <=1e-8/pair banding miss.  ``route`` forces a leg (ops/testing);
+    ``sample_fraction`` estimates the routing stats from a Bernoulli
+    sample at very large n (one token-key shuffle either way, never more
+    than one pass of what it gates)."""
+    stats: dict
+    if route is None:
+        route, stats = neardup_route(docs, text_col, factor, sample_fraction)
+    else:
+        if route not in ("allpairs", "lsh"):
+            raise ValueError(f"unknown route {route!r}")
+        stats = {"forced": True}
+    if route == "allpairs":
+        pairs = D.prefix_jaccard_pairs(docs, id_col, text_col, num, den)
+    else:
+        pairs = token_set_lsh_pairs(docs, num, den, id_col, text_col)
+    return pairs, route, stats

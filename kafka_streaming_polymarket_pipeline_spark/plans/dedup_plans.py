@@ -336,9 +336,12 @@ def d11_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist1_pairs(cust, "c_custkey", "c_name")
 
 
-@register(
-    "d12_prefix_jaccard_join",
-    oracle="""
+# d12 and d14 share one ground truth: exact word-token-set Jaccard
+# >= 19/20 pairs (naive all-pairs token self-join, integer
+# cross-multiplied threshold). d12 answers it with AllPairs prefix
+# filtering; d14 routes between that and the semantics-preserving
+# banded-MinHash leg on corpus DF statistics — same answer either way.
+_TOKEN_JACCARD_19_20_ORACLE = """
 WITH tok AS (
   SELECT DISTINCT doc_id, t FROM (
     SELECT doc_id,
@@ -357,8 +360,10 @@ FROM inter
 JOIN sz sa ON doc_id_a = sa.doc_id
 JOIN sz sb ON doc_id_b = sb.doc_id
 WHERE 20 * i >= 19 * (sa.n + sb.n - i)
-""",
-)
+"""
+
+
+@register("d12_prefix_jaccard_join", oracle=_TOKEN_JACCARD_19_20_ORACLE)
 def d12_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join: word-token Jaccard >= 0.95 pairs via
     AllPairs/PPJoin prefix filtering (Bayardo WWW'07; Xiao WWW'08) — the
@@ -375,6 +380,32 @@ def d12_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons integer cross-multiplications on BOTH engines — no float
     boundary can disagree (the j7 band-edge lesson)."""
     return D.prefix_jaccard_pairs(load(spark, sf_dir, "documents"), num=19, den=20)
+
+
+@register("d14_neardup_auto", oracle=_TOKEN_JACCARD_19_20_ORACLE)
+def d14_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUTED exact near-dup pairs — the executable form of the
+    AllPairs-vs-LSH routing contract (SCALE.md round 6; VERDICT r07
+    task 3). ``operators.dedup_router.neardup_pairs_auto`` estimates the
+    corpus's candidate mass from its own document-frequency distribution
+    (one token-key shuffle: Σ DF²/n vs avg tokens) and picks the engine:
+    AllPairs prefix filtering where a rare token tail gives the prefix
+    filter a lever, the semantics-preserving banded-MinHash funnel
+    (d12's integer verify predicate over the d3 plan machinery) where
+    flat DF degenerates AllPairs quadratically. The driver corpus is
+    templated (flatness ~160 at sf0.01) so THIS registration exercises
+    the LSH leg against the same naive exact oracle d12 is gated on —
+    the strongest both-legs-agree check available: the routed answer
+    must equal the exact pair set bit-for-bit regardless of which
+    engine ran. Threshold 19/20 with integer cross-multiplication on
+    both engines (no float edge); the LSH leg's documented miss budget
+    is <=3e-6/pair (banding + band-count + estimate cuts combined)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.dedup_router import neardup_pairs_auto
+
+    pairs, _route, _stats = neardup_pairs_auto(
+        load(spark, sf_dir, "documents"), num=19, den=20
+    )
+    return pairs
 
 
 _D13_CLUSTERS_CTE = _D6_ORACLE.replace(

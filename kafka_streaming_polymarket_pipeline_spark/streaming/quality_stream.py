@@ -109,6 +109,90 @@ def reference_histogram(
     return hist, mn, mx
 
 
+def stream_drift_monitor(
+    events: DataFrame,
+    reference: DataFrame,
+    mn: float,
+    mx: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    every: str = "15 minutes",
+    watermark: str = "2 minutes",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming drift monitor — a31's PSI and a32's binned KS as ONE
+    standing job: per event-time window of the live stream, one emission
+    (window_start, window_end, n_events, psi, ks_stat) against the
+    static ``reference`` histogram (from ``reference_histogram``, which
+    also fixes the binning constants). The two statistics share the
+    frozen binning, the (window, bin) count state, and the per-window
+    roll-up, so monitoring both costs exactly one binning pass — the
+    same economy the batch pair gets from its shared 10-bin
+    discretization (plans/survey_ops.py a31/a32). KS here is the
+    window-vs-reference form (live sample against the reference
+    sample's CDF over the same bins); batch a32 compares two slices —
+    same statistic, different populations, documented.
+
+    Plan shape: the reference is <= n_bins rows BY CONSTRUCTION, so it
+    folds into the plan as literal per-bin shares (driver-side collect
+    of a bounded frame, the sanctioned class) — no stream-static join
+    at all. Binning is the SAME clamped-floor expression as batch a31
+    with the same constants -> identical bins. One watermarked
+    (window, bin) count agg, then a per-window roll-up (a <= n_bins
+    bin->count map) — two chained stateful aggs in append mode, the
+    Spark-4 pattern stream_asof_join uses. Both statistics then come
+    from ONE F.aggregate over the literal bin sequence 0..n_bins-1, so
+    reference bins ABSENT from the window contribute exactly their
+    drift mass (vanished-bin PSI terms; CDF jumps for KS) and bins in
+    NEITHER population contribute exactly 0.0."""
+    if mx <= mn:
+        raise ValueError(f"degenerate binning range [{mn}, {mx}]")
+    ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
+    ref_arr = F.array(*[F.lit(float(ref_rows.get(b, 0.0))) for b in range(n_bins)])
+
+    binned = events.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        _bin_expr(value_col, mn, mx, n_bins).alias("bin"),
+    )
+    counts = binned.groupBy(F.window(ts_col, every).alias("w"), "bin").count()
+    rolled = counts.groupBy("w").agg(
+        F.sum("count").alias("n_events"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bin", "count"))
+        ).alias("cmap"),  # <= n_bins entries
+    )
+
+    # one fold over the fixed bin order computes PSI and the KS running
+    # max |CDF_live - CDF_ref| together; accumulator is (cum_p, cum_q,
+    # ks_max, psi)
+    acc0 = F.struct(
+        F.lit(0.0).alias("cp"), F.lit(0.0).alias("cq"),
+        F.lit(0.0).alias("mx"), F.lit(0.0).alias("psi"),
+    )
+
+    def step(acc, b):
+        p = F.coalesce(F.col("cmap")[b], F.lit(0)).cast("double") / F.col("n_events")
+        q = F.get(ref_arr, b)
+        cp, cq = acc["cp"] + p, acc["cq"] + q
+        pe, qe = p + F.lit(eps), q + F.lit(eps)
+        return F.struct(
+            cp.alias("cp"),
+            cq.alias("cq"),
+            F.greatest(acc["mx"], F.abs(cp - cq)).alias("mx"),
+            (acc["psi"] + (pe - qe) * F.log(pe / qe)).alias("psi"),
+        )
+
+    stats = F.aggregate(F.sequence(F.lit(0), F.lit(n_bins - 1)), acc0, step)
+    return rolled.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        F.round(stats["psi"], 6).alias("psi"),
+        F.round(stats["mx"], 6).alias("ks_stat"),
+    )
+
+
 def stream_psi_drift(
     events: DataFrame,
     reference: DataFrame,
@@ -121,61 +205,28 @@ def stream_psi_drift(
     n_bins: int = 10,
     eps: float = 1e-6,
 ) -> DataFrame:
-    """Streaming drift monitor — a31's PSI as a standing job: one PSI
-    reading per event-time window of the live stream against the static
-    ``reference`` histogram (from ``reference_histogram``, which also
-    fixes the binning constants). Emits (window_start, window_end,
-    n_events, psi) when the watermark closes each window.
+    """PSI-only view of :func:`stream_drift_monitor` (original r07 API;
+    the KS twin folded in per VERDICT r07 task 4 — same plan, same
+    state, one more output column that this projection drops)."""
+    return stream_drift_monitor(
+        events, reference, mn, mx, ts_col, value_col, every, watermark, n_bins, eps
+    ).drop("ks_stat")
 
-    Plan shape: the reference is <= n_bins rows BY CONSTRUCTION, so it
-    folds into the plan as a literal bin->share map (driver-side
-    collect of a bounded frame, the sanctioned class) — no stream-
-    static join at all. Binning is the SAME clamped-floor expression as
-    batch a31 with the same constants -> identical bins. One
-    watermarked (window, bin) count agg, then a per-window roll-up
-    (collect_list bounded by n_bins) — two chained stateful aggs in
-    append mode, the Spark-4 pattern stream_asof_join uses. Reference
-    bins ABSENT from a window still contribute (that absence is the
-    drift signal): each one's zero-count term (eps - r - eps) *
-    ln(eps / (r + eps)) is a constant, so their sum C_all is baked in
-    and each PRESENT bin subtracts its own zero-term before adding its
-    real term."""
-    import math
 
-    if mx <= mn:
-        raise ValueError(f"degenerate binning range [{mn}, {mx}]")
-    ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
-    c_all = sum(-r * math.log(eps / (r + eps)) for r in ref_rows.values())
-    ref_map = F.create_map(
-        *[F.lit(x) for kv in ref_rows.items() for x in kv]
-    )
-
-    binned = events.withWatermark(ts_col, watermark).select(
-        F.col(ts_col),
-        _bin_expr(value_col, mn, mx, n_bins).alias("bin"),
-    )
-    counts = binned.groupBy(F.window(ts_col, every).alias("w"), "bin").count()
-    with_ref = counts.select(
-        "w",
-        F.col("count").alias("c"),
-        F.coalesce(ref_map[F.col("bin")], F.lit(0.0)).alias("r"),
-    )
-    rolled = with_ref.groupBy("w").agg(
-        F.sum("c").alias("n_events"),
-        F.collect_list(F.struct("c", "r")).alias("bins"),  # <= n_bins entries
-    )
-
-    def term(acc, x):
-        p = x["c"] / F.col("n_events") + F.lit(eps)
-        q = x["r"] + F.lit(eps)
-        zero = (F.lit(eps) - q) * F.log(F.lit(eps) / q)
-        return acc + (p - q) * F.log(p / q) - zero
-
-    return rolled.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        "n_events",
-        F.round(
-            F.aggregate("bins", F.lit(float(c_all)), term), 6
-        ).alias("psi"),
-    )
+def stream_ks_drift(
+    events: DataFrame,
+    reference: DataFrame,
+    mn: float,
+    mx: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    every: str = "15 minutes",
+    watermark: str = "2 minutes",
+    n_bins: int = 10,
+) -> DataFrame:
+    """KS-only view of :func:`stream_drift_monitor` — binned two-sample
+    KS per window against the frozen reference (a32's statistic in
+    streaming form)."""
+    return stream_drift_monitor(
+        events, reference, mn, mx, ts_col, value_col, every, watermark, n_bins
+    ).drop("psi")

@@ -273,6 +273,17 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
             gen(d, nd, ne)
 
+    # Consult the near-dup router per probe corpus and log the decision
+    # (VERDICT r07 task 3: ops tooling must CALL the router, not just
+    # ship it). This generator is templated by design, so the log also
+    # records the flat-DF stats that send it to the LSH leg.
+    from kafka_streaming_polymarket_pipeline_spark.operators.dedup_router import neardup_route
+    from kafka_streaming_polymarket_pipeline_spark.tables import load
+
+    for label in SCALES:
+        route, stats = neardup_route(load(spark, os.path.join(BASE, label), "documents"))
+        print(json.dumps({"neardup_route": route, "scale": label, **stats}), flush=True)
+
     registry = plans.all_queries()
     names = QUERIES
     for i, a in enumerate(sys.argv):  # --only q1,q2 probes a subset

@@ -662,6 +662,61 @@ def t14_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.scrub_duplicated_spans(docs, n=8, min_df=3)
 
 
+_RTOKS = "list_filter(string_split(text, ' '), x -> x <> '')"  # raw case
+
+
+@register(
+    "t18_exact_substr_spans",
+    oracle=f"""
+WITH tok_list AS (
+  SELECT doc_id, {_RTOKS} AS toks FROM documents
+),
+pg AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS gpos,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 49 AS INT)), ' ') AS g
+  FROM tok_list, LATERAL (SELECT unnest(range(1, len(toks) - 48)) AS i)
+  WHERE len(toks) >= 50
+),
+dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+starts AS (SELECT doc_id, gpos FROM pg JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, gpos,
+         CASE WHEN gpos - lag(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) <= 50
+              THEN 0 ELSE 1 END AS brk
+  FROM starts
+),
+runs AS (
+  SELECT doc_id, gpos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos) AS run_id
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(gpos) AS INT) AS span_start,
+       CAST(max(gpos) + 49 AS INT) AS span_end,
+       CAST(max(gpos) + 50 - min(gpos) AS BIGINT) AS span_len
+FROM runs GROUP BY doc_id, run_id
+""",
+)
+def t18_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span accounting (Lee et al. 2022 §4.1, r07 verdict
+    stretch): one row per MAXIMAL duplicated token span of >= 50 tokens
+    — exactly the set the paper's suffix-array pass removes, computed
+    relationally because the union of duplicated 50-gram windows IS the
+    union of maximal duplicated substrings >= 50 (every 50-window of a
+    duplicated span is itself duplicated; proof in
+    ``operators/text.py:exact_substr_spans``). Deltas vs t14's
+    boilerplate scrub: duplication counts OCCURRENCES (an intra-doc
+    repeat qualifies; doc-frequency counting cannot see it), matching
+    is case-sensitive raw tokens, and the output is the span table a
+    cleaning pipeline audits BEFORE rewriting. All integer arithmetic —
+    positions, gaps-and-islands run ids, inclusive span ends — so no
+    rounding contract anywhere; the oracle re-derives the islands with
+    the same lag/sum windows over naive string grams (hash-fold vs
+    string key divergence only on a ~5e-15 64-bit collision, the
+    standing funnel tolerance)."""
+    return T.exact_substr_spans(load(spark, sf_dir, "documents"), min_len=50, min_count=2)
+
+
 @register(
     "m4b_video_decode_gate",
     oracle="""

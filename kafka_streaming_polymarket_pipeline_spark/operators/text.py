@@ -472,6 +472,33 @@ def _hashed_gram_keys(hs: Column, n: int) -> Column:
     return acc
 
 
+def _dup_gram_starts(df, id_col: str, text_col: str, min_len: int, min_count: int):
+    """Shared ExactSubstr discovery stage: ``(base, starts)`` where
+    ``base`` is (doc_id, toks, grams) over RAW-CASE tokens and
+    ``starts`` is (doc_id, gpos) for every ``min_len``-gram window with
+    >= ``min_count`` occurrences CORPUS-WIDE (an intra-doc repeat
+    qualifies — the occurrence count is over positions, not documents).
+    One groupBy on the hashed gram key + one gram-key equi-join."""
+    toks = tokens(F.col(text_col))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.when(F.size(tok_hashes) >= min_len, _hashed_gram_keys(tok_hashes, min_len))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("grams"),
+    )
+    pos_grams = base.select("doc_id", F.posexplode("grams").alias("gpos", "g"))
+    dup = (
+        pos_grams.groupBy("g")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("g")
+    )
+    starts = pos_grams.join(dup, "g").select("doc_id", "gpos")
+    return base, starts
+
+
 def exact_substr_spans(
     df,
     id_col: str = "doc_id",
@@ -518,22 +545,7 @@ def exact_substr_spans(
     """
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text_col))
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(F.size(tok_hashes) >= min_len, _hashed_gram_keys(tok_hashes, min_len))
-        .otherwise(F.array().cast("array<long>"))
-        .alias("grams"),
-    )
-    pos_grams = base.select("doc_id", F.posexplode("grams").alias("gpos", "g"))
-    dup = (
-        pos_grams.groupBy("g")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= min_count)
-        .select("g")
-    )
-    starts = pos_grams.join(dup, "g").select("doc_id", "gpos")
+    _base, starts = _dup_gram_starts(df, id_col, text_col, min_len, min_count)
     # gaps-and-islands: two duplicated windows [s1, s1+L-1], [s2, s2+L-1]
     # (s1 < s2) belong to one covered run iff s2 <= s1 + L (overlap or
     # adjacency); the window partitions by doc, so its state is bounded
@@ -556,6 +568,53 @@ def exact_substr_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
         )
+    )
+
+
+def exact_substr_scrub(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    min_count: int = 2,
+):
+    """The ExactSubstr REWRITE (Lee et al. 2022 §4.1): drop every token
+    position inside a duplicated substring of >= ``min_len`` tokens
+    (occurrence-counted corpus-wide — see :func:`exact_substr_spans`
+    for the covering-equivalence proof that fixed L-grams compute the
+    maximal-span removal set exactly), re-join the survivors in order.
+    Completes t18 the way t14 completes t13: t18 is the span AUDIT
+    table, this is the mutation a cleaning pipeline applies before
+    packing. Same deltas vs ``scrub_duplicated_spans``: occurrences
+    not doc-frequency, raw-case matching, paper-default L=50.
+
+    Plan: the shared discovery stage (one hashed-gram-key groupBy +
+    one equi-join), then per-doc start lists and the row-local
+    covered-range token filter (t14's measured rewrite shape — no
+    position explode, no (doc, pos) anti-join). ``base`` persists
+    across its discovery and rebuild consumers, the same
+    multi-consumer trade t14 measured (7.6 s -> ~4 s at sf0.1)."""
+    from pyspark import StorageLevel
+
+    base, starts = _dup_gram_starts(df, id_col, text_col, min_len, min_count)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    matched = starts.groupBy("doc_id").agg(F.collect_list("gpos").alias("starts"))
+    joined = base.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda _t, i: ~F.exists(
+            F.col("starts"), lambda s: (i >= s) & (i <= s + (min_len - 1))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
 
 

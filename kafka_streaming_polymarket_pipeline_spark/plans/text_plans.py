@@ -718,6 +718,57 @@ def t18_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t19_exact_substr_scrub",
+    oracle=f"""
+WITH tok_list AS (
+  SELECT doc_id, {_RTOKS} AS toks FROM documents
+),
+tp AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+  FROM tok_list, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+),
+pg AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS gpos,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 49 AS INT)), ' ') AS g
+  FROM tok_list, LATERAL (SELECT unnest(range(1, len(toks) - 48)) AS i)
+  WHERE len(toks) >= 50
+),
+dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT pg.doc_id, pg.gpos + k.k AS pos
+  FROM pg JOIN dup USING (g), LATERAL (SELECT unnest(range(0, 50)) AS k) k
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tok_list t LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def t19_exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REWRITE (Lee et al. 2022 §4.1): remove every token
+    position inside a duplicated substring of >= 50 tokens
+    (occurrence-counted, raw-case — t18's covering set), re-join the
+    survivors. Completes t18 the way t14 completes t13: the span table
+    audits, this mutates. One row per document (scrubbed text +
+    removal accounting), so untouched documents hash too — a silent
+    over-removal anywhere in the corpus flips the gate."""
+    return T.exact_substr_scrub(load(spark, sf_dir, "documents"), min_len=50, min_count=2)
+
+
+@register(
     "m4b_video_decode_gate",
     oracle="""
 SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,

@@ -17,7 +17,10 @@ from collections import Counter
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from kafka_streaming_polymarket_pipeline_spark.operators.text import exact_substr_spans
+from kafka_streaming_polymarket_pipeline_spark.operators.text import (
+    exact_substr_scrub,
+    exact_substr_spans,
+)
 
 
 def py_exact_substr_spans(docs, L, min_count=2):
@@ -85,6 +88,57 @@ def test_cross_doc_copy_and_maximality(spark):
     ]
     got = _spark_spans(spark, docs, L=5)
     assert got == {(1, 2, 8, 7), (2, 0, 6, 7)} == py_exact_substr_spans(docs, 5)
+
+
+def py_exact_substr_scrub(docs, L, min_count=2):
+    grams: Counter = Counter()
+    for _id, toks in docs:
+        for i in range(len(toks) - L + 1):
+            grams[tuple(toks[i : i + L])] += 1
+    out = {}
+    for did, toks in docs:
+        covered = set()
+        for i in range(len(toks) - L + 1):
+            if grams[tuple(toks[i : i + L])] >= min_count:
+                covered |= set(range(i, i + L))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[did] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+def _spark_scrub(spark, docs, L, min_count=2):
+    df = spark.createDataFrame(
+        [(did, " ".join(toks)) for did, toks in docs], "doc_id long, text string"
+    )
+    return {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in exact_substr_scrub(df, min_len=L, min_count=min_count).collect()
+    }
+
+
+@settings(max_examples=5, deadline=None)
+@given(_corpus, st.integers(min_value=2, max_value=4))
+def test_scrub_matches_python_reference(spark, corpus, L):
+    docs = [(i, toks) for i, toks in enumerate(corpus)]
+    assert _spark_scrub(spark, docs, L) == py_exact_substr_scrub(docs, L)
+
+
+def test_scrub_removes_exactly_the_spans(spark):
+    """t19 removes exactly the positions t18 reports: cross-doc shared
+    run scrubbed from both copies, unique tails and clean docs intact
+    (one output row per doc either way)."""
+    shared = "s1 s2 s3 s4 s5 s6 s7".split()
+    docs = [
+        (1, ["p", "q"] + shared + ["r"]),
+        (2, shared + ["m", "n", "o"]),
+        (3, ["clean", "doc", "stays"]),
+    ]
+    got = _spark_scrub(spark, docs, L=5)
+    assert got == {
+        1: ("p q r", 10, 7),
+        2: ("m n o", 10, 7),
+        3: ("clean doc stays", 3, 0),
+    } == py_exact_substr_scrub(docs, 5)
 
 
 def test_short_docs_and_no_duplicates_emit_nothing(spark):

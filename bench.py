@@ -97,6 +97,10 @@ HEAVY = [
     "d12_prefix_jaccard_join",      # AllPairs/PPJoin exact Jaccard
     "d13_keep_longest_per_cluster", # LSH -> CC -> per-cluster argmax
     "j10_interval_overlap_join",    # two-sided overlap join, day-ranked top-10
+    "d14_neardup_auto",             # routed exact-Jaccard facade (r08; the
+                                    # driver corpus routes to the LSH leg, so
+                                    # this trends the banded funnel at 19/20
+                                    # next to d12's AllPairs on the same task)
 ]
 
 # The driver records bench output from a bounded stdout tail capture

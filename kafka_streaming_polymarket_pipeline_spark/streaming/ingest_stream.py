@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from kafka_streaming_polymarket_pipeline_spark.streaming import dedup_stream as DS
 from kafka_streaming_polymarket_pipeline_spark.streaming.quality_stream import (
     ENTROPY_MIN_BITS,
+    _drift_stats_from_rows,
     quality_features_frame,
 )
 
@@ -54,21 +55,54 @@ def corpus_ingest_sink(
     threshold: float = 0.5,
     n: int = 5,
     entropy_min: float = ENTROPY_MIN_BITS,
+    monitor_reference: DataFrame | None = None,
+    monitor_mn: float | None = None,
+    monitor_mx: float | None = None,
+    monitor_col: str = "quality_logit",
+    monitor_bins: int = 10,
 ):
     """Standing job: per micro-batch, quality-gate the docs, quarantine
     rejects, then run the admitted docs through the incremental dedup
     probe + index extension. Layout under ``out_path``:
     ``quarantine/batch=<id>``, ``admitted/batch=<id>``,
-    ``pairs/batch=<id>``, ``index/...`` (dedup_stream's layout)."""
+    ``pairs/batch=<id>``, ``index/...`` (dedup_stream's layout).
+
+    Pass ``monitor_reference`` (a frozen histogram from
+    ``quality_stream.reference_histogram``, with its mn/mx binning
+    constants) to ALSO emit one drift reading per micro-batch under
+    ``monitor/batch=<id>``: (n_events, psi, ks_stat) of the INCOMING
+    population's ``monitor_col`` distribution — pre-gate, keep and
+    reject alike, because upstream drift is exactly what shifts the
+    admission rate, and a monitor that only sees admitted rows is blind
+    to the junk flood it exists to catch. Costs one pass over the
+    already-checkpointed features frame (a groupBy on <= monitor_bins
+    keys); the reference folds in driver-side ONCE at job build, not
+    per batch."""
     from kafka_streaming_polymarket_pipeline_spark.sources.sinks import (
         foreach_batch_sink,
     )
 
     index_path = os.path.join(out_path, "index")
+    ref_rows = None
+    if monitor_reference is not None:
+        if monitor_mn is None or monitor_mx is None:
+            raise ValueError(
+                "monitor_reference needs its binning constants: pass the "
+                "(mn, mx) that reference_histogram returned"
+            )
+        ref_rows = {
+            int(r["bin"]): float(r["ref_share"]) for r in monitor_reference.collect()
+        }
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
         feats = quality_features_frame(batch, entropy_min).localCheckpoint(eager=True)
+        if ref_rows is not None:
+            _drift_stats_from_rows(
+                feats, ref_rows, monitor_mn, monitor_mx, monitor_col, monitor_bins
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_path, "monitor", f"batch={batch_id}")
+            )
         feats.filter(~F.col("keep")).write.mode("overwrite").parquet(
             os.path.join(out_path, "quarantine", f"batch={batch_id}")
         )

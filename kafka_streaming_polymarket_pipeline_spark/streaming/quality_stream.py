@@ -149,7 +149,6 @@ def stream_drift_monitor(
     if mx <= mn:
         raise ValueError(f"degenerate binning range [{mn}, {mx}]")
     ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
-    ref_arr = F.array(*[F.lit(float(ref_rows.get(b, 0.0))) for b in range(n_bins)])
 
     binned = events.withWatermark(ts_col, watermark).select(
         F.col(ts_col),
@@ -162,17 +161,33 @@ def stream_drift_monitor(
             F.collect_list(F.struct("bin", "count"))
         ).alias("cmap"),  # <= n_bins entries
     )
+    stats = _psi_ks_expr(F.col("cmap"), F.col("n_events"), ref_rows, n_bins, eps)
+    return rolled.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        F.round(stats["psi"], 6).alias("psi"),
+        F.round(stats["mx"], 6).alias("ks_stat"),
+    )
 
-    # one fold over the fixed bin order computes PSI and the KS running
-    # max |CDF_live - CDF_ref| together; accumulator is (cum_p, cum_q,
-    # ks_max, psi)
+
+def _psi_ks_expr(cmap: F.Column, n_events: F.Column, ref_rows: dict, n_bins: int, eps: float):
+    """One fold over the fixed bin order 0..n_bins-1 computing PSI and
+    the KS running max |CDF_live − CDF_ref| together; accumulator is
+    (cum_p, cum_q, ks_max, psi). Shared by the streaming per-window
+    monitor and the batch/foreachBatch form so the two can never
+    disagree on the math. ``cmap`` is the bin->count map, ``n_events``
+    its total; reference bins absent from the live side contribute
+    their PSI terms and CDF jumps, bins in neither contribute exactly
+    0.0."""
+    ref_arr = F.array(*[F.lit(float(ref_rows.get(b, 0.0))) for b in range(n_bins)])
     acc0 = F.struct(
         F.lit(0.0).alias("cp"), F.lit(0.0).alias("cq"),
         F.lit(0.0).alias("mx"), F.lit(0.0).alias("psi"),
     )
 
     def step(acc, b):
-        p = F.coalesce(F.col("cmap")[b], F.lit(0)).cast("double") / F.col("n_events")
+        p = F.coalesce(cmap[b], F.lit(0)).cast("double") / n_events
         q = F.get(ref_arr, b)
         cp, cq = acc["cp"] + p, acc["cq"] + q
         pe, qe = p + F.lit(eps), q + F.lit(eps)
@@ -183,14 +198,52 @@ def stream_drift_monitor(
             (acc["psi"] + (pe - qe) * F.log(pe / qe)).alias("psi"),
         )
 
-    stats = F.aggregate(F.sequence(F.lit(0), F.lit(n_bins - 1)), acc0, step)
+    return F.aggregate(F.sequence(F.lit(0), F.lit(n_bins - 1)), acc0, step)
+
+
+def _drift_stats_from_rows(
+    df: DataFrame,
+    ref_rows: dict,
+    mn: float,
+    mx: float,
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Batch form of the drift monitor over a pre-collected reference:
+    ONE (n_events, psi, ks_stat) row for a static frame (empty input ->
+    zero rows, not a null reading). The foreachBatch building block —
+    a micro-batch IS the window, so no event-time machinery."""
+    if mx <= mn:
+        raise ValueError(f"degenerate binning range [{mn}, {mx}]")
+    binned = df.select(_bin_expr(value_col, mn, mx, n_bins).alias("bin"))
+    rolled = binned.groupBy("bin").count().agg(
+        F.sum("count").alias("n_events"),
+        F.map_from_entries(F.collect_list(F.struct("bin", "count"))).alias("cmap"),
+    )
+    stats = _psi_ks_expr(F.col("cmap"), F.col("n_events"), ref_rows, n_bins, eps)
     return rolled.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
         "n_events",
         F.round(stats["psi"], 6).alias("psi"),
         F.round(stats["mx"], 6).alias("ks_stat"),
-    )
+    ).filter(F.col("n_events") > 0)
+
+
+def drift_stats(
+    df: DataFrame,
+    reference: DataFrame,
+    mn: float,
+    mx: float,
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """One (n_events, psi, ks_stat) row for a static frame against the
+    frozen ``reference`` histogram — ``stream_drift_monitor``'s math
+    (same `_psi_ks_expr` fold, same clamped binning) without the
+    event-time window, for batch audits and foreachBatch monitors."""
+    ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
+    return _drift_stats_from_rows(df, ref_rows, mn, mx, value_col, n_bins, eps)
 
 
 def stream_psi_drift(

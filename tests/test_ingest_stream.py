@@ -110,3 +110,75 @@ def test_ingest_stream_equals_batch_and_rejects_never_indexed(spark, tmp_path):
     b1 = spark.read.parquet(f"{out}/pairs/batch=1")
     b1_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in b1.collect()}
     assert (0, 3) in b1_pairs and (1, 3) in b1_pairs
+
+
+def test_ingest_monitor_emits_per_batch_drift(spark, tmp_path):
+    """The wired drift monitor: per micro-batch, one (n_events, psi,
+    ks_stat) reading of the INCOMING quality-logit population against a
+    frozen reference — equal to the batch drift_stats over the same
+    files, pre-gate (keep and reject alike), and the junk-flood batch
+    reads as drifted while the clean batch reads near zero."""
+    from kafka_streaming_polymarket_pipeline_spark.streaming.quality_stream import (
+        drift_stats,
+        quality_features_frame,
+        reference_histogram,
+    )
+
+    # frozen reference: the char-entropy distribution of a clean corpus
+    # (clean text ~4 bits/char, the JUNK repetition exactly 1.0 — the
+    # deterministic drift axis; the logit axis works identically)
+    ref_docs = spark.createDataFrame(
+        [(100 + i, "en", "s0", BASE + f" extra{i}") for i in range(8)], SCHEMA
+    )
+    ref_feats = quality_features_frame(ref_docs)
+    reference, mn, mx = reference_histogram(
+        ref_feats, "char_entropy_bits", mn=0.0, mx=6.0
+    )
+
+    clean = [(i, "en", "s0", BASE + f" tail{i}") for i in range(4)]
+    flood = [(10 + i, "en", "s1", JUNK) for i in range(4)]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(clean, SCHEMA).coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)
+    spark.createDataFrame(flood, SCHEMA).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path / "out")
+    q = IS.corpus_ingest_sink(
+        stream, out, str(tmp_path / "ck"),
+        monitor_reference=reference, monitor_mn=mn, monitor_mx=mx,
+        monitor_col="char_entropy_bits",
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {}
+    for bid, rows in ((0, clean), (1, flood)):
+        mrow = spark.read.parquet(f"{out}/monitor/batch={bid}").collect()
+        assert len(mrow) == 1
+        got[bid] = (mrow[0]["n_events"], mrow[0]["psi"], mrow[0]["ks_stat"])
+        # equals the batch form over the same rows (shared fold)
+        feats = quality_features_frame(spark.createDataFrame(rows, SCHEMA))
+        want = drift_stats(feats, reference, mn, mx, "char_entropy_bits").collect()[0]
+        assert got[bid] == (want["n_events"], want["psi"], want["ks_stat"])
+    assert got[0][0] == 4 and got[1][0] == 4
+    # clean batch ~ reference; junk flood visibly drifted on both gates
+    assert got[0][1] < 0.5 < got[1][1]  # PSI
+    assert got[0][2] < 0.5 < got[1][2]  # KS
+
+
+def test_ingest_monitor_requires_binning_constants(spark, tmp_path):
+    import pytest
+
+    ref = spark.createDataFrame([(0, 0.5)], "bin int, ref_share double")
+    with pytest.raises(ValueError, match="binning constants"):
+        IS.corpus_ingest_sink(
+            spark.readStream.schema(SCHEMA).parquet(str(tmp_path)),
+            str(tmp_path / "o"), str(tmp_path / "c"),
+            monitor_reference=ref,
+        )

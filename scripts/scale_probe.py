@@ -48,7 +48,13 @@ QUERIES = ["d3_minhash_lsh", "t7_winnow_fingerprints", "q2_pq_adc_topk",
            "a24b_ewma_unbounded", "a24c_ewma_timeaware",
            "j8_asof_forward_join", "j9_asof_nearest_join",
            "w7_rolling_median", "d13_keep_longest_per_cluster",
-           "d12_prefix_jaccard_join"]
+           "d12_prefix_jaccard_join",
+           # round-8 additions: the routed facade (routes to the LSH leg
+           # on this templated generator), and the ExactSubstr pair
+           # (no planted 50-token copies here, so their output is ~0 and
+           # the probe measures the gram-count shuffle's scan scaling)
+           "d14_neardup_auto", "t18_exact_substr_spans",
+           "t19_exact_substr_scrub"]
 SCALES = {"0.1e": (5_000, 2_000), "0.3e": (15_000, 6_000), "1e": (50_000, 20_000)}
 # d3's cost driver is similar-pair mass, quadratic on this templated corpus
 # by construction — cap it at 0.3e unless --d3-full is passed.
@@ -66,7 +72,11 @@ CAPPED_AT_03E = {"d3_minhash_lsh", "c3_triangle_count",
                  # tokens, so d12 degenerates toward the naive join here
                  # (measured 70/258/1141 s at 5k/15k/50k — see SCALE.md
                  # round 6). The driver's real corpus has a long-tail vocab.
-                 "d12_prefix_jaccard_join"}
+                 "d12_prefix_jaccard_join",
+                 # d14 routes to the banded funnel here, whose candidate
+                 # mass on this 30-word-vocab generator is similar-pair
+                 # bound exactly like d3 (same cap, same reason)
+                 "d14_neardup_auto"}
 
 
 def gen(dirpath: str, n_docs: int, n_emb: int, seed: int = 7) -> None:

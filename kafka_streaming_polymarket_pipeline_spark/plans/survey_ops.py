@@ -2827,3 +2827,103 @@ def a32_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ta").cast("long").alias("n_a"),
         F.max("tb").cast("long").alias("n_b"),
     )
+
+
+@register(
+    "a33_wasserstein_drift",
+    oracle="""
+WITH rng AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+binned AS (
+  SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS INTEGER) AS bin,
+         user_id % 2 AS slice
+  FROM events, rng
+),
+joined AS (
+  SELECT bin,
+         count(*) FILTER (WHERE slice = 0) AS cnt_a,
+         count(*) FILTER (WHERE slice = 1) AS cnt_b
+  FROM binned GROUP BY bin
+),
+spine AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bin),
+full_bins AS (
+  SELECT s.bin, COALESCE(j.cnt_a, 0) AS cnt_a, COALESCE(j.cnt_b, 0) AS cnt_b
+  FROM spine s LEFT JOIN joined j USING (bin)
+),
+cum AS (
+  SELECT bin,
+         SUM(cnt_a) OVER (ORDER BY bin)
+           / (SELECT CAST(sum(cnt_a) AS DOUBLE) FROM full_bins) AS cdf_a,
+         SUM(cnt_b) OVER (ORDER BY bin)
+           / (SELECT CAST(sum(cnt_b) AS DOUBLE) FROM full_bins) AS cdf_b
+  FROM full_bins
+)
+SELECT round(sum(abs(cdf_a - cdf_b)) * (SELECT (mx - mn) / 10.0 FROM rng), 6)
+         AS w1_distance,
+       CAST((SELECT sum(cnt_a) FROM full_bins) AS BIGINT) AS n_a,
+       CAST((SELECT sum(cnt_b) FROM full_bins) AS BIGINT) AS n_b
+FROM cum
+""",
+)
+def a33_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned 1-Wasserstein (earth mover's) distance — the third drift
+    gate over the SAME 10-bin discretization and user-parity slices as
+    a31 (PSI) and a32 (KS): W1 = Σ_bins |CDF_a − CDF_b| · Δ with
+    Δ = (mx − mn)/10, i.e. the area between the two binned CDFs. The
+    triple covers the standard monitoring trade-offs: PSI is
+    mass-sensitive but support-blind, KS sees the single worst CDF gap,
+    W1 weighs HOW FAR mass moved — a small shift of all mass and a far
+    shift of little mass read identically in KS but not in W1.
+
+    One delta vs a32's plan: the cumulative window runs over a
+    LITERAL 10-row bin spine (left join + COALESCE 0), not just the
+    occupied bins — a bin empty in BOTH slices carries the previous
+    cumulative gap forward, and the SUM (unlike a32's MAX, which the
+    flat-CDF stretch can never raise) must count that persisted area.
+    The spine join is a broadcast of a 10-row range; every window runs
+    over exactly 10 rows (same bounded-window class as a30/a31/a32,
+    plan-guard allowlisted with rationale); slices count in the single
+    conditional-sum binning pass (one events scan). Float discipline:
+    bin edges are the same raw min/max expression both engines, the
+    only rounding is the final 6-dp output."""
+    ev = load(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))),
+            F.lit(9),
+        ).cast("int").alias("bin"),
+        (F.col("user_id") % 2).alias("slice"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("slice") == 0).alias("cnt_a"),
+        F.count_if(F.col("slice") == 1).alias("cnt_b"),
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    full_bins = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy()  # exactly 10 rows: the literal spine
+    ta = F.sum("cnt_a").over(wtot).cast("double")
+    tb = F.sum("cnt_b").over(wtot).cast("double")
+    cum = full_bins.select(
+        (F.sum("cnt_a").over(w) / ta).alias("cdf_a"),
+        (F.sum("cnt_b").over(w) / tb).alias("cdf_b"),
+        ta.alias("ta"), tb.alias("tb"),
+    )
+    width = rng.select(((F.col("mx") - F.col("mn")) / 10.0).alias("bw"))
+    return (
+        cum.agg(
+            F.sum(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("_s"),
+            F.max("ta").cast("long").alias("n_a"),
+            F.max("tb").cast("long").alias("n_b"),
+        )
+        .crossJoin(F.broadcast(width))
+        .select(
+            F.round(F.col("_s") * F.col("bw"), 6).alias("w1_distance"),
+            "n_a",
+            "n_b",
+        )
+    )

@@ -121,18 +121,19 @@ def stream_drift_monitor(
     n_bins: int = 10,
     eps: float = 1e-6,
 ) -> DataFrame:
-    """Streaming drift monitor — a31's PSI and a32's binned KS as ONE
-    standing job: per event-time window of the live stream, one emission
-    (window_start, window_end, n_events, psi, ks_stat) against the
-    static ``reference`` histogram (from ``reference_histogram``, which
-    also fixes the binning constants). The two statistics share the
-    frozen binning, the (window, bin) count state, and the per-window
-    roll-up, so monitoring both costs exactly one binning pass — the
-    same economy the batch pair gets from its shared 10-bin
-    discretization (plans/survey_ops.py a31/a32). KS here is the
+    """Streaming drift monitor — a31's PSI, a32's binned KS and a33's
+    binned Wasserstein-1 as ONE standing job: per event-time window of
+    the live stream, one emission (window_start, window_end, n_events,
+    psi, ks_stat, w1_distance) against the static ``reference``
+    histogram (from ``reference_histogram``, which also fixes the
+    binning constants). The three statistics share the frozen binning,
+    the (window, bin) count state, and the per-window roll-up, so
+    monitoring all of them costs exactly one binning pass — the same
+    economy the batch triple gets from its shared 10-bin discretization
+    (plans/survey_ops.py a31/a32/a33). KS/W1 here are the
     window-vs-reference form (live sample against the reference
-    sample's CDF over the same bins); batch a32 compares two slices —
-    same statistic, different populations, documented.
+    sample's CDF over the same bins); the batch forms compare two
+    slices — same statistics, different populations, documented.
 
     Plan shape: the reference is <= n_bins rows BY CONSTRUCTION, so it
     folds into the plan as literal per-bin shares (driver-side collect
@@ -141,11 +142,12 @@ def stream_drift_monitor(
     with the same constants -> identical bins. One watermarked
     (window, bin) count agg, then a per-window roll-up (a <= n_bins
     bin->count map) — two chained stateful aggs in append mode, the
-    Spark-4 pattern stream_asof_join uses. Both statistics then come
-    from ONE F.aggregate over the literal bin sequence 0..n_bins-1, so
-    reference bins ABSENT from the window contribute exactly their
-    drift mass (vanished-bin PSI terms; CDF jumps for KS) and bins in
-    NEITHER population contribute exactly 0.0."""
+    Spark-4 pattern stream_asof_join uses. All three statistics then
+    come from ONE F.aggregate over the literal bin sequence
+    0..n_bins-1, so reference bins ABSENT from the window contribute
+    exactly their drift mass (vanished-bin PSI terms; CDF jumps for
+    KS/W1) and bins in NEITHER population carry the persisted CDF gap
+    into W1 and exactly 0.0 into PSI/KS."""
     if mx <= mn:
         raise ValueError(f"degenerate binning range [{mn}, {mx}]")
     ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}
@@ -168,22 +170,27 @@ def stream_drift_monitor(
         "n_events",
         F.round(stats["psi"], 6).alias("psi"),
         F.round(stats["mx"], 6).alias("ks_stat"),
+        F.round(stats["w1"] * F.lit((mx - mn) / n_bins), 6).alias("w1_distance"),
     )
 
 
 def _psi_ks_expr(cmap: F.Column, n_events: F.Column, ref_rows: dict, n_bins: int, eps: float):
-    """One fold over the fixed bin order 0..n_bins-1 computing PSI and
-    the KS running max |CDF_live − CDF_ref| together; accumulator is
-    (cum_p, cum_q, ks_max, psi). Shared by the streaming per-window
-    monitor and the batch/foreachBatch form so the two can never
-    disagree on the math. ``cmap`` is the bin->count map, ``n_events``
-    its total; reference bins absent from the live side contribute
-    their PSI terms and CDF jumps, bins in neither contribute exactly
-    0.0."""
+    """One fold over the fixed bin order 0..n_bins-1 computing PSI, the
+    KS running max |CDF_live − CDF_ref|, and the unscaled Wasserstein-1
+    sum Σ|CDF_live − CDF_ref| (callers multiply by their bin width)
+    together; accumulator is (cum_p, cum_q, ks_max, psi, w1). Shared by
+    the streaming per-window monitor and the batch/foreachBatch form so
+    the forms can never disagree on the math. ``cmap`` is the
+    bin->count map, ``n_events`` its total; reference bins absent from
+    the live side contribute their PSI terms and CDF jumps, bins in
+    neither carry the persisted CDF gap into W1 (and exactly 0.0 into
+    PSI/KS) — the fold covers every bin, so no occupied-bin spine is
+    needed."""
     ref_arr = F.array(*[F.lit(float(ref_rows.get(b, 0.0))) for b in range(n_bins)])
     acc0 = F.struct(
         F.lit(0.0).alias("cp"), F.lit(0.0).alias("cq"),
         F.lit(0.0).alias("mx"), F.lit(0.0).alias("psi"),
+        F.lit(0.0).alias("w1"),
     )
 
     def step(acc, b):
@@ -196,6 +203,7 @@ def _psi_ks_expr(cmap: F.Column, n_events: F.Column, ref_rows: dict, n_bins: int
             cq.alias("cq"),
             F.greatest(acc["mx"], F.abs(cp - cq)).alias("mx"),
             (acc["psi"] + (pe - qe) * F.log(pe / qe)).alias("psi"),
+            (acc["w1"] + F.abs(cp - cq)).alias("w1"),
         )
 
     return F.aggregate(F.sequence(F.lit(0), F.lit(n_bins - 1)), acc0, step)
@@ -226,6 +234,7 @@ def _drift_stats_from_rows(
         "n_events",
         F.round(stats["psi"], 6).alias("psi"),
         F.round(stats["mx"], 6).alias("ks_stat"),
+        F.round(stats["w1"] * F.lit((mx - mn) / n_bins), 6).alias("w1_distance"),
     ).filter(F.col("n_events") > 0)
 
 
@@ -263,7 +272,7 @@ def stream_psi_drift(
     state, one more output column that this projection drops)."""
     return stream_drift_monitor(
         events, reference, mn, mx, ts_col, value_col, every, watermark, n_bins, eps
-    ).drop("ks_stat")
+    ).drop("ks_stat", "w1_distance")
 
 
 def stream_ks_drift(
@@ -282,4 +291,4 @@ def stream_ks_drift(
     streaming form)."""
     return stream_drift_monitor(
         events, reference, mn, mx, ts_col, value_col, every, watermark, n_bins
-    ).drop("psi")
+    ).drop("psi", "w1_distance")

@@ -315,6 +315,11 @@ def main() -> None:
             t0 = time.perf_counter()
             registry[name](spark, d).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            # queries that persist multi-consumer frames (the LSH funnel
+            # family) otherwise tax whatever runs next in this session —
+            # measured: t18's 0.1e row read 113 s after d14's passes vs
+            # 21.3 s in a clean session (SCALE.md round 8)
+            spark.catalog.clearCache()
             row = {"query": name, "scale": label, "sec": round(dt, 2)}
             results.append(row)
             print(json.dumps(row), flush=True)

@@ -64,6 +64,12 @@ ALLOWED_NESTED = {
     "a32_ks_two_sample": "same one-row broadcast min/max aggregate and "
                          "single conditional-sum binning pass as a31; the "
                          "CDF window runs over <=10 bin rows",
+    "a33_wasserstein_drift": "same one-row broadcast min/max aggregate, "
+                             "conditional-sum binning pass and one-row "
+                             "bin-width broadcast as a31/a32; the CDF "
+                             "window runs over the LITERAL 10-row bin "
+                             "spine (empty-both bins must carry their "
+                             "persisted CDF gap into the W1 sum)",
     "c1_kmeans_assign": "Lloyd assignment passes crossJoin against the "
                         "broadcast k-row (k=8) centroid table",
     "x6_unimax_budget": "crossJoins against the broadcast one-row "

@@ -202,7 +202,7 @@ def test_stream_drift_monitor_ks_matches_python_reference(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     got = {
-        r["window_start"].minute: (r["n_events"], r["psi"], r["ks_stat"])
+        r["window_start"].minute: (r["n_events"], r["psi"], r["ks_stat"], r["w1_distance"])
         for r in spark.read.parquet(out).collect()
     }
     assert set(got) == {0, 15}
@@ -213,25 +213,31 @@ def test_stream_drift_monitor_ks_matches_python_reference(spark, tmp_path):
         for v in values:
             b = max(min(math.floor((v - 0.0) * n_bins / 100.0), n_bins - 1), 0)
             cnt[b] = cnt.get(b, 0) + 1
-        eps, psi, cp, cq, ks = 1e-6, 0.0, 0.0, 0.0, 0.0
+        eps, psi, cp, cq, ks, w1 = 1e-6, 0.0, 0.0, 0.0, 0.0, 0.0
         for b in range(n_bins):
             p = cnt.get(b, 0) / n
             q = ref.get(b, 0.0)
             cp, cq = cp + p, cq + q
             ks = max(ks, abs(cp - cq))
+            w1 += abs(cp - cq)
             psi += (p + eps - q - eps) * math.log((p + eps) / (q + eps))
-        return n, psi, ks
+        return n, psi, ks, w1 * (100.0 / n_bins)  # scaled to value units
 
     for minute, values in (
         (0, [10.0 * i + 5 for i in range(10)]),
         (15, [1.0, 1.0, 1.0, 1.0, -500.0]),
     ):
-        n, psi, ks = py_stats(values)
+        n, psi, ks, w1 = py_stats(values)
         assert got[minute][0] == n
         assert abs(got[minute][1] - psi) <= 1e-6
         assert abs(got[minute][2] - ks) <= 1e-6
+        assert abs(got[minute][3] - w1) <= 1e-6
     assert got[0][2] < 0.05 < got[15][2]  # matched ~0, drifted ~0.9
     assert abs(got[15][2] - 0.9) <= 1e-6
+    # W1 in value units: all mass moved from mid-range bins to bin 0 —
+    # cumulative gap 0.9, 0.8, ... 0.1 over 10-unit bins = 45.0 exactly
+    assert got[0][3] < 1.0 < got[15][3]
+    assert abs(got[15][3] - 45.0) <= 1e-5
 
     # the single-stat views are projections of the same plan
     ks_only = QS.stream_ks_drift(stream, reference, mn, mx, every="15 minutes")
@@ -300,7 +306,7 @@ def test_stream_drift_monitor_checkpoint_recovery(spark, tmp_path):
 
     def rows(p):
         return {
-            (r["window_start"], r["n_events"], r["psi"], r["ks_stat"])
+            (r["window_start"], r["n_events"], r["psi"], r["ks_stat"], r["w1_distance"])
             for r in spark.read.parquet(str(p)).collect()
         }
 

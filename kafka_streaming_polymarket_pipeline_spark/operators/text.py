@@ -799,6 +799,106 @@ def quality_classifier_features(text: Column) -> dict[str, Column]:
     }
 
 
+def train_quality_lr(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    lr: float = 1.0,
+    iters: int = 2,
+    entropy_min: float = 2.0,
+):
+    """TRAIN a quality classifier in-engine: distributed logistic
+    regression over md5-hashed unigram buckets, distilling the
+    char-entropy gate (t17's expensive O(len log len) signal) into a
+    cheap linear scorer — the CCNet/GPT-3 quality-filter BOOTSTRAP
+    (train a fast classifier on labels from a slower oracle), where
+    t16 is the inference half of the same story. Extends the
+    hash-gated ITERATIVE family (c1 k-means, c2 PageRank, v1 BPE) to
+    model training: every gradient step is engine-exact by the same
+    rounding discipline, so a DuckDB oracle can unroll the whole
+    descent in CTEs.
+
+    Math: features x_db = (tokens of doc d hashing to bucket b) / n_d;
+    labels y_d = [rounded char entropy >= entropy_min]; from w = 0,
+    each step takes w_b <- round(w_b - lr * round(Σ_d (p_d - y_d) x_db
+    / N, 6), 6) with p_d = sigmoid(round(Σ_b x_db w_b, 6)). Rounding at
+    the three accumulation boundaries (per-doc logit, per-bucket
+    gradient, weight update) is what makes engines agree: sums differ
+    across engines only by float association (~1e-15), and exp/log run
+    on identical 6-dp inputs (the t16/a31 precedent; iteration 1 needs
+    no exp at all — w=0 makes p exactly 0.5 on both engines).
+
+    Scale shape per iteration: one broadcast join of the <= n_buckets
+    weight table onto the (doc, bucket, cnt) frame + a groupBy(doc)
+    for logits, one groupBy(bucket) for gradients (map-side partial
+    sums), one <= n_buckets-row update. The (doc, bucket) frame is
+    persisted once and reused by every iteration's two consumers. N
+    and the weight table fold in via broadcast — nothing collects.
+    Output: (bucket, weight), exactly ``n_buckets`` rows (a literal
+    spine keeps never-observed buckets at their running value)."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    toks = tokens(F.lower(F.col(text_col)))
+    base = char_entropy_frame(df, text_col).select(
+        F.col(id_col).alias("did"),
+        toks.alias("toks"),
+        (F.round(F.col("char_entropy_bits"), 6) >= entropy_min)
+        .cast("double")
+        .alias("y"),
+    ).withColumn("n", F.greatest(F.size("toks"), F.lit(1)).cast("double"))
+    ncnt = base.agg(F.count("*").cast("double").alias("N"))
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+    tb = (
+        base.select("did", "y", "n", F.explode("toks").alias("t"))
+        .select("did", "y", "n", bucket.alias("bucket"))
+        .groupBy("did", "y", "n", "bucket")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    w = spine.select("bucket", F.lit(0.0).alias("weight"))
+    for _ in range(iters):
+        logits = (
+            tb.join(F.broadcast(w), "bucket")
+            .groupBy("did", "y", "n")
+            .agg(F.sum(F.col("cnt") * F.col("weight")).alias("s"))
+            .select(
+                "did",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-F.round(F.col("s") / F.col("n"), 6)))
+                ).alias("p"),
+            )
+        )
+        grad = (
+            tb.join(logits, "did")
+            .groupBy("bucket")
+            .agg(
+                F.sum((F.col("p") - F.col("y")) * F.col("cnt") / F.col("n")).alias(
+                    "gsum"
+                )
+            )
+        )
+        w = (
+            spine.join(F.broadcast(grad), "bucket", "left")
+            .join(F.broadcast(w.withColumnRenamed("weight", "w_old")), "bucket")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "bucket",
+                F.round(
+                    F.col("w_old")
+                    - lr * F.round(F.coalesce("gsum", F.lit(0.0)) / F.col("N"), 6),
+                    6,
+                ).alias("weight"),
+            )
+        )
+    return w
+
+
 def char_entropy_frame(df, text_col: str = "text"):
     """Attach `n_chars_split`, `n_distinct_chars`, `char_entropy_bits`
     (unrounded) for the Shannon character entropy of ``text_col`` — the

@@ -69,7 +69,7 @@ _REGISTRY: dict[str, Query] = {}
 #
 # ---- r08 gate prefix (exactly 50 entries) ----
 # Rotation rule order (r05 verdict task 4; see the invariant above):
-# Block 1 (6, never-audited + changed-code): a31_psi_drift and
+# Block 1 (7, never-audited + changed-code): a31_psi_drift and
 # a32_ks_two_sample — the round-7 additions registered past the r07
 # window (each locally hash-verified at sf0.001/0.01/0.1 via
 # scripts/driver_sim.py and independently hash-verified by the r07
@@ -77,14 +77,17 @@ _REGISTRY: dict[str, Query] = {}
 # replacing the per-slice branches — r07 ADVICE), so rules 1 and 2
 # both land them here. a33_wasserstein_drift (the drift triple's third
 # gate, adjacent to its siblings), d14_neardup_auto,
-# t18_exact_substr_spans and t19_exact_substr_scrub are the round-8
-# additions (binned W1 over the shared discretization; the routed
-# AllPairs-vs-LSH facade, VERDICT r07 task 3; the ExactSubstr
-# maximal-span audit + its rewrite, task 8 stretch), registered
-# IN-window this time; each hash-verified at 3 SFs via driver_sim
-# before commit. Their entries displace r18_large_orders, a1_array_sum,
-# a2_argmax_per_group and a3_positional_first (r05-green, now the head
-# of the r09 queue; each re-verified via driver_sim on displacement).
+# t18_exact_substr_spans, t19_exact_substr_scrub and
+# t20_quality_lr_train are the round-8 additions (binned W1 over the
+# shared discretization; the routed AllPairs-vs-LSH facade, VERDICT
+# r07 task 3; the ExactSubstr maximal-span audit + its rewrite, task 8
+# stretch; in-engine logistic-regression training distilling the
+# entropy gate — the iterative-oracle family's first TRAINING member),
+# registered IN-window this time; each hash-verified at 3 SFs via
+# driver_sim before commit. Their entries displace r14_promo_share,
+# r18_large_orders, a1_array_sum, a2_argmax_per_group and
+# a3_positional_first (r05-green, now the head of the r09 queue; each
+# re-verified via driver_sim on displacement).
 # Block 2 (29, the r04-stale rows — ALL of them): the r07 verdict
 # scheduled 15 by name (u8, w4, a18, a19, w5, r6, r9, r10, a20, a21,
 # a22, m4 + twin m4b adjacent, t14, sh2) but undercounted — the
@@ -97,11 +100,11 @@ _REGISTRY: dict[str, Query] = {}
 # by-design: JPEG pixel math is not SQL-expressible; its hash-gated
 # twin m4b sits adjacent) — CORRECTNESS_r08 green target is therefore
 # 49 hash-green + 1 documented rows-only row.
-# Block 3 (15): the oldest remaining green rows (r05),
+# Block 3 (14): the oldest remaining green rows (r05),
 # registration-family order. Max staleness after r08: 3 rounds (the
-# 35 remaining r05 rows — r18_large_orders, a1_array_sum,
-# a2_argmax_per_group and a3_positional_first now first among them —
-# which open the tail below as the r09 queue).
+# 36 remaining r05 rows — r14_promo_share, r18_large_orders,
+# a1_array_sum, a2_argmax_per_group and a3_positional_first now first
+# among them — which open the tail below as the r09 queue).
 # NOTE t14_span_scrub sits in block 2 AND its shared operator module
 # changed this round (the gram-key fold factored to _hashed_gram_keys
 # for t18) — rule 2 and rule 3 coincide on it.
@@ -112,6 +115,7 @@ _DRIVER_PRIORITY: list[str] = [
     "d14_neardup_auto",
     "t18_exact_substr_spans",
     "t19_exact_substr_scrub",
+    "t20_quality_lr_train",
     "u8_except_all_pairs",
     "w4_trailing_range_window",
     "a18_funnel_stages",

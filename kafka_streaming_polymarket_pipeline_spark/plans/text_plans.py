@@ -769,6 +769,78 @@ def t19_exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t20_quality_lr_train",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         string_split(text, '') AS chars
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+         CASE WHEN round(-coalesce(list_sum(list_transform(
+                list_sort(list_distinct(chars)),
+                ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE))
+                      * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE)))), 0.0), 6)
+              >= 2.0 THEN 1.0 ELSE 0.0 END AS y
+  FROM base
+),
+ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM lab),
+tb AS (
+  SELECT doc_id, y, n,
+         CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM (SELECT doc_id, y, n, unnest(toks) AS t FROM lab)
+  GROUP BY 1, 2, 3, 4
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+g1 AS (
+  SELECT bucket,
+         round(sum((0.5 - y) * cnt / n) / (SELECT nn FROM ncnt), 6) AS g
+  FROM tb GROUP BY bucket
+),
+w1 AS (
+  SELECT s.bucket, round(0.0 - 1.0 * COALESCE(g1.g, 0.0), 6) AS weight
+  FROM spine s LEFT JOIN g1 USING (bucket)
+),
+p2 AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-round(sum(tb.cnt * w1.weight) / any_value(tb.n), 6))) AS p
+  FROM tb JOIN w1 USING (bucket) GROUP BY doc_id
+),
+g2 AS (
+  SELECT tb.bucket,
+         round(sum((p2.p - tb.y) * tb.cnt / tb.n) / (SELECT nn FROM ncnt), 6) AS g
+  FROM tb JOIN p2 USING (doc_id) GROUP BY tb.bucket
+)
+SELECT s.bucket, round(w1.weight - 1.0 * COALESCE(g2.g, 0.0), 6) AS weight
+FROM spine s JOIN w1 ON s.bucket = w1.bucket LEFT JOIN g2 ON s.bucket = g2.bucket
+""",
+)
+def t20_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine distributed TRAINING of a quality classifier: two
+    logistic-regression gradient steps over 64 md5-hashed unigram
+    buckets, labels distilled from the char-entropy gate (train a fast
+    linear scorer on a slower oracle's labels — the CCNet/GPT-3
+    quality-filter bootstrap; t16 is the matching inference shape).
+    Extends the hash-gated iterative family (c1 Lloyd, c2 power
+    iteration, v1 BPE merges) to gradient descent: the oracle unrolls
+    both steps in CTEs, and the 6-dp rounding at each accumulation
+    boundary (per-doc logit, per-bucket gradient, weight update) makes
+    every intermediate engine-exact — iteration 1 needs no exp at all
+    (w=0 gives p=0.5 exactly on both engines), iteration 2's sigmoid
+    runs on identical rounded logits. Output: exactly 64 (bucket,
+    weight) rows via a literal spine. Per-iteration cost: one broadcast
+    join of the 64-row weight table + two map-side-combined groupBys —
+    nothing collects, nothing is quadratic."""
+    return T.train_quality_lr(load(spark, sf_dir, "documents"))
+
+
+@register(
     "m4b_video_decode_gate",
     oracle="""
 SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,

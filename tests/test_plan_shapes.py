@@ -70,6 +70,11 @@ ALLOWED_NESTED = {
                              "window runs over the LITERAL 10-row bin "
                              "spine (empty-both bins must carry their "
                              "persisted CDF gap into the W1 sum)",
+    "t20_quality_lr_train": "crossJoin against the broadcast ONE-ROW doc "
+                            "count (the gradient's 1/N scale) once per "
+                            "gradient step; everything else is equi-joins "
+                            "on bucket/doc keys and the 64-row weight "
+                            "spine",
     "c1_kmeans_assign": "Lloyd assignment passes crossJoin against the "
                         "broadcast k-row (k=8) centroid table",
     "x6_unimax_budget": "crossJoins against the broadcast one-row "

@@ -1,0 +1,100 @@
+"""In-engine logistic-regression training (t20) vs a plain-Python
+recomputation of the identical descent (same md5 bucketing, same 6-dp
+rounding boundaries), plus proof that the training LEARNS: the weights
+it produces must separate clean text from junk when applied as the
+linear scorer they're trained to be."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_polymarket_pipeline_spark.operators.text import train_quality_lr
+
+CLEAN = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "distributed query engines shuffle sorted batches into hash tables",
+    "watermarks bound streaming state while windows aggregate events",
+    "broadcast joins keep the small dimension resident on every core",
+]
+JUNK = ["aa aa aa aa aa aa aa aa aa aa aa aa", "zz zz zz zz zz zz zz zz zz zz"]
+
+
+def py_train(docs, n_buckets=64, lr=1.0, iters=2, entropy_min=2.0):
+    def label(text):
+        chars = list(text)
+        n = max(len(chars), 1)
+        ent = -sum(
+            (k / n) * math.log2(k / n) for k in Counter(chars).values()
+        ) if chars else 0.0
+        return 1.0 if round(ent, 6) >= entropy_min else 0.0
+
+    rows = []
+    for _did, text in docs:
+        toks = [t for t in text.lower().split(" ") if t]
+        cnt: Counter = Counter(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+            for t in toks
+        )
+        rows.append((label(text), float(max(len(toks), 1)), cnt))
+    big_n = float(len(rows))
+    w = [0.0] * n_buckets
+    for _ in range(iters):
+        grads = [0.0] * n_buckets
+        for y, n, cnt in rows:
+            z = round(sum(c * w[b] for b, c in cnt.items()) / n, 6)
+            p = 1.0 / (1.0 + math.exp(-z))
+            for b, c in cnt.items():
+                grads[b] += (p - y) * c / n
+        w = [round(w[b] - lr * round(grads[b] / big_n, 6), 6) for b in range(n_buckets)]
+    return w
+
+
+def test_training_matches_python_reference(spark):
+    docs = [(i, t) for i, t in enumerate(CLEAN + JUNK)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["bucket"]: r["weight"] for r in train_quality_lr(df).collect()}
+    want = py_train(docs)
+    assert set(got) == set(range(64))
+    for b in range(64):
+        # both sides round to 6dp at the same boundaries; allow one
+        # rounding quantum for boundary-straddling float association
+        assert abs(got[b] - want[b]) <= 1.1e-6, (b, got[b], want[b])
+
+
+def test_trained_weights_separate_clean_from_junk(spark):
+    """The point of training: applying the learned weights as the mean
+    bucket-weight scorer must rank every clean doc above every junk
+    doc (junk's repeated token concentrates negative-gradient mass in
+    one bucket)."""
+    docs = [(i, t) for i, t in enumerate(CLEAN + JUNK)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = {r["bucket"]: r["weight"] for r in train_quality_lr(df).collect()}
+
+    def score(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        return sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64] for t in toks
+        ) / max(len(toks), 1)
+
+    clean_scores = [score(t) for t in CLEAN]
+    junk_scores = [score(t) for t in JUNK]
+    assert min(clean_scores) > max(junk_scores)
+    assert max(junk_scores) < 0 < min(clean_scores)
+
+
+def test_spine_keeps_unobserved_buckets(spark):
+    """Exactly n_buckets rows regardless of corpus vocabulary; buckets
+    no token hashes to stay at 0.0 through every iteration."""
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    out = train_quality_lr(df, n_buckets=16).collect()
+    assert len(out) == 16
+    hit = int(hashlib.md5(b"solo").hexdigest()[:8], 16) % 16
+    for r in out:
+        if r["bucket"] == hit:
+            assert r["weight"] != 0.0
+        else:
+            assert r["weight"] == 0.0

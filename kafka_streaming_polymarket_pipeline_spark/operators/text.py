@@ -899,6 +899,44 @@ def train_quality_lr(
     return w
 
 
+def apply_quality_lr(
+    df,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Inference with TRAINED weights — the consumer of
+    :func:`train_quality_lr`'s output (t16 runs the same shape over a
+    stand-in hash-derived vector; this closes the train->apply loop a
+    real pipeline runs). The <= n_buckets weight table folds in as one
+    broadcast join on the hashed bucket key; scoring is the mean bucket
+    weight over the doc's tokens, the exact linear form the gradient
+    optimized. Returns (doc_id, quality_logit, quality_prob, keep) with
+    the t16 rounding contract (sigmoid over the 6-dp-rounded logit)."""
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).withColumn(
+        "n", F.greatest(F.size("toks"), F.lit(1)).cast("double")
+    )
+    scored = (
+        base.select("doc_id", "n", F.explode_outer("toks").alias("t"))
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id", "n")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("s"))
+    )
+    logit = F.round(F.col("s") / F.col("n"), 6)
+    return scored.select(
+        "doc_id",
+        logit.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
+        (logit >= 0).alias("keep"),
+    )
+
+
 def char_entropy_frame(df, text_col: str = "text"):
     """Attach `n_chars_split`, `n_distinct_chars`, `char_entropy_bits`
     (unrounded) for the Shannon character entropy of ``text_col`` — the

@@ -12,7 +12,10 @@ from collections import Counter
 
 from pyspark.sql import functions as F
 
-from kafka_streaming_polymarket_pipeline_spark.operators.text import train_quality_lr
+from kafka_streaming_polymarket_pipeline_spark.operators.text import (
+    apply_quality_lr,
+    train_quality_lr,
+)
 
 CLEAN = [
     "the quick brown fox jumps over the lazy dog near the river bank",
@@ -84,6 +87,67 @@ def test_trained_weights_separate_clean_from_junk(spark):
     junk_scores = [score(t) for t in JUNK]
     assert min(clean_scores) > max(junk_scores)
     assert max(junk_scores) < 0 < min(clean_scores)
+
+
+def test_apply_closes_the_train_infer_loop(spark):
+    """apply_quality_lr over the trained weights reproduces the python
+    scorer exactly (same mean-bucket-weight linear form the descent
+    optimized), flags every junk doc keep=False and every clean doc
+    keep=True, and scores an empty doc 0.0 instead of dropping it."""
+    docs = [(i, t) for i, t in enumerate(CLEAN + JUNK)] + [(99, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = train_quality_lr(df)
+    got = {r["doc_id"]: r for r in apply_quality_lr(df, w).collect()}
+    wmap = {r["bucket"]: r["weight"] for r in w.collect()}
+    assert set(got) == set(range(len(CLEAN) + len(JUNK))) | {99}
+    for did, text in docs:
+        toks = [t for t in text.lower().split(" ") if t]
+        want = round(
+            sum(
+                wmap[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64]
+                for t in toks
+            )
+            / max(len(toks), 1),
+            6,
+        )
+        assert abs(got[did]["quality_logit"] - want) <= 1.1e-6
+        assert got[did]["keep"] == (got[did]["quality_logit"] >= 0)
+    assert got[99]["quality_logit"] == 0.0
+    for i in range(len(CLEAN)):
+        assert got[i]["keep"]
+    for i in range(len(CLEAN), len(CLEAN) + len(JUNK)):
+        assert not got[i]["keep"]
+
+
+def test_training_decreases_logloss(spark):
+    """Each gradient step must reduce the mean logistic loss on the
+    training labels — the descent is a descent, not just a hash-stable
+    computation."""
+    docs = [(i, t) for i, t in enumerate(CLEAN + JUNK)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def logloss(wmap):
+        total = 0.0
+        for _did, text in docs:
+            toks = [t for t in text.lower().split(" ") if t]
+            y = 1.0 if text in CLEAN else 0.0
+            z = sum(
+                wmap.get(int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64, 0.0)
+                for t in toks
+            ) / max(len(toks), 1)
+            p = 1.0 / (1.0 + math.exp(-z))
+            total += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        return total / len(docs)
+
+    losses = [logloss({})]  # w=0 baseline: ln(2)
+    for k in (1, 2, 3):
+        wmap = {
+            r["bucket"]: r["weight"]
+            for r in train_quality_lr(df, iters=k).collect()
+        }
+        losses.append(logloss(wmap))
+    assert abs(losses[0] - math.log(2)) < 1e-12
+    assert losses[0] > losses[1] > losses[2] > losses[3]
 
 
 def test_spine_keeps_unobserved_buckets(spark):

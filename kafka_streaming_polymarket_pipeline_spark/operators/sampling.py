@@ -170,3 +170,131 @@ def weighted_sample_topk(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    k: int = 100,
+    n_buckets: int = 64,
+    entropy_min: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the raw-corpus documents whose hashed-n-gram distribution looks
+    most like a TARGET slice — the standard pretraining-data selection
+    step ("make the crawl look like Wikipedia"). Target here is the
+    char-entropy-gated slice (round(entropy, 6) >= ``entropy_min``), the
+    same distillation signal t20 trains on; raw is the whole corpus.
+
+    Math: features are md5-hashed unigrams+bigrams in ``n_buckets``
+    buckets (the paper's hashed n-gram space; t16's fastText feature
+    shape). Bag-of-words bucket models with add-one smoothing:
+    p_b = (tgt_b + 1) / (T + B), q_b = (raw_b + 1) / (R + B). A doc's
+    importance log-weight is sum_b c_db * (ln p_b - ln q_b); sampling
+    WITHOUT replacement from weights ~ exp(logw) is Gumbel-top-k:
+    key = logw + g_d with g_d = -ln(-ln(u_d)) from a deterministic
+    md5 uniform (the x8 Efraimidis-Spirakis cousin — E-S keys ln(u)/w;
+    Gumbel-top-k adds noise to the LOG weight, the form DSIR states).
+
+    Engine-exactness is INTEGER, stronger than the 6-dp precedent: the
+    per-bucket log-ratio and the per-doc Gumbel are each rounded once to
+    integer MICRO-units (x1e6, <= n_buckets + n_docs rounding sites on
+    identical doubles), and everything after — the per-doc score
+    sum(c_db * lam_b), the key, the top-k cut — is exact BIGINT
+    arithmetic, immune to float association order on any engine.
+
+    Scale shape: one gram explode (the word-count shuffle), two
+    <= n_buckets-row aggregates folded back via broadcast, one
+    groupBy(doc) bigint sum, then TakeOrderedAndProject (per-partition
+    heaps, k-row driver merge — no global sort). Nothing collects; the
+    model tables stay bytes-sized however the corpus grows. Gramless
+    (empty-text) docs carry logw = 0 — an empty product is weight 1,
+    so they compete on Gumbel noise alone, matching the oracle.
+
+    Reference lineage: the reference has no data-selection surface; this
+    extends the training-data family (x1-x8) per SURVEY §6.
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import (
+        _gram_join,
+        char_entropy_frame,
+        tokens,
+    )
+
+    spark = df.sparkSession
+    toks = tokens(F.lower(F.col(text_col)))
+    base = char_entropy_frame(df, text_col).select(
+        F.col(id_col).alias("did"),
+        toks.alias("toks"),
+        (F.round(F.col("char_entropy_bits"), 6) >= entropy_min)
+        .cast("int")
+        .alias("tgt"),
+    )
+    bigrams = F.when(F.size("toks") >= 2, _gram_join(F.col("toks"), 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = base.select(
+        "did", "tgt", F.explode(F.concat(F.col("toks"), bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+    tb = (
+        grams.select("did", "tgt", bucket.alias("bucket"))
+        .groupBy("did", "tgt", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    bt = spine.join(
+        tb.groupBy("bucket").agg(
+            F.sum("cnt").alias("raw_cnt"),
+            F.sum(F.when(F.col("tgt") == 1, F.col("cnt"))).alias("tgt_cnt"),
+        ),
+        "bucket",
+        "left",
+    ).select(
+        "bucket",
+        F.coalesce("raw_cnt", F.lit(0)).alias("raw_cnt"),
+        F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+    )
+    tot = bt.agg(
+        F.sum("raw_cnt").cast("double").alias("rtot"),
+        F.sum("tgt_cnt").cast("double").alias("ttot"),
+    )
+    lam = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("tgt_cnt") + 1.0) / (F.col("ttot") + float(n_buckets)))
+                - F.log((F.col("raw_cnt") + 1.0) / (F.col("rtot") + float(n_buckets)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lam_micro"),
+    )
+    scores = (
+        base.select("did")
+        .join(
+            tb.join(F.broadcast(lam), "bucket")
+            .groupBy("did")
+            .agg(F.sum(F.col("cnt") * F.col("lam_micro")).alias("s")),
+            "did",
+            "left",
+        )
+        .select("did", F.coalesce("s", F.lit(0)).cast("long").alias("score_micro"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("did").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)  # (0, 1)
+    g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("long")
+    return (
+        scores.select(
+            F.col("did").alias(id_col),
+            "score_micro",
+            (F.col("score_micro") + g_micro).alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(k)
+    )

@@ -108,6 +108,10 @@ _REGISTRY: dict[str, Query] = {}
 # NOTE t14_span_scrub sits in block 2 AND its shared operator module
 # changed this round (the gram-key fold factored to _hashed_gram_keys
 # for t18) — rule 2 and rule 3 coincide on it.
+# POST-WINDOW round-8 additions (the a31/a32 precedent: registered
+# past the 50-row prefix, hash-verified at sf0.001/0.01/0.1 via
+# scripts/driver_sim.py before commit, scheduled to LEAD the r09
+# prefix as never-officially-audited): x9_dsir_resample.
 _DRIVER_PRIORITY: list[str] = [
     "a31_psi_drift",
     "a32_ks_two_sample",

@@ -315,3 +315,88 @@ def x8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.weighted_sample_topk(
         docs, k=500, weight_col=F.greatest(F.col("n_chars"), F.lit(1))
     )
+
+
+@register(
+    "x9_dsir_resample",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         string_split(text, '') AS chars
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         CASE WHEN round(-coalesce(list_sum(list_transform(
+                list_sort(list_distinct(chars)),
+                ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE))
+                      * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE)))), 0.0), 6)
+              >= 2.0 THEN 1 ELSE 0 END AS tgt
+  FROM base
+),
+grams AS (
+  SELECT doc_id, tgt, unnest(toks) AS g FROM lab
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM lab WHERE len(toks) >= 2
+),
+tb AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+bt AS (
+  SELECT s.bucket,
+         coalesce(sum(tb.cnt), 0) AS raw_cnt,
+         coalesce(sum(CASE WHEN tb.tgt = 1 THEN tb.cnt END), 0) AS tgt_cnt
+  FROM spine s LEFT JOIN tb USING (bucket) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS rtot,
+         CAST(sum(tgt_cnt) AS DOUBLE) AS ttot
+  FROM bt
+),
+lam AS (
+  SELECT bucket,
+         CAST(round((ln((tgt_cnt + 1.0) / (ttot + 64.0))
+                     - ln((raw_cnt + 1.0) / (rtot + 64.0))) * 1e6) AS BIGINT)
+           AS lam_micro
+  FROM bt, tot
+),
+sc AS (
+  SELECT lab.doc_id,
+         coalesce(s.score_micro, 0) AS score_micro
+  FROM lab LEFT JOIN (
+    SELECT tb.doc_id, sum(tb.cnt * lam.lam_micro) AS score_micro
+    FROM tb JOIN lam USING (bucket) GROUP BY 1
+  ) s USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, score_micro,
+         score_micro + CAST(round(-ln(-ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0)) * 1e6) AS BIGINT) AS key_micro
+  FROM sc
+)
+SELECT doc_id, score_micro, key_micro
+FROM keyed
+ORDER BY key_micro DESC, doc_id
+LIMIT 100
+""",
+)
+def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance-resample 100 docs
+    whose hashed unigram+bigram distribution best matches the
+    entropy-gated target slice. Per-bucket log-ratios and per-doc Gumbel
+    noise are rounded once to integer micro-units; the per-doc score,
+    the key, and the top-k cut are exact BIGINT arithmetic — stronger
+    than the 6-dp precedent. One gram explode + two <= 64-row broadcast
+    model tables + TakeOrderedAndProject; nothing collects."""
+    return S.dsir_select(load(spark, sf_dir, "documents"), k=100)

@@ -155,6 +155,48 @@ class TestCMSStreaming:
         assert got.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
 
 
+class TestHLLStreaming:
+    def test_streaming_registers_equal_batch(self, spark, tmp_path):
+        """The portable-HLL register build (a17's substrate) is a pure
+        groupBy-max — a mergeable streaming aggregation whose state is
+        bounded at groups x m rows forever. Drained over micro-batches
+        it must equal the batch registers bit-for-bit, so the finalized
+        estimate (a query-time step over the tiny register table) is
+        identical too — the cardinality leg of the monitor family
+        (PSI/KS/W1 drift, CMS frequency, HLL cardinality)."""
+        import json
+
+        from kafka_streaming_polymarket_pipeline_spark.streaming import jobs
+
+        src = tmp_path / "hll_stream"
+        src.mkdir()
+        for fi in range(3):
+            with open(src / f"f{fi}.jsonl", "w") as f:
+                for i in range(fi * 200, (fi + 1) * 200):
+                    f.write(json.dumps({"grp": i % 2, "u": i % 331}) + "\n")
+
+        stream = (
+            spark.readStream.schema("grp long, u long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        got = jobs.run_available_now(
+            SK.hll_registers(stream, "grp", "u"), "t_hll", spark, mode="complete"
+        )
+        batch_src = spark.read.schema("grp long, u long").json(str(src))
+        batch = SK.hll_registers(batch_src, "grp", "u")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+        # state bound: <= groups x m register rows
+        assert got.count() <= 2 * SK.HLL_M
+        # finalized estimates agree exactly (same registers -> same math)
+        est_s = {r["grp"]: r["hll_est"] for r in SK.hll_estimate(got, "grp").collect()}
+        est_b = {r["grp"]: r["hll_est"] for r in SK.hll_estimate(batch, "grp").collect()}
+        assert est_s == est_b
+        # sanity: both groups saw <= 331 distinct users; estimate within band
+        for v in est_s.values():
+            assert 100 <= v <= 450
+
+
 class TestBloom:
     def test_no_false_negatives_and_low_fp(self, spark):
         keys = spark.createDataFrame([(f"key{i}",) for i in range(200)], "g string")

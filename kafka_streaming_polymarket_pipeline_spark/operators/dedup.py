@@ -977,6 +977,31 @@ def editdist1_pairs(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     )
 
 
+def _df_ordered_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stages 1-2 shared by the prefix-filtered set-similarity joins
+    (d12 Jaccard, d15 containment): distinct lowercase whitespace tokens
+    per doc, each doc's tokens sorted by the global (doc-frequency ASC,
+    token ASC) total order — a row-local array sort off one word-count
+    shuffle, no global rank/window. Returns (did, toks, sz)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("t"),
+    )
+    tok_df = tok.groupBy("t").agg(F.count("*").alias("tdf"))
+    return (
+        tok.join(tok_df, "t")
+        .groupBy("did")
+        .agg(F.sort_array(F.collect_list(F.struct("tdf", "t"))).alias("_o"))
+        .select(
+            "did",
+            F.expr("transform(_o, x -> x.t)").alias("toks"),
+            F.size("_o").alias("sz"),
+        )
+    )
+
+
 def prefix_jaccard_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -991,23 +1016,7 @@ def prefix_jaccard_candidates(
     separately so the pigeonhole guarantee (candidates ⊇ qualifying
     pairs) is directly property-testable.
     """
-    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
-
-    tok = df.select(
-        F.col(id_col).alias("did"),
-        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("t"),
-    )
-    tok_df = tok.groupBy("t").agg(F.count("*").alias("tdf"))
-    docs = (
-        tok.join(tok_df, "t")
-        .groupBy("did")
-        .agg(F.sort_array(F.collect_list(F.struct("tdf", "t"))).alias("_o"))
-        .select(
-            "did",
-            F.expr("transform(_o, x -> x.t)").alias("toks"),
-            F.size("_o").alias("sz"),
-        )
-    )
+    docs = _df_ordered_docs(df, id_col, text_col)
     pref = docs.select(
         "did",
         "sz",
@@ -1094,5 +1103,87 @@ def prefix_jaccard_pairs(
             F.round(F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 6).alias(
                 "jaccard"
             ),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 9,
+    den: int = 10,
+    min_size: int = 1,
+) -> DataFrame:
+    """EXACT directed token-set CONTAINMENT pairs: |T(A) ∩ T(B)| / |T(A)|
+    >= num/den with a != b — "A is (nearly) a subset of B", the
+    ASYMMETRIC near-dup relation Jaccard misses (a tweet quoted inside
+    an article scores Jaccard ~0 but containment 1.0; quotes, excerpts
+    and boilerplate supersets are what corpus-subsumption dedup removes).
+    The prefix-filter generalization for overlap-constrained joins is
+    Xiao et al. WWW'08 (PPJoin's framework covers arbitrary overlap
+    bounds); this is its containment instantiation:
+
+    1. Docs ordered exactly as d12 (:func:`_df_ordered_docs`): distinct
+       tokens, global (df ASC, token ASC) order, row-local sort.
+    2. Only the CONTAINED side gets a prefix: overlap must reach
+       o = ceil(t*|A|), so A's first ``|A| - o + 1`` tokens (rarest
+       first) must witness any qualifying B — pigeonhole on A alone:
+       the suffix holds o-1 < o tokens, so all o shared tokens cannot
+       avoid the prefix. B is indexed by its FULL token set (containment
+       is asymmetric — B may be arbitrarily large, so no symmetric
+       length/prefix cut exists on B; the only sound B-side prune is
+       |B| >= o).
+    3. Candidates: prefix(A) x full(B) token equi-join, a != b,
+       den*|B| >= num*|A| (integer form of |B| >= ceil(t*|A|)).
+    4. Verify exactly: array_intersect on the full sorted arrays, keep
+       den*i >= num*|A|.
+
+    Thresholds are rational; every filter is integer cross-multiplied
+    (the d12 discipline) — the rounded ``containment`` is display-only.
+
+    100 TB shape: the B-side full explode is the inverted index (the
+    word-count / BM25 shuffle, linear in corpus tokens); the A-side
+    explode is only ~(1-t)|A|+1 rare-first tokens per doc, so a token
+    shared by k docs joins against at most the few prefixes it appears
+    in — hub tokens sit deep in every doc's df-ordered array and almost
+    never enter a prefix. Like every exact pair enumeration the OUTPUT
+    is quadratic in subsumption-cluster size; ``min_size`` drops tiny
+    contained sets (a 2-token doc is "contained" everywhere —
+    signal-free rows that dominate the output on template corpora).
+    """
+    docs = _df_ordered_docs(df, id_col, text_col)
+    pref = docs.filter(F.col("sz") >= min_size).select(
+        F.col("did").alias("_a"),
+        F.col("sz").alias("_sa"),
+        F.explode(
+            F.expr(f"slice(toks, 1, sz - (({num} * sz + {den} - 1) div {den}) + 1)")
+        ).alias("t"),
+    )
+    full = docs.select(
+        F.col("did").alias("_b"), F.col("sz").alias("_sb"), F.explode("toks").alias("t")
+    )
+    cand = (
+        pref.join(
+            full,
+            (pref["t"] == full["t"])
+            & (F.col("_a") != F.col("_b"))
+            & (den * F.col("_sb") >= num * F.col("_sa")),
+        )
+        .select("_a", "_b", "_sa")
+        .distinct()
+    )
+    da = docs.select(F.col("did").alias("_a"), F.col("toks").alias("_ta"))
+    db = docs.select(F.col("did").alias("_b"), F.col("toks").alias("_tb"))
+    i = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(da, "_a")
+        .join(db, "_b")
+        .withColumn("_i", i)
+        .filter(den * F.col("_i") >= num * F.col("_sa"))
+        .select(
+            F.col("_a").alias("doc_id_a"),
+            F.col("_b").alias("doc_id_b"),
+            F.round(F.col("_i") / F.col("_sa"), 6).alias("containment"),
         )
     )

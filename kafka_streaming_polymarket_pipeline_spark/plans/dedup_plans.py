@@ -449,3 +449,44 @@ def d13_keep_longest_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_dedup(docs, threshold=0.5, n=5)
     clusters = D.neardup_clusters(docs, pairs)
     return D.keep_longest_per_cluster(docs, clusters)
+
+
+@register(
+    "d15_containment_pairs",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> ''))) AS tok
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ov
+  FROM tk a JOIN tk b USING (tok)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id AS doc_id_a, b_id AS doc_id_b,
+       round(CAST(ov AS DOUBLE) / sa.n, 6) AS containment
+FROM ov JOIN sz sa ON sa.doc_id = ov.a_id
+WHERE 10 * ov >= 9 * sa.n AND sa.n >= 30
+""",
+)
+def d15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed token-set containment >= 0.9 pairs ("A is nearly a
+    subset of B") — the ASYMMETRIC near-dup relation the Jaccard ladder
+    (d2/d3/d12) cannot see: a quote inside an article is Jaccard ~0 but
+    containment 1.0, and subsumption dedup (drop documents another
+    document swallows) needs exactly this relation. Prefix filtering
+    generalizes (Xiao WWW'08): only the CONTAINED side carries a prefix
+    (pigeonhole on A alone — overlap >= ceil(0.9|A|) cannot hide in a
+    suffix of |A| - ceil(0.9|A|) tokens); B is indexed by its full token
+    set (asymmetry admits no B-side prefix) with the sole sound B-prune
+    |B| >= ceil(0.9|A|). All comparisons integer cross-multiplied on
+    both engines; the oracle is the naive all-pairs token join.
+    min_size=30 drops signal-free tiny contained sets (a 2-token doc is
+    "contained" everywhere on a templated corpus)."""
+    return D.containment_pairs(
+        load(spark, sf_dir, "documents"), num=9, den=10, min_size=30
+    )

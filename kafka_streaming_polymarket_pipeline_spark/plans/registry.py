@@ -111,7 +111,9 @@ _REGISTRY: dict[str, Query] = {}
 # POST-WINDOW round-8 additions (the a31/a32 precedent: registered
 # past the 50-row prefix, hash-verified at sf0.001/0.01/0.1 via
 # scripts/driver_sim.py before commit, scheduled to LEAD the r09
-# prefix as never-officially-audited): x9_dsir_resample.
+# prefix as never-officially-audited): x9_dsir_resample,
+# d15_containment_pairs (d15 additionally re-verified d12 + d14 at
+# sf0.01 after the _df_ordered_docs refactor of their shared stage).
 _DRIVER_PRIORITY: list[str] = [
     "a31_psi_drift",
     "a32_ks_two_sample",

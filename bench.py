@@ -436,10 +436,16 @@ def main() -> None:
         streaming_dedup_throughput(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir)
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
         best = None
+        all_runs = []
         for _ in range(max(runs, 1)):
             r = streaming_dedup_throughput(spark, sf_dir)
+            all_runs.append(r["docs_per_sec"])
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
+        # chronological per-run readings (heavy-tier self-attribution
+        # rule): r08's official 55 docs/s sat against a clean-window 106
+        # — with this field that gap is visible inside the artifact.
+        best["all_runs_docs_per_sec"] = all_runs
         print(json.dumps(best))
         return
 
@@ -458,10 +464,17 @@ def main() -> None:
         # waves can span a whole 2-run window.
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
         best = None
+        all_runs: list[int] = []
         for _ in range(max(runs, 1)):
             r = streaming_throughput(spark, sf_dir)
+            all_runs.append(r["events_per_sec"])
             if best is None or r["events_per_sec"] > best["events_per_sec"]:
                 best = r
+        # every pass's reading, best-first not — chronological: a
+        # contention-wave outlier window is visible in the artifact
+        # instead of silently shaping the official best (the heavy-tier
+        # self-attribution rule applied to the streaming phases).
+        best["all_runs_events_per_sec"] = all_runs
         print(json.dumps(best))
         return
 

@@ -17,7 +17,7 @@ broadcast counter table (d*w rows) on (seed, bucket) equi-keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 4   # d: independent hash rows (error probability ~ e^-d)
@@ -227,4 +227,85 @@ def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
     est = F.when((e_raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(e_raw)
     return per_group.select(
         F.col("grp").alias(group_col), F.round(est, 6).alias("hll_est")
+    )
+
+
+# --- Bottom-k sample quantiles: the portable mergeable quantile sketch ---
+#
+# a12 computes exact sort-based percentiles; a14 gates Spark's built-in
+# percentile_approx (KLL/GK-style, engine-specific estimates — rows-only
+# without a band gate). This sketch is the a17-vs-a13 move applied to
+# QUANTILES: a bottom-k sample under the portable md5 rank is a uniform
+# sample that any engine reproduces bit-for-bit, so the interpolated
+# quantile ESTIMATES are hash-gated, not just banded. Bottom-k is
+# mergeable (bottom-k of a union = bottom-k of the unioned bottom-k's),
+# so per-partition / per-day sketches combine exactly like KMV (a30).
+
+SQ_K = 512  # sample size; rank error ~ O(1/sqrt(k)) per quantile
+
+
+def sample_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = SQ_K,
+    margin: int = 8,
+) -> DataFrame:
+    """(group, n_events, sample_k, est_p50, est_p95, est_p99): quantile
+    estimates from the k rows with the smallest portable md5 rank per
+    group — deterministic, mergeable, hash-gated.
+
+    100 TB shape (the reason this exists next to a12's global sort):
+    pass 1 counts each group (map-side combine, tiny result broadcast
+    back); pass 2 keeps only rows whose 32-bit hash falls below
+    ``margin * k / n`` of the hash space — ~margin*k survivors per group
+    regardless of group size — and the exact bottom-k window runs over
+    that residue, so the per-group sort the window implies touches
+    O(margin*k) rows, never the group. The filter can only lose a true
+    bottom-k member if fewer than k of n uniform hashes land below
+    margin*k/n of the space: P ~ exp(-k*(margin-1-ln margin)) ~ e^-2500
+    at k=512, margin=8 — not a float edge, a counting bound (same
+    budget discipline as d3's documented <=3e-6 LSH miss). Groups with
+    n <= margin*k skip no rows (threshold clamps to full space), so
+    small groups yield EXACT quantiles by construction."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").alias("_n")
+    )
+    rows = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+    ).join(F.broadcast(counts), "_g")
+    space = F.lit(float(1 << 32))
+    thresh = F.least(
+        space,
+        F.ceil(space * F.lit(float(margin * k)) / F.col("_n")).cast("double"),
+    )
+    surv = rows.filter(F.col("_h") < thresh)
+    w = Window.partitionBy("_g").orderBy(F.asc("_h"), F.asc("_id"))
+    sample = surv.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        sample.groupBy("_g")
+        .agg(
+            F.count("*").alias("sample_k"),
+            F.round(F.expr("percentile(_v, 0.5)"), 4).alias("est_p50"),
+            F.round(F.expr("percentile(_v, 0.95)"), 4).alias("est_p95"),
+            F.round(F.expr("percentile(_v, 0.99)"), 4).alias("est_p99"),
+            F.max("_n").alias("n_events"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_events",
+            "sample_k",
+            "est_p50",
+            "est_p95",
+            "est_p99",
+        )
     )

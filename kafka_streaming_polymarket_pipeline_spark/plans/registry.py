@@ -112,6 +112,7 @@ _REGISTRY: dict[str, Query] = {}
 # past the 50-row prefix, hash-verified at sf0.001/0.01/0.1 via
 # scripts/driver_sim.py before commit, scheduled to LEAD the r09
 # prefix as never-officially-audited): x9_dsir_resample,
+# a34_sample_quantiles,
 # d15_containment_pairs (d15 additionally re-verified d12 + d14 at
 # sf0.01 after the _df_ordered_docs refactor of their shared stage).
 _DRIVER_PRIORITY: list[str] = [

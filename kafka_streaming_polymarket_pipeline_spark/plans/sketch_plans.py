@@ -485,3 +485,47 @@ def a30_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_exact",
         )
     )
+
+
+@register(
+    "a34_sample_quantiles",
+    oracle="""
+WITH h AS (
+  SELECT event_type, value, event_id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+  FROM events
+),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh, event_id) AS rn
+  FROM h
+),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS sample_k,
+         round(quantile_cont(value, 0.5), 4)  AS est_p50,
+         round(quantile_cont(value, 0.95), 4) AS est_p95,
+         round(quantile_cont(value, 0.99), 4) AS est_p99
+  FROM r WHERE rn <= 512 GROUP BY 1
+)
+SELECT event_type, n_events, sample_k, est_p50, est_p95, est_p99
+FROM s JOIN n USING (event_type)
+""",
+)
+def a34_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable quantile sketch — the a17-vs-a13 move applied to
+    quantiles (a12 is the exact global sort; a14 bands Spark's
+    engine-specific percentile_approx): interpolated p50/p95/p99 from
+    the 512 rows with the smallest portable md5 rank per group. The
+    sample is deterministic on any engine, so the ESTIMATES hash-gate
+    (not just band-check), and bottom-k merges exactly (bottom-k of a
+    union = bottom-k of unioned bottom-k's — per-day/per-partition
+    sketches combine like KMV a30). The Spark plan is two-phase: a
+    broadcast count then a hash-threshold filter keeps ~8k rows per
+    group before the exact bottom-k window, so the window's per-group
+    sort never touches a full 100 TB group (miss probability is a
+    counting bound ~e^-2500, documented in the operator)."""
+    return SK.sample_quantile_sketch(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )

@@ -310,3 +310,80 @@ class TestHLLStreaming:
         got_est = SK.hll_estimate(regs, "grp")
         batch_est = SK.hll_distinct(batch_df, "grp", "key")
         assert sorted(map(tuple, got_est.collect())) == sorted(map(tuple, batch_est.collect()))
+
+
+class TestSampleQuantiles:
+    def _mk(self, spark, n, grp="a", seed=7):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, grp, rng.gauss(100.0, 15.0)) for i in range(n)]
+        return spark.createDataFrame(rows, "event_id long, g string, v double")
+
+    def test_small_group_is_exact(self, spark):
+        """n <= k: the sample IS the group, estimates equal a12's exact
+        percentiles."""
+        df = self._mk(spark, 300)
+        got = SK.sample_quantile_sketch(df, "g", "v", "event_id", k=512).collect()[0]
+        exact = df.selectExpr(
+            "round(percentile(v, 0.5), 4) p50", "round(percentile(v, 0.95), 4) p95"
+        ).collect()[0]
+        assert got["sample_k"] == 300 and got["n_events"] == 300
+        assert got["est_p50"] == exact["p50"] and got["est_p95"] == exact["p95"]
+
+    def test_estimates_within_rank_band(self, spark):
+        """k=512 over 20k rows: each estimate must land within a generous
+        rank band of the exact quantile (O(1/sqrt(k)) ~ 4.4% rank error;
+        assert 3 sigma)."""
+        df = self._mk(spark, 20_000)
+        got = SK.sample_quantile_sketch(df, "g", "v", "event_id", k=512).collect()[0]
+        for q, est in [(0.5, got["est_p50"]), (0.95, got["est_p95"])]:
+            lo, hi = max(q - 0.13, 0.0), min(q + 0.13, 1.0)
+            band = df.selectExpr(
+                f"percentile(v, {lo}) lo", f"percentile(v, {hi}) hi"
+            ).collect()[0]
+            assert band["lo"] <= est <= band["hi"], (q, est, band)
+
+    def test_threshold_filter_loses_nothing(self, spark):
+        """The two-phase plan (count -> hash-threshold -> window) must
+        equal the naive full-sort bottom-k on the same data."""
+        from pyspark.sql import Window
+
+        df = self._mk(spark, 5_000)
+        got = SK.sample_quantile_sketch(df, "g", "v", "event_id", k=64).collect()[0]
+        h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
+        w = Window.partitionBy("g").orderBy(F.asc("_h"), F.asc("event_id"))
+        naive = (
+            df.withColumn("_h", h)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 64)
+            .groupBy("g")
+            .agg(
+                F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"),
+                F.round(F.expr("percentile(v, 0.99)"), 4).alias("p99"),
+            )
+            .collect()[0]
+        )
+        assert got["est_p50"] == naive["p50"] and got["est_p99"] == naive["p99"]
+        assert got["sample_k"] == 64
+
+    def test_merge_law(self, spark):
+        """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+        property that makes per-partition sketches combinable."""
+        import random
+
+        rng = random.Random(13)
+        rows = [(i, rng.random()) for i in range(4_000)]
+        a, b = rows[:2_500], rows[2_500:]
+
+        def bottomk(rs, k=64):
+            import hashlib
+
+            keyed = sorted(
+                rs, key=lambda r: (int(hashlib.md5(str(r[0]).encode()).hexdigest()[:8], 16), r[0])
+            )
+            return keyed[:k]
+
+        merged_full = bottomk(rows)
+        merged_sketches = bottomk(bottomk(a) + bottomk(b))
+        assert merged_full == merged_sketches

@@ -154,3 +154,57 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(pairs.agg(F.count("*").alias("n_edges"))))
         .select("n_edges", "n_triangles")
     )
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """(node, degree) survivors of ``rounds`` fixed peel iterations of the
+    k-core decomposition (Seidman 1983; distributed fixed-round form as
+    in Montresor et al.) over an undirected simple graph given as
+    canonical pairs (va < vb). Each round drops every node whose degree
+    among CURRENT survivors is < k; the reported degree is the one the
+    final round computed (restricted to the previous round's survivors —
+    mirrored exactly in the oracle's unrolled CTEs).
+
+    In data curation the k-core of the near-dup graph separates dense
+    template FAMILIES (cores survive peeling) from incidental chains
+    (leaves peel away round by round) — the structural complement of
+    c3's triangle density and d13's cluster collapse.
+
+    Fixed rounds keep the op oracle-unrollable (the Lloyd/PageRank/BPE
+    precedent); peeling converges monotonically, so round t's survivor
+    set is a superset of the true k-core and equals it once a round
+    removes nothing. All arithmetic is integer (degrees) — no rounding
+    discipline needed anywhere.
+
+    Scale shape per round: two semi-joins (edge endpoints against the
+    shrinking survivor set) + one groupBy(src) count with map-side
+    combine. Survivor frames are localCheckpoint-ed per round (each is
+    read twice next round; the d6/PageRank lineage lesson)."""
+    edges = (
+        pairs.select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+        .unionByName(pairs.select(F.col("vb").alias("src"), F.col("va").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        e = edges.join(
+            alive.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+        alive = (
+            deg.filter(F.col("degree") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("src").alias("node"), "degree"
+    )

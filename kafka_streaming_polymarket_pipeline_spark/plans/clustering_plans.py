@@ -336,3 +336,89 @@ def c3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(
         pairs.select(F.col("vec_id_a").alias("va"), F.col("vec_id_b").alias("vb"))
     )
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """Unrolled fixed-round k-core peel CTEs over ``prpairs`` — the same
+    unroll-the-iteration discipline as ``_pagerank_ctes``; all-integer
+    arithmetic, so no rounding grid is needed."""
+    parts = [
+        "edges AS (SELECT va AS src, vb AS dst FROM prpairs "
+        "UNION ALL SELECT vb AS src, va AS dst FROM prpairs)",
+        "alive0 AS (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM edges e
+  JOIN alive{i - 1} a1 ON a1.node = e.src
+  JOIN alive{i - 1} a2 ON a2.node = e.dst
+  GROUP BY e.src
+),
+alive{i} AS (SELECT node FROM d{i} WHERE degree >= {k})"""
+        )
+    return ",\n".join(parts)
+
+
+KC_K = _G.KCORE_K
+KC_ROUNDS = _G.KCORE_ROUNDS
+
+# c4 peels the d3/d6 shingle-Jaccard near-dup graph, not the SemDeDup
+# cosine graph: the cosine graph's same-cell pairs are chain-sparse at
+# every test SF (empty 2-core — a signal-free gate), while template
+# families in the Jaccard graph form genuine cliques the peel keeps
+# (7 / 3 survivors at sf0.001 / sf0.01, with leaves peeled round 1).
+_KCORE_PAIRS_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), prpairs AS (
+  SELECT doc_id_a AS va, doc_id_b AS vb
+  FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+)"""
+
+
+@register(
+    "c4_kcore",
+    oracle=f"""
+WITH {_KCORE_PAIRS_CTE},
+{_kcore_ctes(KC_K, KC_ROUNDS)}
+SELECT node AS doc_id, degree FROM d{KC_ROUNDS} WHERE degree >= {KC_K}
+""",
+)
+def c4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel (k=2, 3 rounds; Seidman 1983) over the
+    MinHash-LSH verified near-dup pair graph (d3's exact pair set) —
+    the structural template-family detector: dense near-dup cores
+    survive peeling, incidental chains and leaves fall off round by
+    round (complementing c3's triangle density and d13's
+    collapse-to-canonical). Completes the graph family's iterative
+    trio: label propagation (d6/d6b), power iteration (c2), and now
+    degree peeling — all-integer arithmetic, so this is the one
+    iterative gate needing NO rounding discipline; the oracle unrolls
+    the peel rounds as CTEs over the exact shingle-Jaccard pair CTE d6
+    gates on."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+    from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5, n=5)
+    surv = G.kcore_peel(
+        pairs.select(F.col("doc_id_a").alias("va"), F.col("doc_id_b").alias("vb"))
+    )
+    return surv.select(F.col("node").alias("doc_id"), "degree")

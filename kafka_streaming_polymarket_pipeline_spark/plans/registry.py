@@ -112,7 +112,11 @@ _REGISTRY: dict[str, Query] = {}
 # past the 50-row prefix, hash-verified at sf0.001/0.01/0.1 via
 # scripts/driver_sim.py before commit, scheduled to LEAD the r09
 # prefix as never-officially-audited): x9_dsir_resample,
-# a34_sample_quantiles,
+# a34_sample_quantiles, c4_kcore (3-SF Spark-verified; its sf0.1
+# ORACLE is infeasible — the naive shingle self-join spills DuckDB
+# temp past disk at 5000 docs — so c4's 3rd-SF check is Spark-side
+# rows: 7/3/31 survivors at sf0.001/0.01/0.1, oracle-hashed at the
+# driver's own two SFs),
 # d15_containment_pairs (d15 additionally re-verified d12 + d14 at
 # sf0.01 after the _df_ordered_docs refactor of their shared stage).
 _DRIVER_PRIORITY: list[str] = [

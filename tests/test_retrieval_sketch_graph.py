@@ -387,3 +387,47 @@ class TestSampleQuantiles:
         merged_full = bottomk(rows)
         merged_sketches = bottomk(bottomk(a) + bottomk(b))
         assert merged_full == merged_sketches
+
+
+class TestKCorePeel:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "va long, vb long")
+
+    def test_triangle_survives_chain_peels(self, spark):
+        """Triangle {0,1,2} + tail 2-3-4-5: one leaf LAYER peels per round
+        (5, then 4, then 3); the triangle is the 2-core. At rounds=3 node
+        2's reported degree is still 3 — the final round computed degrees
+        over the PREVIOUS survivors {0,1,2,3}, the documented contract —
+        and one more round settles it to the in-core degree 2."""
+        from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+
+        pairs = self._pairs(
+            spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+        )
+        got = {r.node: r.degree for r in G.kcore_peel(pairs, k=2, rounds=3).collect()}
+        assert got == {0: 2, 1: 2, 2: 3}
+        settled = {
+            r.node: r.degree for r in G.kcore_peel(pairs, k=2, rounds=4).collect()
+        }
+        assert settled == {0: 2, 1: 2, 2: 2}
+
+    def test_fixed_rounds_is_superset_of_fixpoint(self, spark):
+        """A 5-node chain under k=2 peels end-layers inward: 3 interior
+        survivors after round 1, 1 after round 2, empty (the true core)
+        at round 3 — each fixed-round survivor set a superset of the
+        fixpoint, the documented monotone-convergence contract."""
+        from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+
+        chain = self._pairs(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        assert G.kcore_peel(chain, k=2, rounds=1).count() == 3  # interior
+        assert G.kcore_peel(chain, k=2, rounds=2).count() == 1  # center
+        assert G.kcore_peel(chain, k=2, rounds=3).count() == 0  # fixpoint
+
+    def test_clique_degrees_reported(self, spark):
+        from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+
+        k4 = self._pairs(
+            spark, [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        )
+        got = {r.node: r.degree for r in G.kcore_peel(k4, k=3, rounds=2).collect()}
+        assert got == {i: 3 for i in range(4)}

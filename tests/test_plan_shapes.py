@@ -56,6 +56,11 @@ ALLOWED_NESTED = {
     "d3c_minhash_lsh_dfpruned": "crossJoin against the broadcast one-row "
                                 "corpus doc-count aggregate (the integer "
                                 "max-df cut df*100 <= pct*n_docs)",
+    "x9_dsir_resample": "crossJoin against the broadcast ONE-ROW "
+                        "(rtot, ttot) gram-total aggregate folded into "
+                        "the <= 64-row model table — bytes-sized however "
+                        "the corpus grows; the per-doc path is a "
+                        "broadcast equi-join on bucket",
     "a31_psi_drift": "crossJoin against the broadcast ONE-ROW min/max "
                      "aggregate for the shared binning; both slices count "
                      "in one groupBy(bin) conditional-sum pass (r08: no "

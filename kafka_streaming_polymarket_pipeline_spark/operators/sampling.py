@@ -172,6 +172,123 @@ def weighted_sample_topk(
     )
 
 
+def _dsir_grams_by_bucket(df, n_buckets, id_col, text_col, with_target=None):
+    """(did[, tgt], bucket, cnt): md5-hashed unigram+bigram occurrence
+    counts per doc — the shared feature stage of the DSIR model fit and
+    scorer. ``with_target`` (a Column) adds the target flag."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import (
+        _gram_join,
+        tokens,
+    )
+
+    toks = tokens(F.lower(F.col(text_col)))
+    cols = [F.col(id_col).alias("did"), toks.alias("toks")]
+    if with_target is not None:
+        cols.append(with_target.alias("tgt"))
+    base = df.select(*cols)
+    bigrams = F.when(F.size("toks") >= 2, _gram_join(F.col("toks"), 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    keys = ["did"] + (["tgt"] if with_target is not None else [])
+    grams = base.select(
+        *keys, F.explode(F.concat(F.col("toks"), bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+    return (
+        grams.select(*keys, bucket.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    ), base
+
+
+def dsir_model(
+    df: DataFrame,
+    n_buckets: int = 64,
+    entropy_min: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the DSIR importance model: exactly ``n_buckets`` rows
+    (bucket, lam_micro) where lam_micro is the integer-micro-unit
+    log-ratio of the add-one-smoothed target vs raw hashed-n-gram
+    bucket models (target = the char-entropy-gated slice). This is the
+    offline stage a standing ingest job freezes at build time (the
+    drift-monitor reference-histogram pattern); :func:`dsir_score`
+    applies it to any frame, batch or per-micro-batch."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import (
+        char_entropy_frame,
+    )
+
+    spark = df.sparkSession
+    labeled = char_entropy_frame(df, text_col).withColumn(
+        "_tgt",
+        (F.round(F.col("char_entropy_bits"), 6) >= entropy_min).cast("int"),
+    )
+    tb, _ = _dsir_grams_by_bucket(
+        labeled, n_buckets, id_col, text_col, with_target=F.col("_tgt")
+    )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    bt = spine.join(
+        tb.groupBy("bucket").agg(
+            F.sum("cnt").alias("raw_cnt"),
+            F.sum(F.when(F.col("tgt") == 1, F.col("cnt"))).alias("tgt_cnt"),
+        ),
+        "bucket",
+        "left",
+    ).select(
+        "bucket",
+        F.coalesce("raw_cnt", F.lit(0)).alias("raw_cnt"),
+        F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+    )
+    tot = bt.agg(
+        F.sum("raw_cnt").cast("double").alias("rtot"),
+        F.sum("tgt_cnt").cast("double").alias("ttot"),
+    )
+    return bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("tgt_cnt") + 1.0) / (F.col("ttot") + float(n_buckets)))
+                - F.log((F.col("raw_cnt") + 1.0) / (F.col("rtot") + float(n_buckets)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lam_micro"),
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    lam: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, score_micro): per-doc DSIR importance log-weight in
+    integer micro-units under a FITTED model ``lam`` (bucket,
+    lam_micro) — one broadcast join of the <= n_buckets model table plus
+    a bigint groupBy(doc); gramless docs score 0 (empty product). Works
+    identically on batch frames and inside foreachBatch."""
+    tb, base = _dsir_grams_by_bucket(df, n_buckets, id_col, text_col)
+    return (
+        base.select("did")
+        .join(
+            tb.join(F.broadcast(lam), "bucket")
+            .groupBy("did")
+            .agg(F.sum(F.col("cnt") * F.col("lam_micro")).alias("s")),
+            "did",
+            "left",
+        )
+        .select(
+            F.col("did").alias(id_col),
+            F.coalesce("s", F.lit(0)).cast("long").alias("score_micro"),
+        )
+    )
+
+
 def dsir_select(
     df: DataFrame,
     k: int = 100,
@@ -212,86 +329,22 @@ def dsir_select(
     (empty-text) docs carry logw = 0 — an empty product is weight 1,
     so they compete on Gumbel noise alone, matching the oracle.
 
+    Composed from :func:`dsir_model` (the offline fit a standing ingest
+    job freezes) + :func:`dsir_score` + the Gumbel cut.
+
     Reference lineage: the reference has no data-selection surface; this
     extends the training-data family (x1-x8) per SURVEY §6.
     """
-    from kafka_streaming_polymarket_pipeline_spark.operators.text import (
-        _gram_join,
-        char_entropy_frame,
-        tokens,
-    )
-
-    spark = df.sparkSession
-    toks = tokens(F.lower(F.col(text_col)))
-    base = char_entropy_frame(df, text_col).select(
-        F.col(id_col).alias("did"),
-        toks.alias("toks"),
-        (F.round(F.col("char_entropy_bits"), 6) >= entropy_min)
-        .cast("int")
-        .alias("tgt"),
-    )
-    bigrams = F.when(F.size("toks") >= 2, _gram_join(F.col("toks"), 2)).otherwise(
-        F.array().cast("array<string>")
-    )
-    grams = base.select(
-        "did", "tgt", F.explode(F.concat(F.col("toks"), bigrams)).alias("g")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % n_buckets
-    ).cast("int")
-    tb = (
-        grams.select("did", "tgt", bucket.alias("bucket"))
-        .groupBy("did", "tgt", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
-    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    bt = spine.join(
-        tb.groupBy("bucket").agg(
-            F.sum("cnt").alias("raw_cnt"),
-            F.sum(F.when(F.col("tgt") == 1, F.col("cnt"))).alias("tgt_cnt"),
-        ),
-        "bucket",
-        "left",
-    ).select(
-        "bucket",
-        F.coalesce("raw_cnt", F.lit(0)).alias("raw_cnt"),
-        F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
-    )
-    tot = bt.agg(
-        F.sum("raw_cnt").cast("double").alias("rtot"),
-        F.sum("tgt_cnt").cast("double").alias("ttot"),
-    )
-    lam = bt.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.round(
-            (
-                F.log((F.col("tgt_cnt") + 1.0) / (F.col("ttot") + float(n_buckets)))
-                - F.log((F.col("raw_cnt") + 1.0) / (F.col("rtot") + float(n_buckets)))
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("lam_micro"),
-    )
-    scores = (
-        base.select("did")
-        .join(
-            tb.join(F.broadcast(lam), "bucket")
-            .groupBy("did")
-            .agg(F.sum(F.col("cnt") * F.col("lam_micro")).alias("s")),
-            "did",
-            "left",
-        )
-        .select("did", F.coalesce("s", F.lit(0)).cast("long").alias("score_micro"))
-    )
-    h = F.conv(F.substring(F.md5(F.col("did").cast("string")), 1, 8), 16, 10).cast(
+    lam = dsir_model(df, n_buckets, entropy_min, id_col, text_col)
+    scores = dsir_score(df, lam, n_buckets, id_col, text_col)
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)  # (0, 1)
     g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("long")
     return (
         scores.select(
-            F.col("did").alias(id_col),
+            id_col,
             "score_micro",
             (F.col("score_micro") + g_micro).alias("key_micro"),
         )

@@ -60,6 +60,7 @@ def corpus_ingest_sink(
     monitor_mx: float | None = None,
     monitor_col: str = "quality_logit",
     monitor_bins: int = 10,
+    dsir_lambda: DataFrame | None = None,
 ):
     """Standing job: per micro-batch, quality-gate the docs, quarantine
     rejects, then run the admitted docs through the incremental dedup
@@ -77,7 +78,17 @@ def corpus_ingest_sink(
     to the junk flood it exists to catch. Costs one pass over the
     already-checkpointed features frame (a groupBy on <= monitor_bins
     keys); the reference folds in driver-side ONCE at job build, not
-    per batch."""
+    per batch.
+
+    Pass ``dsir_lambda`` (a fitted ``sampling.dsir_model`` table —
+    (bucket, lam_micro), <= n_buckets rows, frozen at job build exactly
+    like the drift reference) to ALSO attach each admitted document's
+    DSIR importance score: ``admitted/batch=<id>`` gains a BIGINT
+    ``score_micro`` column (integer micro-units, the x9 contract) so a
+    downstream mixture/selection job can Gumbel-top-k over the landed
+    corpus without re-featurizing it. Scored AFTER the gate — rejects
+    never cost a gram explode — via one broadcast join of the model
+    table per batch (``sampling.dsir_score``)."""
     from kafka_streaming_polymarket_pipeline_spark.sources.sinks import (
         foreach_batch_sink,
     )
@@ -93,6 +104,13 @@ def corpus_ingest_sink(
         ref_rows = {
             int(r["bin"]): float(r["ref_share"]) for r in monitor_reference.collect()
         }
+    lam_rows = None
+    if dsir_lambda is not None:
+        # <= n_buckets rows by construction (dsir_model's spine) —
+        # the bounded collect the drift reference already established.
+        lam_rows = [
+            (int(r["bucket"]), int(r["lam_micro"])) for r in dsir_lambda.collect()
+        ]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
@@ -109,7 +127,19 @@ def corpus_ingest_sink(
         admitted = batch.join(
             feats.filter(F.col("keep")).select("doc_id"), "doc_id"
         ).localCheckpoint(eager=True)
-        admitted.write.mode("overwrite").parquet(
+        landed = admitted
+        if lam_rows is not None:
+            from kafka_streaming_polymarket_pipeline_spark.operators.sampling import (
+                dsir_score,
+            )
+
+            lam = batch.sparkSession.createDataFrame(
+                lam_rows, "bucket int, lam_micro long"
+            )
+            landed = admitted.join(
+                dsir_score(admitted, lam, n_buckets=len(lam_rows)), "doc_id"
+            )
+        landed.write.mode("overwrite").parquet(
             os.path.join(out_path, "admitted", f"batch={batch_id}")
         )
         # dedup only over admitted docs: rejects never cost signatures

@@ -182,3 +182,66 @@ def test_ingest_monitor_requires_binning_constants(spark, tmp_path):
             str(tmp_path / "o"), str(tmp_path / "c"),
             monitor_reference=ref,
         )
+
+
+def test_ingest_stream_attaches_frozen_dsir_scores(spark, tmp_path):
+    """With a frozen dsir_model table, every admitted doc lands with a
+    score_micro equal to the BATCH dsir_score of the same docs under the
+    same model (stream == batch for the selection leg), and quarantined
+    docs are never scored."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.sampling import (
+        dsir_model,
+        dsir_score,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    a = spark.createDataFrame(BATCH_A, SCHEMA)
+    b = spark.createDataFrame(BATCH_B, SCHEMA)
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    # model frozen from a separate exemplar corpus (the production shape)
+    ref = spark.createDataFrame(
+        [(100, "en", "s0", BASE), (101, "en", "s1", JUNK)], SCHEMA
+    )
+    lam = dsir_model(ref, n_buckets=64)
+    assert lam.count() == 64
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path / "out")
+    q = IS.corpus_ingest_sink(
+        stream, out, str(tmp_path / "ck"), dsir_lambda=lam
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    landed = spark.read.parquet(os.path.join(out, "admitted"))
+    got = {r["doc_id"]: r["score_micro"] for r in landed.collect()}
+
+    full = a.unionByName(b)
+    kept_b, rej_b = quality_split(full)
+    admitted_batch = full.join(kept_b.select("doc_id"), "doc_id")
+    want = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_score(admitted_batch, lam, n_buckets=64).collect()
+    }
+    assert got == want and len(got) > 0
+    # BASE-like docs must out-score any junk doc that slipped the gate
+    # (none should, but assert the rejects are absent rather than scored)
+    rej_ids = {r["doc_id"] for r in rej_b.select("doc_id").collect()}
+    assert rej_ids and not (rej_ids & set(got))
+    # and the model actually separates: clean target docs score higher
+    # than every junk doc would under the same model
+    junk_scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_score(
+            full.join(rej_b.select("doc_id"), "doc_id"), lam, n_buckets=64
+        ).collect()
+    }
+    assert min(got.values()) > max(junk_scores.values())

@@ -101,6 +101,9 @@ HEAVY = [
                                     # driver corpus routes to the LSH leg, so
                                     # this trends the banded funnel at 19/20
                                     # next to d12's AllPairs on the same task)
+    "d15_containment_pairs",        # directed containment join (r08
+                                    # continuation; 13.6 s cold / 6.8 s warm
+                                    # at sf0.1 on arrival — 525k output pairs)
 ]
 
 # The driver records bench output from a bounded stdout tail capture

@@ -122,7 +122,10 @@ def test_heavy_tier_registered_and_subtotaled():
         assert n in registry, f"HEAVY entry {n} not registered"
     detail, line = _worst_case(bench.HEADLINE, bench.HEAVY)
     assert detail["heavy_value"] == round(9999.999 * len(bench.HEAVY), 3)
-    assert json.loads(line)["heavy_value"] == round(10000.0 * len(bench.HEAVY), 2)
+    # mirror the line builder's own arithmetic (sum then 2-dp round):
+    # 9999.999 * N does NOT round back to a clean 10000*N for every N
+    # (it did for 4 entries, not for 5 — float, not logic)
+    assert json.loads(line)["heavy_value"] == round(9999.999 * len(bench.HEAVY), 2)
 
 
 def test_failed_query_sentinels_excluded_from_totals():

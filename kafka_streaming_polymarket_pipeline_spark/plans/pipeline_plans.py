@@ -328,3 +328,149 @@ def e2e_corpus_build_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "stream_id", "n_tokens", "tok_start",
         seq_first.alias("seq_first"), seq_last.alias("seq_last"),
     )
+
+
+# Third composition: the DSIR-era pipeline (Xie et al. 2023 as the
+# selection mechanism) — dedup to canonical docs, fit the importance
+# model ON the canonical corpus (target = the entropy-gated slice),
+# Gumbel-top-k select, pack the selection into training sequences. This
+# is the modern replacement for the quality-filter + mixture stages of
+# e2e_corpus_build: selection pressure comes from distribution matching
+# rather than hand-tuned score cuts. Every stage is an already-gated
+# operator (d3, d6b, x9's model/score/cut, pk1); the oracle re-derives
+# the whole chain in one statement.
+DSIR_SELECT_K = 200
+
+_ENTROPY_TGT = """
+CASE WHEN round(-coalesce(list_sum(list_transform(
+       list_sort(list_distinct(string_split(text, ''))),
+       ch -> (CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+               / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE))
+             * log2(CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+               / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE)))), 0.0), 6)
+     >= 2.0 THEN 1 ELSE 0 END"""
+
+
+@register(
+    "e2e_corpus_build_d",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+), clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), canon AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+  WHERE c.doc_id = c.cluster_id
+), lab AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         {_ENTROPY_TGT} AS tgt
+  FROM canon
+), grams AS (
+  SELECT doc_id, tgt, unnest(toks) AS g FROM lab
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM lab WHERE len(toks) >= 2
+), tb AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+), spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+bt AS (
+  SELECT s.bucket,
+         coalesce(sum(tb.cnt), 0) AS raw_cnt,
+         coalesce(sum(CASE WHEN tb.tgt = 1 THEN tb.cnt END), 0) AS tgt_cnt
+  FROM spine s LEFT JOIN tb USING (bucket) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS rtot,
+         CAST(sum(tgt_cnt) AS DOUBLE) AS ttot
+  FROM bt
+), lam AS (
+  SELECT bucket,
+         CAST(round((ln((tgt_cnt + 1.0) / (ttot + 64.0))
+                     - ln((raw_cnt + 1.0) / (rtot + 64.0))) * 1e6) AS BIGINT)
+           AS lam_micro
+  FROM bt, tot
+), sc AS (
+  SELECT lab.doc_id, coalesce(s.score_micro, 0) AS score_micro
+  FROM lab LEFT JOIN (
+    SELECT tb.doc_id, sum(tb.cnt * lam.lam_micro) AS score_micro
+    FROM tb JOIN lam USING (bucket) GROUP BY 1
+  ) s USING (doc_id)
+), sel AS (
+  SELECT doc_id, score_micro
+  FROM (
+    SELECT doc_id, score_micro,
+           score_micro + CAST(round(-ln(-ln(
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0)) * 1e6) AS BIGINT) AS key_micro
+    FROM sc
+  ) ORDER BY key_micro DESC, doc_id LIMIT {DSIR_SELECT_K}
+), tk AS (
+  SELECT c.doc_id, s.score_micro,
+         CAST(len({_SQL_TOKENS.format(col='c.text')}) AS BIGINT) AS n_tokens
+  FROM canon c JOIN sel s ON c.doc_id = s.doc_id
+), placed AS (
+  SELECT doc_id, score_micro, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tok_start
+  FROM tk
+)
+SELECT doc_id, score_micro, n_tokens, tok_start,
+       tok_start // {P.PACK_BUDGET} AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // {P.PACK_BUDGET}
+            ELSE tok_start // {P.PACK_BUDGET} END AS seq_last
+FROM placed
+""",
+)
+def e2e_corpus_build_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-era corpus materialization: LSH dedup -> star-CC canonical ->
+    DSIR importance resampling (model fit ON the deduped corpus, Gumbel
+    top-{k} cut) -> 512-token sequence packing — selection by
+    distribution matching instead of e2e_corpus_build's hand-tuned
+    quality + mixture cuts. Every stage is an independently hash-gated
+    operator (d3, d6b, x9, pk1); the composed oracle re-derives the
+    whole chain, catching column-contract drift between the selection's
+    integer micro-unit scores and the packer's token spine."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5, n=5)
+    clusters = D.neardup_clusters_star(docs, pairs)
+    canonical = docs.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+    sel = S.dsir_select(canonical, k=DSIR_SELECT_K)
+    corpus = canonical.join(sel.select("doc_id"), "doc_id")
+    packed = P.packed_sequences(corpus)
+    return packed.join(sel.select("doc_id", "score_micro"), "doc_id").select(
+        "doc_id", "score_micro", "n_tokens", "tok_start", "seq_first", "seq_last"
+    )

@@ -116,7 +116,8 @@ _REGISTRY: dict[str, Query] = {}
 # ORACLE is infeasible — the naive shingle self-join spills DuckDB
 # temp past disk at 5000 docs — so c4's 3rd-SF check is Spark-side
 # rows: 7/3/31 survivors at sf0.001/0.01/0.1, oracle-hashed at the
-# driver's own two SFs),
+# driver's own two SFs), e2e_corpus_build_d (the DSIR-era
+# composition gate: dedup-canonical -> x9 resample -> pack),
 # d15_containment_pairs (d15 additionally re-verified d12 + d14 at
 # sf0.01 after the _df_ordered_docs refactor of their shared stage).
 _DRIVER_PRIORITY: list[str] = [

@@ -264,3 +264,94 @@ def band_join(
         .drop("_bk")
         .withColumn("value_diff", F.round(raw_diff, round_dp))
     )
+
+
+def asof_interpolate(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str = "interp_value",
+) -> DataFrame:
+    """As-of join with LINEAR INTERPOLATION: each probe row gets the
+    build series' value AT its timestamp — v0 + (v1 - v0) * (t - t0) /
+    (t1 - t0) between the latest build row at-or-before (t0, v0) and the
+    earliest STRICTLY-after (t1, v1). The natural completion of the
+    as-of family (j6 backward / j8 forward / j9 nearest): those pick a
+    side, this reconstructs the value between sides — pandas
+    ``Series.interpolate``'s time method as a join, the standard
+    "price at event time" estimator for irregular series.
+
+    Edges: exact-timestamp build match lands on the BACKWARD side (t0 =
+    t, fraction 0 → exactly v0, no float edge); probe before the first
+    build row extrapolates flat from v1; after the last, flat from v0;
+    no build rows at all → NULL. t0 <= t < t1 guarantees the divisor is
+    positive — never zero.
+
+    ONE shuffle for BOTH directions: unlike composing two
+    :func:`asof_join` calls (two union-marker scans, two shuffles),
+    this tags and sorts once and runs the backward last(ignorenulls)
+    and forward first(ignorenulls) windows over the SAME (key, ts,
+    marker) sort — the marker convention (build 0 before probe 1 at
+    equal ts) is what makes backward inclusive and forward strict
+    simultaneously. ``build`` must be unique per (key, ts); callers
+    dedupe first (j6's convention). Output value rounds to 6 dp with
+    the division parenthesized identically in the oracle.
+    """
+    from pyspark.sql import Window
+
+    reserved = {"_k", "_ts", "_m", "_b", "_p", "_n"}
+    clash = reserved & (set(probe.columns) | set(build.columns))
+    if clash:
+        raise ValueError(
+            f"asof_interpolate reserves internal column names "
+            f"{sorted(reserved)}; rename input columns {sorted(clash)} first"
+        )
+    b = build.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_m"),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("_b"),
+    )
+    probe_cols = probe.columns
+    p = probe.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_m"),
+        F.lit(None).cast(b.schema["_b"].dataType).alias("_b"),
+        *[F.col(c) for c in probe_cols],
+    )
+    base = Window.partitionBy("_k").orderBy("_ts", "_m")
+    prev = F.last("_b", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.first("_b", ignorenulls=True).over(
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col("_ts"))
+    t0, v0 = F.col("_p.t"), F.col("_p.v")
+    t1, v1 = F.col("_n.t"), F.col("_n.v")
+    interp = (
+        F.when(F.col("_p").isNull() & F.col("_n").isNull(), F.lit(None))
+        .when(F.col("_p").isNull(), v1)
+        .when(F.col("_n").isNull(), v0)
+        .otherwise(
+            v0
+            + (v1 - v0)
+            * ((t - t0).cast("double") / (t1 - t0).cast("double"))
+        )
+    )
+    return (
+        b.unionByName(p, allowMissingColumns=True)
+        .withColumn("_p", prev)
+        .withColumn("_n", nxt)
+        .filter(F.col("_m") == 1)
+        .select(
+            *[F.col(c) for c in probe_cols],
+            F.round(interp, 6).alias(out_col),
+        )
+    )

@@ -2927,3 +2927,80 @@ def a33_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+@register(
+    "j11_asof_interpolate",
+    oracle="""
+WITH bdup AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, ts, value FROM bdup WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), pb AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         b.ts AS t0, b.value AS v0
+  FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+), pf AS (
+  SELECT p.event_id, b.ts AS t1, b.value AS v1
+  FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts < b.ts
+)
+SELECT pb.event_id, pb.user_id, pb.ts,
+       round(pb.value, 6) AS purchase_value,
+       round(CASE WHEN t0 IS NULL AND t1 IS NULL THEN NULL
+                  WHEN t0 IS NULL THEN v1
+                  WHEN t1 IS NULL THEN v0
+                  ELSE v0 + (v1 - v0)
+                       * (CAST(epoch_us(pb.ts) - epoch_us(t0) AS DOUBLE)
+                          / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE))
+             END, 6) AS interp_view_value
+FROM pb JOIN pf USING (event_id)
+""",
+)
+def j11_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolating as-of join — the as-of family's completion (j6
+    backward / j8 forward / j9 nearest pick a side; j11 reconstructs
+    the value BETWEEN sides): each purchase gets the user's view-value
+    series linearly interpolated at the purchase timestamp, pandas
+    ``interpolate(method='time')`` as a join. One union-marker shuffle
+    computes BOTH bracketing rows (backward-inclusive + forward-strict
+    windows over the same sort — see operators/rangejoin.py
+    asof_interpolate); the oracle runs DuckDB's native ASOF twice
+    (>= and <) and applies the identically-parenthesized formula.
+    Exact-ts matches take fraction 0 (exactly v0, no float edge); edge
+    probes extrapolate flat; the divisor t1 - t0 is structurally
+    positive. Build rows dedupe to one per (user, ts), j6's
+    convention."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import (
+        asof_interpolate,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_interpolate(
+        probe,
+        build,
+        on="user_id",
+        ts_col="ts",
+        value_col="value",
+        out_col="interp_view_value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        "interp_view_value",
+    )

@@ -567,3 +567,68 @@ class TestAsofNearest:
             ).collect()
         }
         assert got == {100: 10.0, 101: 20.0, 102: 10.0, 103: 30.0}
+
+
+class TestAsofInterpolate:
+    """j11's operator: linear time interpolation between bracketing build
+    rows, with exact-match / edge-extrapolation / empty-series contracts
+    checked against hand-computed values."""
+
+    def _run(self, spark, probe_rows, build_rows):
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import (
+            asof_interpolate,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        probe = spark.createDataFrame(
+            [(i, k, t0 + timedelta(seconds=s)) for i, (k, s) in enumerate(probe_rows)],
+            "pid long, k long, ts timestamp",
+        )
+        build = spark.createDataFrame(
+            [(k, t0 + timedelta(seconds=s), v) for k, s, v in build_rows],
+            "k long, ts timestamp, v double",
+        )
+        out = asof_interpolate(probe, build, on="k", ts_col="ts", value_col="v")
+        return {r.pid: r.interp_value for r in out.collect()}
+
+    def test_midpoint_and_quarter(self, spark):
+        got = self._run(
+            spark,
+            [(1, 5), (1, 25)],                      # probes at t=5s, t=25s
+            [(1, 0, 10.0), (1, 10, 20.0), (1, 30, 60.0)],
+        )
+        assert got[0] == 15.0                        # halfway 10 -> 20
+        assert got[1] == 50.0                        # 3/4 along 20 -> 60
+
+    def test_exact_match_takes_v0_with_no_float_edge(self, spark):
+        got = self._run(spark, [(1, 10)], [(1, 0, 1.0), (1, 10, 2.0), (1, 20, 9.0)])
+        assert got[0] == 2.0
+
+    def test_flat_extrapolation_and_empty_series(self, spark):
+        got = self._run(
+            spark,
+            [(1, 0), (1, 99), (2, 5)],
+            [(1, 10, 7.0), (1, 20, 11.0)],           # key 2 has no series
+        )
+        assert got[0] == 7.0                          # before first -> v1 flat
+        assert got[1] == 11.0                         # after last -> v0 flat
+        assert got[2] is None
+
+    def test_single_shuffle_plan(self, spark):
+        """Both directions must come off ONE exchange of the union frame —
+        the reason this isn't two asof_join calls."""
+        from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import (
+            asof_interpolate,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, 1, datetime(2024, 1, 1))], "pid long, k long, ts timestamp"
+        )
+        build = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 1.0)], "k long, ts timestamp, v double"
+        )
+        plan = asof_interpolate(
+            probe, build, on="k", ts_col="ts", value_col="v"
+        )._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan

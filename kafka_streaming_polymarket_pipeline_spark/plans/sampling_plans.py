@@ -400,3 +400,72 @@ def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the 6-dp precedent. One gram explode + two <= 64-row broadcast
     model tables + TakeOrderedAndProject; nothing collects."""
     return S.dsir_select(load(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "x10_decontam_split",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+                                 i -> array_to_string(tk[i:i+7], ' '))) AS g
+    FROM toks)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3),
+hits AS (
+  SELECT DISTINCT gr.doc_id AS h_id
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 17 <> 3
+)
+SELECT d.doc_id AS doc_id, d.lang,
+       h.h_id IS NOT NULL AS contaminated,
+       CASE WHEN h.h_id IS NOT NULL THEN 'train'
+            WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.h_id
+WHERE d.doc_id % 17 <> 3
+""",
+)
+def x10_decontam_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware train/validation/test split — x1's
+    deterministic hash split composed with t8's benchmark 8-gram
+    collision scan: a document sharing ANY verbatim token 8-gram with
+    the held-out benchmark set is FORCED into 'train' (its hash bucket
+    notwithstanding), so evaluation splits can never echo benchmark
+    content — the leakage direction x7's group split cannot see
+    (provenance-clean docs can still quote the benchmark). Map-only
+    split + one broadcast gram semi-join; no pairwise doc comparison
+    ever forms. Benchmark = doc_id % 17 = 3 (t8's convention), excluded
+    from the output entirely."""
+    from kafka_streaming_polymarket_pipeline_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 17 == 3
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(T.token_ngrams(F.col("text"), 8)).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(~is_bench)
+    hit_ids = (
+        train.select("doc_id", F.explode(T.token_ngrams(F.col("text"), 8)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    base = S.hash_split(train).join(hit_ids, "doc_id", "left")
+    return base.select(
+        "doc_id",
+        "lang",
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        F.when(F.coalesce("contaminated", F.lit(False)), F.lit("train"))
+        .otherwise(F.col("split"))
+        .alias("split"),
+    )

@@ -100,3 +100,41 @@ def test_unimax_budget_water_filling_math(spark, tmp_path):
     assert got["cc"]["alloc_docs"] == 30.0
     assert got["dd"]["alloc_docs"] == 68.0  # 128 - (10+20+30)
     assert got["dd"]["epochs"] == 0.68
+
+
+def test_x10_override_actually_fires(spark):
+    """The contamination override must be live on the driver corpus: at
+    least one contaminated doc's hash bucket would have sent it to
+    validation/test, and x10 forces it to train."""
+    from kafka_streaming_polymarket_pipeline_spark.plans import get
+
+    # sf0.01: the SF where contaminated docs exist whose hash bucket
+    # would have left train (sf0.001 has 5 contaminated, all bucket<80)
+    out = get("x10_decontam_split").builder(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    contaminated = [r for r in rows if r["contaminated"]]
+    assert contaminated, "driver corpus has no benchmark collisions?"
+    assert all(r["split"] == "train" for r in contaminated)
+    # the override changed at least one assignment vs the raw hash split
+    from kafka_streaming_polymarket_pipeline_spark.operators.sampling import (
+        split_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    raw = {
+        r["doc_id"]: r["b"]
+        for r in out.sparkSession.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        .select("doc_id", split_bucket(F.col("doc_id"), F.col("lang")).alias("b"))
+        .collect()
+    }
+    assert any(raw[r["doc_id"]] >= 80 for r in contaminated), (
+        "no contaminated doc would have left train — override untested"
+    )
+    # uncontaminated docs keep their x1 assignment exactly
+    for r in rows:
+        if not r["contaminated"]:
+            b = raw[r["doc_id"]]
+            want = "train" if b < 80 else ("validation" if b < 90 else "test")
+            assert r["split"] == want

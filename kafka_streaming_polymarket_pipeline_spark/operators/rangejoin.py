@@ -273,6 +273,7 @@ def asof_interpolate(
     ts_col: str,
     value_col: str,
     out_col: str = "interp_value",
+    build_ts_col: str | None = None,
 ) -> DataFrame:
     """As-of join with LINEAR INTERPOLATION: each probe row gets the
     build series' value AT its timestamp — v0 + (v1 - v0) * (t - t0) /
@@ -298,6 +299,8 @@ def asof_interpolate(
     simultaneously. ``build`` must be unique per (key, ts); callers
     dedupe first (j6's convention). Output value rounds to 6 dp with
     the division parenthesized identically in the oracle.
+    ``build_ts_col`` names the build side's timestamp when it differs
+    from the probe's (w9 probes a grid_ts against a raw ts series).
     """
     from pyspark.sql import Window
 
@@ -308,12 +311,13 @@ def asof_interpolate(
             f"asof_interpolate reserves internal column names "
             f"{sorted(reserved)}; rename input columns {sorted(clash)} first"
         )
+    bts = build_ts_col or ts_col
     b = build.select(
         F.col(on).alias("_k"),
-        F.col(ts_col).alias("_ts"),
+        F.col(bts).alias("_ts"),
         F.lit(0).alias("_m"),
         F.struct(
-            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.unix_micros(F.col(bts)).alias("t"),
             F.col(value_col).cast("double").alias("v"),
         ).alias("_b"),
     )

@@ -3004,3 +3004,85 @@ def j11_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_value", 6).alias("purchase_value"),
         "interp_view_value",
     )
+
+
+@register(
+    "w9_resample_interpolate",
+    oracle="""
+WITH bdup AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE user_id < 10
+), b AS (
+  SELECT user_id, ts, value FROM bdup WHERE rn = 1
+), grid AS (
+  SELECT u.user_id, g.g AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) u,
+       generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-30 23:00:00',
+                       INTERVAL 1 HOUR) AS g(g)
+), pb AS (
+  SELECT grid.user_id, grid.grid_ts, b.ts AS t0, b.value AS v0
+  FROM grid ASOF LEFT JOIN b
+    ON grid.user_id = b.user_id AND grid.grid_ts >= b.ts
+), pf AS (
+  SELECT grid.user_id, grid.grid_ts, b.ts AS t1, b.value AS v1
+  FROM grid ASOF LEFT JOIN b
+    ON grid.user_id = b.user_id AND grid.grid_ts < b.ts
+)
+SELECT pb.user_id, pb.grid_ts,
+       round(CASE WHEN t0 IS NULL AND t1 IS NULL THEN NULL
+                  WHEN t0 IS NULL THEN v1
+                  WHEN t1 IS NULL THEN v0
+                  ELSE v0 + (v1 - v0)
+                       * (CAST(epoch_us(pb.grid_ts) - epoch_us(t0) AS DOUBLE)
+                          / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE))
+             END, 6) AS interp_value
+FROM pb JOIN pf ON pb.user_id = pf.user_id AND pb.grid_ts = pf.grid_ts
+""",
+)
+def w9_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling with LINEAR interpolation — a20's ffill
+    sibling (pandas ``resample().interpolate('time')``): every user's
+    irregular event-value series is evaluated at each hourly grid point
+    by j11's interpolating as-of scan, probe = the calendar grid, build
+    = the (user, ts)-deduped raw series. Pure composition: the grid
+    explode is per-key calendar-bounded (720 rows/key/month regardless
+    of corpus size) and asof_interpolate's single union-marker shuffle
+    computes both bracketing directions at once — cheaper than a20's
+    join+ffill when the consumer needs values BETWEEN observations
+    rather than stale carries. Same fixed grid, same user_id < 10 cut,
+    flat extrapolation at the edges."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.rangejoin import (
+        asof_interpolate,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    return asof_interpolate(
+        grid,
+        build,
+        on="user_id",
+        ts_col="grid_ts",
+        value_col="value",
+        build_ts_col="ts",
+    ).select("user_id", "grid_ts", "interp_value")

@@ -1,0 +1,88 @@
+"""Streaming incremental containment probe: the union of per-batch
+directed-pair emissions must equal d15's batch containment_pairs over the
+full corpus — every (a, b) emits exactly once, at the batch where its
+LATER side arrives (fwd leg when the contained/later doc is new, bwd leg
+when the container arrived first)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from kafka_streaming_polymarket_pipeline_spark.operators.dedup import containment_pairs
+from kafka_streaming_polymarket_pipeline_spark.streaming import containment_stream as CS
+
+QUOTE = "to be or not to be that is the question"
+ARTICLE = QUOTE + " " + " ".join(f"filler{i}" for i in range(40))
+SMALL = "window functions aggregate sorted frames"
+BIG = SMALL + " " + " ".join(f"extra{i}" for i in range(30))
+
+BATCH_A = [
+    (0, ARTICLE),            # container, arrives first
+    (1, SMALL),              # contained doc, its superset arrives later
+]
+BATCH_B = [
+    (2, QUOTE),              # subset of doc 0 -> (2, 0) via fwd leg
+    (3, BIG),                # superset of doc 1 -> (1, 3) via bwd leg
+    (4, "alpha beta gamma delta epsilon"),
+    (5, "alpha beta gamma delta epsilon zeta eta"),  # same-batch (4, 5) fwd
+]
+
+
+def test_streaming_containment_equals_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    os.makedirs(src)
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = tmp_path / "out"
+    q = CS.containment_probe_sink(
+        stream,
+        str(out / "index"),
+        str(out / "pairs"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in spark.read.parquet(str(out / "pairs")).collect()
+    }
+    want = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in containment_pairs(a.unionByName(b)).collect()
+    }
+    assert got == want and len(got) > 0
+    # the cross-batch directions both present: later-subset and
+    # later-superset pairs each emitted exactly once
+    assert (2, 0) in got and got[(2, 0)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (4, 5) in got
+
+
+def test_probe_cost_is_per_batch_not_per_corpus(spark, tmp_path):
+    """The probe joins only the NEW batch's postings against the index —
+    a batch with no token overlap against the index emits nothing and
+    extends the index by exactly its own postings."""
+    idx = str(tmp_path / "idx")
+    first = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    pairs, post, sizes = CS.containment_probe_batch(first, idx)
+    assert pairs.count() == 0  # no containment inside batch A
+    post.write.mode("overwrite").parquet(os.path.join(idx, CS.INV, "batch=0"))
+    sizes.write.mode("overwrite").parquet(os.path.join(idx, CS.SIZES, "batch=0"))
+
+    disjoint = spark.createDataFrame(
+        [(9, "nothing shared here at all")], "doc_id long, text string"
+    )
+    pairs2, post2, _ = CS.containment_probe_batch(disjoint, idx)
+    assert pairs2.count() == 0
+    assert post2.count() == 5  # its own 5 distinct tokens, nothing else

@@ -136,3 +136,22 @@ def test_k_larger_than_corpus_returns_all(spark):
 def test_deterministic_across_runs(spark):
     docs = [(i, t) for i, t in enumerate(CLEAN + JUNK)]
     assert _run(spark, docs, k=7) == _run(spark, docs, k=7)
+
+
+def test_matches_python_reference_on_random_corpora(spark):
+    """Random mixed corpora (d15's robustness pattern): the engine's full
+    selection — model fit, integer score, Gumbel key, cut — must equal
+    the plain-Python recomputation on every trial, including corpora
+    where the target slice is empty or everything."""
+    import random
+
+    rng = random.Random(4242)
+    words = [f"w{i}" for i in range(60)] + ["aa", "zz", "qq"]
+    for trial in range(3):
+        docs = []
+        for i in range(30):
+            ln = rng.randint(0, 12)
+            docs.append((i, " ".join(rng.choice(words) for _ in range(ln))))
+        got = _run(spark, docs, k=9)
+        want = py_dsir(docs, k=9)
+        assert got == want, f"trial {trial}"

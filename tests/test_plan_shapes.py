@@ -61,6 +61,8 @@ ALLOWED_NESTED = {
                         "the <= 64-row model table — bytes-sized however "
                         "the corpus grows; the per-doc path is a "
                         "broadcast equi-join on bucket",
+    "e2e_corpus_build_d": "embeds x9's one-row broadcast gram-total "
+                          "aggregate (the DSIR model-fit stage)",
     "a31_psi_drift": "crossJoin against the broadcast ONE-ROW min/max "
                      "aggregate for the shared binning; both slices count "
                      "in one groupBy(bin) conditional-sum pass (r08: no "

@@ -86,3 +86,65 @@ def test_probe_cost_is_per_batch_not_per_corpus(spark, tmp_path):
     pairs2, post2, _ = CS.containment_probe_batch(disjoint, idx)
     assert pairs2.count() == 0
     assert post2.count() == 5  # its own 5 distinct tokens, nothing else
+
+
+def test_restart_from_checkpoint_resumes_against_index(spark, tmp_path):
+    """Stop the standing job after the first batches, add new files,
+    resume the SAME checkpoint: the resumed batch probes the index built
+    before the stop (cross-restart pairs emit), and the final union still
+    equals the batch ground truth — the layout's retry/restart
+    contract."""
+    src = tmp_path / "src"
+    os.makedirs(src)
+    a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    out = tmp_path / "out"
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        return CS.containment_probe_sink(
+            stream, str(out / "index"), str(out / "pairs"), str(tmp_path / "ck")
+        )
+
+    q = start()
+    q.awaitTermination(180)
+    q.stop()
+
+    late = [(8, "to be or not to be"), (9, "fresh disjoint content entirely new")]
+    time.sleep(1.1)
+    spark.createDataFrame(late, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    q = start()
+    q.awaitTermination(180)
+    q.stop()
+
+    full = a.unionByName(b).unionByName(
+        spark.createDataFrame(late, "doc_id long, text string")
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in spark.read.parquet(str(out / "pairs")).collect()
+    }
+    want = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in containment_pairs(full).collect()
+    }
+    assert got == want
+    # the resumed batch really probed the pre-restart index: doc 8's
+    # tokens {to, be, or, not} all sit inside doc 0 (ARTICLE, batch 0)
+    # and doc 2 (QUOTE, batch 1) — both cross-restart containments must
+    # emit in the resumed batch, not anywhere else
+    resumed = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in spark.read.parquet(str(out / "pairs" / "batch=2")).collect()
+    }
+    assert (8, 0) in resumed and (8, 2) in resumed

@@ -422,3 +422,60 @@ def c4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_id_a").alias("va"), F.col("doc_id_b").alias("vb"))
     )
     return surv.select(F.col("node").alias("doc_id"), "degree")
+
+
+@register(
+    "c4b_kcore_dfpruned",
+    oracle=f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM documents)
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), dfq AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d FROM sh0 GROUP BY s
+), sh AS (
+  SELECT sh0.doc_id, sh0.s
+  FROM sh0 JOIN dfq USING (s) CROSS JOIN n
+  WHERE dfq.d * 100 <= 10 * n.n_docs
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), prpairs AS (
+  SELECT doc_id_a AS va, doc_id_b AS vb FROM (
+    SELECT doc_id_a, doc_id_b, i / (sa.n + sb.n - i) AS j
+    FROM inter
+    JOIN sz sa ON doc_id_a = sa.doc_id
+    JOIN sz sb ON doc_id_b = sb.doc_id
+  ) WHERE j >= 0.5
+),
+{_kcore_ctes(KC_K, KC_ROUNDS)}
+SELECT node AS doc_id, degree FROM d{KC_ROUNDS} WHERE degree >= {KC_K}
+""",
+)
+def c4b_kcore_dfpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c4's PRODUCTION form on template-heavy corpora — the prescription
+    SCALE.md's c4 probe note makes, executable and gated: the peel fed
+    from d3c's doc-frequency-pruned funnel (shingles in >10% of docs
+    dropped corpus-wide before signatures), so boilerplate-driven edges
+    never form and the funnel's candidate mass stays linear where the
+    unpruned d3 funnel goes quadratic (the 30-word-vocab probe regime).
+    Same fixed-round integer peel, same oracle unroll — only the pair
+    CTE swaps to the DF-pruned one d3c gates on."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+    from kafka_streaming_polymarket_pipeline_spark.operators import graph as G
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_dfpruned(docs, threshold=0.5, n=5, max_df_pct=10)
+    surv = G.kcore_peel(
+        pairs.select(F.col("doc_id_a").alias("va"), F.col("doc_id_b").alias("vb"))
+    )
+    return surv.select(F.col("node").alias("doc_id"), "degree")

@@ -188,6 +188,8 @@ def kcore_peel(
     shrinking survivor set) + one groupBy(src) count with map-side
     combine. Survivor frames are localCheckpoint-ed per round (each is
     read twice next round; the d6/PageRank lineage lesson)."""
+    if rounds < 1:
+        raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
     edges = (
         pairs.select(F.col("va").alias("src"), F.col("vb").alias("dst"))
         .unionByName(pairs.select(F.col("vb").alias("src"), F.col("va").alias("dst")))

@@ -197,16 +197,19 @@ def kcore_peel(
     )
     alive = edges.select(F.col("src").alias("node")).distinct()
     deg = None
-    for _ in range(rounds):
+    for i in range(rounds):
         e = edges.join(
             alive.withColumnRenamed("node", "src"), "src", "left_semi"
         ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
         deg = e.groupBy("src").agg(F.count("*").alias("degree"))
-        alive = (
-            deg.filter(F.col("degree") >= k)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=True)
-        )
+        if i < rounds - 1:
+            # the final round's survivor frame is never read again —
+            # checkpointing it would run one redundant round-sized job
+            alive = (
+                deg.filter(F.col("degree") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
     return deg.filter(F.col("degree") >= k).select(
         F.col("src").alias("node"), "degree"
     )

@@ -203,32 +203,26 @@ def _dsir_grams_by_bucket(df, n_buckets, id_col, text_col, with_target=None):
     ), base
 
 
-def dsir_model(
-    df: DataFrame,
-    n_buckets: int = 64,
-    entropy_min: float = 2.0,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Fit the DSIR importance model: exactly ``n_buckets`` rows
-    (bucket, lam_micro) where lam_micro is the integer-micro-unit
-    log-ratio of the add-one-smoothed target vs raw hashed-n-gram
-    bucket models (target = the char-entropy-gated slice). This is the
-    offline stage a standing ingest job freezes at build time (the
-    drift-monitor reference-histogram pattern); :func:`dsir_score`
-    applies it to any frame, batch or per-micro-batch."""
+def _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col):
+    """(tb, base) with the entropy target flag attached — the shared
+    feature stage of the model fit (and of dsir_select's one-pass
+    composition)."""
     from kafka_streaming_polymarket_pipeline_spark.operators.text import (
         char_entropy_frame,
     )
 
-    spark = df.sparkSession
     labeled = char_entropy_frame(df, text_col).withColumn(
         "_tgt",
         (F.round(F.col("char_entropy_bits"), 6) >= entropy_min).cast("int"),
     )
-    tb, _ = _dsir_grams_by_bucket(
+    return _dsir_grams_by_bucket(
         labeled, n_buckets, id_col, text_col, with_target=F.col("_tgt")
     )
+
+
+def _model_from_tb(tb: DataFrame, spark, n_buckets: int) -> DataFrame:
+    """Fold a (did, tgt, bucket, cnt) gram table into the n_buckets-row
+    (bucket, lam_micro) model — two <= n_buckets-row aggregates."""
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     bt = spine.join(
         tb.groupBy("bucket").agg(
@@ -258,6 +252,24 @@ def dsir_model(
         .cast("long")
         .alias("lam_micro"),
     )
+
+
+def dsir_model(
+    df: DataFrame,
+    n_buckets: int = 64,
+    entropy_min: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the DSIR importance model: exactly ``n_buckets`` rows
+    (bucket, lam_micro) where lam_micro is the integer-micro-unit
+    log-ratio of the add-one-smoothed target vs raw hashed-n-gram
+    bucket models (target = the char-entropy-gated slice). This is the
+    offline stage a standing ingest job freezes at build time (the
+    drift-monitor reference-histogram pattern); :func:`dsir_score`
+    applies it to any frame, batch or per-micro-batch."""
+    tb, _ = _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col)
+    return _model_from_tb(tb, df.sparkSession, n_buckets)
 
 
 def dsir_score(
@@ -335,8 +347,27 @@ def dsir_select(
     Reference lineage: the reference has no data-selection surface; this
     extends the training-data family (x1-x8) per SURVEY §6.
     """
-    lam = dsir_model(df, n_buckets, entropy_min, id_col, text_col)
-    scores = dsir_score(df, lam, n_buckets, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # ONE gram explode feeds both stages: the (did, tgt, bucket, cnt)
+    # table is persisted and consumed by the model fold AND the per-doc
+    # score (calling dsir_model + dsir_score separately would tokenize
+    # and shuffle the corpus twice — the dominant cost).
+    tb, base = _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col)
+    tb = tb.persist(StorageLevel.MEMORY_AND_DISK)
+    lam = _model_from_tb(tb, df.sparkSession, n_buckets)
+    scores = (
+        base.select("did")
+        .join(
+            tb.join(F.broadcast(lam), "bucket")
+            .groupBy("did")
+            .agg(F.sum(F.col("cnt") * F.col("lam_micro")).alias("s")),
+            "did",
+            "left",
+        )
+        .select("did", F.coalesce("s", F.lit(0)).cast("long").alias("score_micro"))
+        .withColumnRenamed("did", id_col)
+    )
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "long"
     )

@@ -57,13 +57,23 @@ def _token_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return post, sizes
 
 
-def _read_table(spark, path: str, schema: str) -> DataFrame:
+def _read_table(
+    spark, path: str, schema: str, before_batch: int | None = None
+) -> DataFrame:
+    """Index reader. ``before_batch`` filters to batch < it — the retry
+    armor: a foreachBatch retry of batch N must NOT see the inv/sizes
+    rows its first attempt already landed under batch=N, or every
+    batch-N token would count twice in the overlap (containment 2.0
+    rows) and the bwd leg would re-emit reversed duplicates."""
     if os.path.isdir(path) and any(
         d.startswith("batch=") for d in os.listdir(path)
     ):
-        return spark.read.option("basePath", path).parquet(
+        df = spark.read.option("basePath", path).parquet(
             os.path.join(path, "batch=*")
-        ).drop("batch")
+        )
+        if before_batch is not None:
+            df = df.filter(F.col("batch") < before_batch)
+        return df.drop("batch")
     return spark.createDataFrame([], schema)
 
 
@@ -73,19 +83,22 @@ def containment_probe_batch(
     num: int = 9,
     den: int = 10,
     min_size: int = 1,
+    before_batch: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(pairs, postings, sizes): the batch's directed containment pairs
     against everything seen so far INCLUDING the batch itself, plus the
     batch's index parts for the caller to land. All thresholds integer
-    cross-multiplied (d15's discipline)."""
+    cross-multiplied (d15's discipline). The standing job passes its
+    ``batch_id`` as ``before_batch`` so a crashed-then-retried batch
+    never reads its own first attempt's index rows (see _read_table)."""
     spark = new.sparkSession
     post, sizes = _token_index(new)
     post = post.localCheckpoint(eager=True)
     sizes = sizes.localCheckpoint(eager=True)
     seen_post = _read_table(spark, os.path.join(index_path, INV),
-                            "doc_id long, tok string")
+                            "doc_id long, tok string", before_batch)
     seen_sizes = _read_table(spark, os.path.join(index_path, SIZES),
-                             "doc_id long, sz long")
+                             "doc_id long, sz long", before_batch)
     all_post = seen_post.unionByName(post)
     all_sizes = seen_sizes.unionByName(sizes)
     ov = (
@@ -140,7 +153,7 @@ def containment_probe_sink(
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
         pairs, post, sizes = containment_probe_batch(
-            batch, index_path, num, den, min_size
+            batch, index_path, num, den, min_size, before_batch=batch_id
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch={batch_id}")

@@ -111,6 +111,14 @@ def corpus_ingest_sink(
         lam_rows = [
             (int(r["bucket"]), int(r["lam_micro"])) for r in dsir_lambda.collect()
         ]
+        if not lam_rows:
+            # hash % 0 would evaluate to NULL and silently land
+            # score_micro=0 for every doc — fail loudly instead (the
+            # monitor_reference binning-constants guard's sibling)
+            raise ValueError(
+                "dsir_lambda is empty — pass the full dsir_model table "
+                "(exactly n_buckets rows) or None"
+            )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)

@@ -148,3 +148,35 @@ def test_restart_from_checkpoint_resumes_against_index(spark, tmp_path):
         for r in spark.read.parquet(str(out / "pairs" / "batch=2")).collect()
     }
     assert (8, 0) in resumed and (8, 2) in resumed
+
+
+def test_retry_of_landed_batch_emits_identical_pairs(spark, tmp_path):
+    """Crash window: batch N landed all three writes but the checkpoint
+    didn't commit; the retry re-processes batch N with its own postings
+    ALREADY in the index. With before_batch filtering, the retry's
+    emissions are byte-identical to the first attempt (no doubled
+    overlaps, no reversed re-emissions)."""
+    idx = str(tmp_path / "idx")
+    b0 = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+    p0, post0, sz0 = CS.containment_probe_batch(b0, idx, before_batch=0)
+    post0.write.mode("overwrite").parquet(os.path.join(idx, CS.INV, "batch=0"))
+    sz0.write.mode("overwrite").parquet(os.path.join(idx, CS.SIZES, "batch=0"))
+
+    b1 = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+    first, post1, sz1 = CS.containment_probe_batch(b1, idx, before_batch=1)
+    first_rows = {
+        (r.doc_id_a, r.doc_id_b, r.containment) for r in first.collect()
+    }
+    # land batch 1's index parts — the crash happens AFTER this
+    post1.write.mode("overwrite").parquet(os.path.join(idx, CS.INV, "batch=1"))
+    sz1.write.mode("overwrite").parquet(os.path.join(idx, CS.SIZES, "batch=1"))
+
+    retry, _, _ = CS.containment_probe_batch(b1, idx, before_batch=1)
+    retry_rows = {
+        (r.doc_id_a, r.doc_id_b, r.containment) for r in retry.collect()
+    }
+    assert retry_rows == first_rows and first_rows
+    # the unfiltered read really would have corrupted it (double counting)
+    bad, _, _ = CS.containment_probe_batch(b1, idx, before_batch=None)
+    bad_rows = {(r.doc_id_a, r.doc_id_b, r.containment) for r in bad.collect()}
+    assert bad_rows != first_rows

@@ -155,8 +155,8 @@ class TestCMSStreaming:
         assert got.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
 
 
-class TestHLLStreaming:
-    def test_streaming_registers_equal_batch(self, spark, tmp_path):
+class TestHLLStreamingBounds:
+    def test_streaming_registers_state_bound_and_band(self, spark, tmp_path):
         """The portable-HLL register build (a17's substrate) is a pure
         groupBy-max — a mergeable streaming aggregation whose state is
         bounded at groups x m rows forever. Drained over micro-batches

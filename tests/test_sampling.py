@@ -110,7 +110,9 @@ def test_x10_override_actually_fires(spark):
 
     # sf0.01: the SF where contaminated docs exist whose hash bucket
     # would have left train (sf0.001 has 5 contaminated, all bucket<80)
-    out = get("x10_decontam_split").builder(spark, "/root/testdata/sf0.01")
+    from tests.conftest import SF_CORRECT
+
+    out = get("x10_decontam_split").builder(spark, SF_CORRECT)
     rows = out.collect()
     contaminated = [r for r in rows if r["contaminated"]]
     assert contaminated, "driver corpus has no benchmark collisions?"
@@ -124,7 +126,7 @@ def test_x10_override_actually_fires(spark):
     raw = {
         r["doc_id"]: r["b"]
         for r in out.sparkSession.read.parquet(
-            "/root/testdata/sf0.01/documents.parquet"
+            f"{SF_CORRECT}/documents.parquet"
         )
         .select("doc_id", split_bucket(F.col("doc_id"), F.col("lang")).alias("b"))
         .collect()

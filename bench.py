@@ -614,7 +614,10 @@ def main() -> None:
         heavy_runs=heavy_runs,
     )
     here = os.path.dirname(os.path.abspath(__file__))
-    detail_path = os.path.join(here, DETAIL_FILE)
+    detail_path = os.path.join(
+        here,
+        "BENCH_ALL.json" if os.environ.get("SPARK_GRAFT_BENCH_ALL") else DETAIL_FILE,
+    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"bench: full payload written to {detail_path}", file=sys.stderr)
@@ -624,9 +627,13 @@ def main() -> None:
     # reason — VERDICT r07 task 6). The round is inferred from the
     # driver's own artifacts: it records BENCH_r{N}.json after this run,
     # so the current round is max(existing N) + 1.
+    # BENCH_ALL sweeps write their own artifact name: an ad-hoc
+    # all-query run must never clobber the round's headline-format
+    # detail (it did once — restored from git).
     rnd = _round_guess(here)
     if rnd is not None:
-        versioned = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+        prefix = "BENCH_ALL" if os.environ.get("SPARK_GRAFT_BENCH_ALL") else "BENCH_DETAIL"
+        versioned = os.path.join(here, f"{prefix}_r{rnd:02d}.json")
         with open(versioned, "w") as f:
             json.dump(detail, f, indent=1)
         print(f"bench: round-suffixed payload written to {versioned}", file=sys.stderr)

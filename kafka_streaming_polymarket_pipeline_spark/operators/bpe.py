@@ -123,3 +123,157 @@ def bpe_token_counts(
         .groupBy("doc_id")
         .agg(F.sum("n_symbols").alias("n_bpe_tokens"))
     )
+
+
+# --- Unigram-LM tokenizer E-step (SentencePiece lineage, Kudo 2018) ---
+
+UNI_OFF = 1 << 40  # shifts DP keys nonnegative so div/mod never see a sign
+UNI_MAX_PIECE = 4
+UNI_MIN_COUNT = 2
+
+
+def unigram_viterbi_estep(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+    min_count: int = UNI_MIN_COUNT,
+) -> DataFrame:
+    """One EM E-step of unigram-LM tokenizer training (Kudo 2018, the
+    SentencePiece unigram model): seed a piece vocabulary from substring
+    counts, Viterbi-segment every distinct word under the seed
+    log-probabilities, and return the re-estimated piece counts — the
+    statistics the M-step renormalizes. Extends the hash-gated iterative
+    family (BPE merges v1, Lloyd c1, power iteration c2, gradient
+    descent t20) with its last missing member: EXPECTATION-MAXIMIZATION,
+    dynamic program included.
+
+    Engine-exactness is the x9 integer discipline applied to a DP: seed
+    log-probs round ONCE to integer micro-units (ln(cnt/total) * 1e6,
+    one rounding site per vocab piece on identical doubles), and the
+    entire Viterbi recurrence — best[i] = max_j best[j] + lp(w[j..i]) —
+    is exact BIGINT arithmetic. The argmax tie-break is encoded in the
+    comparison key itself: key = (total + 2^40) * 64 + j, so equal
+    totals break toward the larger j (shorter final piece) on every
+    engine, and the 2^40 offset keeps div/mod away from negative
+    operands. The DuckDB oracle replays the same DP as a rolling-window
+    recursive CTE (best[i] needs only best[i-4..i-1], so the recursion
+    carries 4 values + the backpointer string) and the same backtrace
+    walk.
+
+    Scale shape: everything after the word count is per-DISTINCT-WORD
+    (v1's insight — corpus size stops mattering once words are counted):
+    the substring explode is O(words x len x max_piece), the vocab fold
+    is two tiny aggregates broadcast back, and the DP + backtrace are
+    row-local array folds (F.aggregate over the word's positions — no
+    shuffle, no UDF, pure codegen). Output: (piece, new_count,
+    new_lp_micro), one row per piece used by any Viterbi segmentation.
+    """
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    w = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("L", F.length("word").cast("int"))
+    )
+    pos = (
+        w.select("word", "wc", "L", F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i"))
+        .select(
+            "word",
+            "wc",
+            "i",
+            F.explode(
+                F.sequence(F.greatest(F.col("i") - max_piece, F.lit(0)), F.col("i") - 1)
+            ).alias("j"),
+        )
+        .withColumn("piece", F.col("word").substr(F.col("j") + 1, F.col("i") - F.col("j")))
+    )
+    occ = pos.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    vocab = occ.filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+    vtot = vocab.agg(F.sum("cnt").cast("double").alias("tot"))
+    vlp = vocab.crossJoin(F.broadcast(vtot)).select(
+        "piece",
+        F.round(F.log(F.col("cnt") / F.col("tot")) * 1e6).cast("long").alias("lp"),
+    )
+    cand = pos.join(vlp, "piece").select("word", "i", "j", "lp")
+    cmap = (
+        cand.groupBy("word", "i")
+        .agg(F.collect_list(F.struct(F.col("j"), F.col("lp"))).alias("cl"))
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("i"), F.col("cl")))),
+                lambda x: x["cl"],
+            ).alias("cands")
+        )
+    )
+    dp_in = w.join(cmap, "word")
+
+    off = F.lit(UNI_OFF)
+
+    def dp_step(acc, i):
+        cl = F.element_at(F.col("cands"), i)
+        feas = F.filter(cl, lambda c: F.element_at(acc["prevs"], i - c["j"]).isNotNull())
+        key = F.array_max(
+            F.transform(
+                feas,
+                lambda c: (F.element_at(acc["prevs"], i - c["j"]) + c["lp"] + off)
+                * 64
+                + c["j"].cast("long"),
+            )
+        )
+        tot = (key / 64).cast("long") - off  # key nonneg: / then cast == div
+        bj = (key % 64).cast("int")
+        return F.struct(
+            F.concat(F.array(tot), F.slice(acc["prevs"], 1, 3)).alias("prevs"),
+            F.concat(acc["backs"], F.array(bj)).alias("backs"),
+        )
+
+    null_long = F.lit(None).cast("long")
+    dp = dp_in.withColumn(
+        "_dp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.struct(
+                F.array(F.lit(0).cast("long"), null_long, null_long, null_long).alias(
+                    "prevs"
+                ),
+                F.array().cast("array<int>").alias("backs"),
+            ),
+            dp_step,
+        ),
+    )
+
+    def walk_step(acc, _):
+        j = F.element_at(F.col("_dp")["backs"], acc["pos"])
+        piece = F.col("word").substr(j + 1, acc["pos"] - j)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                j.alias("pos"), F.concat(acc["pieces"], F.array(piece)).alias("pieces")
+            ),
+        ).otherwise(acc)
+
+    segged = dp.withColumn(
+        "_pieces",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.struct(
+                F.col("L").alias("pos"), F.array().cast("array<string>").alias("pieces")
+            ),
+            walk_step,
+        )["pieces"],
+    )
+    used = (
+        segged.select("wc", F.explode("_pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("new_count"))
+    )
+    utot = used.agg(F.sum("new_count").cast("double").alias("tot"))
+    return used.crossJoin(F.broadcast(utot)).select(
+        "piece",
+        "new_count",
+        F.round(F.log(F.col("new_count") / F.col("tot")) * 1e6)
+        .cast("long")
+        .alias("new_lp_micro"),
+    )

@@ -100,3 +100,96 @@ def v2_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     segmented, _rules = B.learn_bpe(B.word_vocab(docs), N_MERGES)
     return B.bpe_token_counts(docs, segmented)
+
+
+@register(
+    "v3_unigram_estep",
+    oracle=f"""
+WITH RECURSIVE w AS (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS wc, CAST(len(t) AS INT) AS L
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+  GROUP BY t
+),
+pos AS (
+  SELECT word, wc, L, CAST(jj.j AS INT) AS j, CAST(ii.i AS INT) AS i,
+         substr(word, CAST(jj.j AS INT) + 1, CAST(ii.i - jj.j AS INT)) AS piece
+  FROM w,
+       LATERAL (SELECT unnest(range(1, L + 1)) AS i) ii,
+       LATERAL (SELECT unnest(range(0, L)) AS j) jj
+  WHERE jj.j < ii.i AND ii.i - jj.j <= 4
+),
+occ AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM pos GROUP BY piece
+),
+vocab AS (
+  SELECT piece, cnt FROM occ WHERE cnt >= 2 OR len(piece) = 1
+),
+vtot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab),
+vlp AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab, vtot
+),
+cand AS (
+  SELECT p.word, p.i, p.j, v.lp FROM pos p JOIN vlp v USING (piece)
+),
+dp(word, i, b0, b1, b2, b3, backs) AS (
+  SELECT word, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST('' AS VARCHAR)
+  FROM w
+  UNION ALL
+  SELECT d.word, d.i + 1, best.tot, d.b0, d.b1, d.b2,
+         CASE WHEN d.backs = '' THEN CAST(best.bj AS VARCHAR)
+              ELSE d.backs || ',' || CAST(best.bj AS VARCHAR) END
+  FROM dp d
+  JOIN w ON w.word = d.word AND d.i < w.L
+  JOIN LATERAL (
+    SELECT CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) // 64
+                - 1099511627776 AS BIGINT) AS tot,
+           CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) % 64 AS INT) AS bj
+    FROM (
+      SELECT c0.j, c0.lp,
+             CASE d.i - c0.j WHEN 0 THEN d.b0 WHEN 1 THEN d.b1
+                             WHEN 2 THEN d.b2 ELSE d.b3 END AS prev
+      FROM cand c0 WHERE c0.word = d.word AND c0.i = d.i + 1
+    ) c
+    WHERE c.prev IS NOT NULL
+  ) best ON TRUE
+),
+fin AS (
+  SELECT dp.word, w.wc, dp.backs FROM dp JOIN w USING (word) WHERE dp.i = w.L
+),
+walk(word, wc, pos, piece) AS (
+  SELECT f.word, f.wc, CAST(len(f.word) AS INT), CAST(NULL AS VARCHAR) FROM fin f
+  UNION ALL
+  SELECT wk.word, wk.wc,
+         CAST(string_split(f.backs, ',')[wk.pos] AS INT),
+         substr(wk.word, CAST(string_split(f.backs, ',')[wk.pos] AS INT) + 1,
+                wk.pos - CAST(string_split(f.backs, ',')[wk.pos] AS INT))
+  FROM walk wk JOIN fin f USING (word)
+  WHERE wk.pos > 0
+),
+used AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS new_count
+  FROM walk WHERE piece IS NOT NULL GROUP BY piece
+)
+SELECT u.piece, u.new_count,
+       CAST(round(ln(u.new_count
+            / (SELECT CAST(sum(new_count) AS DOUBLE) FROM used)) * 1e6) AS BIGINT)
+         AS new_lp_micro
+FROM used u
+""",
+)
+def v3_unigram_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer EM E-step (Kudo 2018 / SentencePiece): seed
+    piece vocab from substring counts (len <= 4, min count 2, chars
+    always kept), Viterbi-segment every distinct word under integer
+    micro-log-probs, re-estimate piece counts. The iterative family's
+    last missing member — EXPECTATION-MAXIMIZATION with the dynamic
+    program itself under the hash gate: the Viterbi recurrence is exact
+    BIGINT arithmetic (tie-break encoded in the comparison key, 2^40
+    offset keeps div/mod nonnegative), the oracle replays it as a
+    rolling-window recursive CTE (best[i] needs only best[i-4..i-1])
+    plus a recursive backtrace walk, and Spark runs the same DP as a
+    row-local F.aggregate fold — per DISTINCT WORD, zero UDFs, zero
+    extra shuffles (v1's corpus-size-independence carries over)."""
+    return B.unigram_viterbi_estep(load(spark, sf_dir, "documents"))

@@ -1,0 +1,100 @@
+"""Unigram-LM EM E-step (v3): a plain-Python recomputation of the
+identical pipeline (substring seed vocab, integer micro-log-prob Viterbi
+with the encoded tie-break, backtrace, re-count) must reproduce the
+engine exactly, and the E-step must actually LEARN a segmentation —
+compound words split into their frequent parts."""
+
+from __future__ import annotations
+
+import collections
+import math
+import random
+
+from kafka_streaming_polymarket_pipeline_spark.operators.bpe import (
+    UNI_OFF,
+    unigram_viterbi_estep,
+)
+
+
+def py_estep(docs, max_piece=4, min_count=2):
+    wcnt = collections.Counter(
+        t for d in docs for t in d.split(" ") if t
+    )
+    occ: collections.Counter = collections.Counter()
+    for wd, wc in wcnt.items():
+        for i in range(1, len(wd) + 1):
+            for j in range(max(0, i - max_piece), i):
+                occ[wd[j:i]] += wc
+    vocab = {p: c for p, c in occ.items() if c >= min_count or len(p) == 1}
+    tot = float(sum(vocab.values()))
+    lp = {p: round(math.log(c / tot) * 1e6) for p, c in vocab.items()}
+    used: collections.Counter = collections.Counter()
+    for wd, wc in wcnt.items():
+        n = len(wd)
+        best: list = [0] + [None] * n
+        back: list = [None] * (n + 1)
+        for i in range(1, n + 1):
+            key = None
+            for j in range(max(0, i - max_piece), i):
+                p = wd[j:i]
+                if p in lp and best[j] is not None:
+                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + j
+                    if key is None or kk > key:
+                        key = kk
+            best[i] = key // 64 - UNI_OFF
+            back[i] = key % 64
+        pos = n
+        while pos > 0:
+            j = back[pos]
+            used[wd[j:pos]] += wc
+            pos = j
+    tot2 = float(sum(used.values()))
+    return sorted(
+        (p, c, round(math.log(c / tot2) * 1e6)) for p, c in used.items()
+    )
+
+
+def _run(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    return sorted(tuple(r) for r in unigram_viterbi_estep(df).collect())
+
+
+def test_matches_python_reference(spark):
+    docs = ["the cat hat that", "the that hat cat cathat"]
+    assert _run(spark, docs) == py_estep(docs)
+
+
+def test_compound_word_splits_into_frequent_parts(spark):
+    """'cathat' never qualifies as a piece (len 6 > 4); with 'cat' and
+    'hat' frequent, Viterbi must segment it as cat+hat rather than
+    char-by-char — the EM signal the M-step amplifies."""
+    docs = ["cat cat cat hat hat hat cathat"]
+    got = dict((p, c) for p, c, _ in _run(spark, docs))
+    assert got["cat"] == 4 and got["hat"] == 4
+    assert all(len(p) > 1 for p in got), got  # no char fallback anywhere
+
+
+def test_matches_python_reference_on_random_corpora(spark):
+    rng = random.Random(99)
+    alpha = "abcde"
+    for trial in range(3):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+            for _ in range(40)
+        ]
+        docs = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 15)))
+            for _ in range(12)
+        ]
+        assert _run(spark, docs) == py_estep(docs), f"trial {trial}"
+
+
+def test_singleton_exotic_chars_always_feasible(spark):
+    """Every single char is in the vocab regardless of count, so any
+    word — including one of unique-once characters — segments."""
+    docs = ["xyzq aa aa"]
+    got = dict((p, c) for p, c, _ in _run(spark, docs))
+    # xyzq: no multi-char substring reaches count 2 -> must fall back to
+    # a feasible segmentation over vocab pieces (chars at minimum)
+    assert sum(c for p, c in got.items() if set(p) <= set("xyzq")) >= 1
+    assert got["aa"] == 2

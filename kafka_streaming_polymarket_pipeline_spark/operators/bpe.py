@@ -132,6 +132,135 @@ UNI_MAX_PIECE = 4
 UNI_MIN_COUNT = 2
 
 
+def _uni_words(docs: DataFrame, text_col: str) -> DataFrame:
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("L", F.length("word").cast("int"))
+    )
+
+
+def _uni_pos(w: DataFrame, max_piece: int) -> DataFrame:
+    """(word, wc, i, j, piece): every substring occurrence of length
+    <= max_piece, the substrate of both the seed vocab and the per-word
+    candidate lists."""
+    return (
+        w.select(
+            "word", "wc", "L", F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i")
+        )
+        .select(
+            "word",
+            "wc",
+            "i",
+            F.explode(
+                F.sequence(F.greatest(F.col("i") - max_piece, F.lit(0)), F.col("i") - 1)
+            ).alias("j"),
+        )
+        .withColumn(
+            "piece", F.col("word").substr(F.col("j") + 1, F.col("i") - F.col("j"))
+        )
+    )
+
+
+def _uni_renorm(counts: DataFrame) -> DataFrame:
+    """(piece, lp): integer micro-log-probs from a (piece, cnt) table."""
+    tot = counts.agg(F.sum("cnt").cast("double").alias("tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(F.log(F.col("cnt") / F.col("tot")) * 1e6).cast("long").alias("lp"),
+    )
+
+
+def _uni_viterbi_counts(
+    w: DataFrame, pos: DataFrame, vlp: DataFrame
+) -> DataFrame:
+    """(piece, new_count): Viterbi-segment every distinct word under the
+    (piece, lp) model and re-count piece uses weighted by word counts —
+    the E-step core, shared by every EM iteration. Exact BIGINT DP with
+    the tie-break encoded in the comparison key (see
+    :func:`unigram_viterbi_estep`)."""
+    cand = pos.join(vlp, "piece").select("word", "i", "j", "lp")
+    cmap = (
+        cand.groupBy("word", "i")
+        .agg(F.collect_list(F.struct(F.col("j"), F.col("lp"))).alias("cl"))
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("i"), F.col("cl")))),
+                lambda x: x["cl"],
+            ).alias("cands")
+        )
+    )
+    dp_in = w.join(cmap, "word")
+    off = F.lit(UNI_OFF)
+
+    def dp_step(acc, i):
+        cl = F.element_at(F.col("cands"), i)
+        feas = F.filter(
+            cl, lambda c: F.element_at(acc["prevs"], i - c["j"]).isNotNull()
+        )
+        key = F.array_max(
+            F.transform(
+                feas,
+                lambda c: (F.element_at(acc["prevs"], i - c["j"]) + c["lp"] + off)
+                * 64
+                + c["j"].cast("long"),
+            )
+        )
+        tot = (key / 64).cast("long") - off  # key nonneg: / then cast == div
+        bj = (key % 64).cast("int")
+        return F.struct(
+            F.concat(F.array(tot), F.slice(acc["prevs"], 1, 3)).alias("prevs"),
+            F.concat(acc["backs"], F.array(bj)).alias("backs"),
+        )
+
+    null_long = F.lit(None).cast("long")
+    dp = dp_in.withColumn(
+        "_dp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.struct(
+                F.array(
+                    F.lit(0).cast("long"), null_long, null_long, null_long
+                ).alias("prevs"),
+                F.array().cast("array<int>").alias("backs"),
+            ),
+            dp_step,
+        ),
+    )
+
+    def walk_step(acc, _):
+        j = F.element_at(F.col("_dp")["backs"], acc["pos"])
+        piece = F.col("word").substr(j + 1, acc["pos"] - j)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                j.alias("pos"),
+                F.concat(acc["pieces"], F.array(piece)).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    segged = dp.withColumn(
+        "_pieces",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.struct(
+                F.col("L").alias("pos"),
+                F.array().cast("array<string>").alias("pieces"),
+            ),
+            walk_step,
+        )["pieces"],
+    )
+    return (
+        segged.select("wc", F.explode("_pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("new_count"))
+    )
+
+
 def unigram_viterbi_estep(
     docs: DataFrame,
     text_col: str = "text",
@@ -168,109 +297,57 @@ def unigram_viterbi_estep(
     shuffle, no UDF, pure codegen). Output: (piece, new_count,
     new_lp_micro), one row per piece used by any Viterbi segmentation.
     """
-    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
-
-    w = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wc"))
-        .withColumn("L", F.length("word").cast("int"))
-    )
-    pos = (
-        w.select("word", "wc", "L", F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i"))
-        .select(
-            "word",
-            "wc",
-            "i",
-            F.explode(
-                F.sequence(F.greatest(F.col("i") - max_piece, F.lit(0)), F.col("i") - 1)
-            ).alias("j"),
-        )
-        .withColumn("piece", F.col("word").substr(F.col("j") + 1, F.col("i") - F.col("j")))
-    )
+    w = _uni_words(docs, text_col)
+    pos = _uni_pos(w, max_piece)
     occ = pos.groupBy("piece").agg(F.sum("wc").alias("cnt"))
     vocab = occ.filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
-    vtot = vocab.agg(F.sum("cnt").cast("double").alias("tot"))
-    vlp = vocab.crossJoin(F.broadcast(vtot)).select(
-        "piece",
-        F.round(F.log(F.col("cnt") / F.col("tot")) * 1e6).cast("long").alias("lp"),
-    )
-    cand = pos.join(vlp, "piece").select("word", "i", "j", "lp")
-    cmap = (
-        cand.groupBy("word", "i")
-        .agg(F.collect_list(F.struct(F.col("j"), F.col("lp"))).alias("cl"))
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct(F.col("i"), F.col("cl")))),
-                lambda x: x["cl"],
-            ).alias("cands")
-        )
-    )
-    dp_in = w.join(cmap, "word")
-
-    off = F.lit(UNI_OFF)
-
-    def dp_step(acc, i):
-        cl = F.element_at(F.col("cands"), i)
-        feas = F.filter(cl, lambda c: F.element_at(acc["prevs"], i - c["j"]).isNotNull())
-        key = F.array_max(
-            F.transform(
-                feas,
-                lambda c: (F.element_at(acc["prevs"], i - c["j"]) + c["lp"] + off)
-                * 64
-                + c["j"].cast("long"),
-            )
-        )
-        tot = (key / 64).cast("long") - off  # key nonneg: / then cast == div
-        bj = (key % 64).cast("int")
-        return F.struct(
-            F.concat(F.array(tot), F.slice(acc["prevs"], 1, 3)).alias("prevs"),
-            F.concat(acc["backs"], F.array(bj)).alias("backs"),
-        )
-
-    null_long = F.lit(None).cast("long")
-    dp = dp_in.withColumn(
-        "_dp",
-        F.aggregate(
-            F.sequence(F.lit(1), F.col("L")),
-            F.struct(
-                F.array(F.lit(0).cast("long"), null_long, null_long, null_long).alias(
-                    "prevs"
-                ),
-                F.array().cast("array<int>").alias("backs"),
-            ),
-            dp_step,
-        ),
-    )
-
-    def walk_step(acc, _):
-        j = F.element_at(F.col("_dp")["backs"], acc["pos"])
-        piece = F.col("word").substr(j + 1, acc["pos"] - j)
-        return F.when(
-            acc["pos"] > 0,
-            F.struct(
-                j.alias("pos"), F.concat(acc["pieces"], F.array(piece)).alias("pieces")
-            ),
-        ).otherwise(acc)
-
-    segged = dp.withColumn(
-        "_pieces",
-        F.aggregate(
-            F.sequence(F.lit(1), F.col("L")),
-            F.struct(
-                F.col("L").alias("pos"), F.array().cast("array<string>").alias("pieces")
-            ),
-            walk_step,
-        )["pieces"],
-    )
-    used = (
-        segged.select("wc", F.explode("_pieces").alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("wc").alias("new_count"))
-    )
+    vlp = _uni_renorm(vocab)
+    used = _uni_viterbi_counts(w, pos, vlp)
     utot = used.agg(F.sum("new_count").cast("double").alias("tot"))
     return used.crossJoin(F.broadcast(utot)).select(
+        "piece",
+        "new_count",
+        F.round(F.log(F.col("new_count") / F.col("tot")) * 1e6)
+        .cast("long")
+        .alias("new_lp_micro"),
+    )
+
+
+def unigram_em2(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+    min_count: int = UNI_MIN_COUNT,
+) -> DataFrame:
+    """TWO EM iterations — the loop v3's single E-step opens, closed the
+    way t20 closes gradient descent (both steps under one hash gate):
+    round 2 re-segments every word under the ROUND-1 re-estimated
+    probabilities. Vocabulary for round 2 = round 1's used pieces plus
+    every single character at count 1 (SentencePiece's
+    chars-always-survive rule — a word whose round-1 path used only
+    multi-char pieces must stay segmentable when its neighbors shrink
+    the vocab). Returns round 2's (piece, new_count, new_lp_micro).
+
+    Every stage is the same exact-BIGINT machinery as round 1; the
+    oracle unrolls BOTH Viterbi recursions (two rolling-window recursive
+    CTEs, two backtrace walks) in one statement. The per-word frames
+    (words, positions) are persisted once and reused by both rounds."""
+    from pyspark import StorageLevel
+
+    w = _uni_words(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = _uni_pos(w, max_piece).persist(StorageLevel.MEMORY_AND_DISK)
+    occ = pos.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    vocab = occ.filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+    used1 = _uni_viterbi_counts(w, pos, _uni_renorm(vocab))
+    chars = pos.filter(F.col("i") - F.col("j") == 1).select("piece").distinct()
+    vocab2 = used1.select("piece", F.col("new_count").alias("cnt")).unionByName(
+        chars.join(used1, "piece", "left_anti").select(
+            "piece", F.lit(1).cast("long").alias("cnt")
+        )
+    )
+    used2 = _uni_viterbi_counts(w, pos, _uni_renorm(vocab2))
+    utot = used2.agg(F.sum("new_count").cast("double").alias("tot"))
+    return used2.crossJoin(F.broadcast(utot)).select(
         "piece",
         "new_count",
         F.round(F.log(F.col("new_count") / F.col("tot")) * 1e6)

@@ -193,3 +193,119 @@ def v3_unigram_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local F.aggregate fold — per DISTINCT WORD, zero UDFs, zero
     extra shuffles (v1's corpus-size-independence carries over)."""
     return B.unigram_viterbi_estep(load(spark, sf_dir, "documents"))
+
+
+def _uni_dp_ctes(sfx: str, vlp: str) -> str:
+    """One Viterbi round as CTEs suffixed ``sfx`` reading model ``vlp``:
+    rolling-window recursive DP + recursive backtrace + piece re-count
+    (the v3 oracle's core, emitted once per EM iteration)."""
+    return f"""cand{sfx} AS (
+  SELECT p.word, p.i, p.j, v.lp FROM pos p JOIN {vlp} v USING (piece)
+),
+dp{sfx}(word, i, b0, b1, b2, b3, backs) AS (
+  SELECT word, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST('' AS VARCHAR)
+  FROM w
+  UNION ALL
+  SELECT d.word, d.i + 1, best.tot, d.b0, d.b1, d.b2,
+         CASE WHEN d.backs = '' THEN CAST(best.bj AS VARCHAR)
+              ELSE d.backs || ',' || CAST(best.bj AS VARCHAR) END
+  FROM dp{sfx} d
+  JOIN w ON w.word = d.word AND d.i < w.L
+  JOIN LATERAL (
+    SELECT CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) // 64
+                - 1099511627776 AS BIGINT) AS tot,
+           CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) % 64 AS INT) AS bj
+    FROM (
+      SELECT c0.j, c0.lp,
+             CASE d.i - c0.j WHEN 0 THEN d.b0 WHEN 1 THEN d.b1
+                             WHEN 2 THEN d.b2 ELSE d.b3 END AS prev
+      FROM cand{sfx} c0 WHERE c0.word = d.word AND c0.i = d.i + 1
+    ) c
+    WHERE c.prev IS NOT NULL
+  ) best ON TRUE
+),
+fin{sfx} AS (
+  SELECT dp{sfx}.word, w.wc, dp{sfx}.backs
+  FROM dp{sfx} JOIN w USING (word) WHERE dp{sfx}.i = w.L
+),
+walk{sfx}(word, wc, pos, piece) AS (
+  SELECT f.word, f.wc, CAST(len(f.word) AS INT), CAST(NULL AS VARCHAR)
+  FROM fin{sfx} f
+  UNION ALL
+  SELECT wk.word, wk.wc,
+         CAST(string_split(f.backs, ',')[wk.pos] AS INT),
+         substr(wk.word, CAST(string_split(f.backs, ',')[wk.pos] AS INT) + 1,
+                wk.pos - CAST(string_split(f.backs, ',')[wk.pos] AS INT))
+  FROM walk{sfx} wk JOIN fin{sfx} f USING (word)
+  WHERE wk.pos > 0
+),
+used{sfx} AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS new_count
+  FROM walk{sfx} WHERE piece IS NOT NULL GROUP BY piece
+)"""
+
+
+_UNI_PRELUDE = f"""w AS (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS wc, CAST(len(t) AS INT) AS L
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+  GROUP BY t
+),
+pos AS (
+  SELECT word, wc, L, CAST(jj.j AS INT) AS j, CAST(ii.i AS INT) AS i,
+         substr(word, CAST(jj.j AS INT) + 1, CAST(ii.i - jj.j AS INT)) AS piece
+  FROM w,
+       LATERAL (SELECT unnest(range(1, L + 1)) AS i) ii,
+       LATERAL (SELECT unnest(range(0, L)) AS j) jj
+  WHERE jj.j < ii.i AND ii.i - jj.j <= 4
+),
+occ AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM pos GROUP BY piece
+),
+vocab AS (
+  SELECT piece, cnt FROM occ WHERE cnt >= 2 OR len(piece) = 1
+),
+vtot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab),
+vlp AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab, vtot
+)"""
+
+
+@register(
+    "v3b_unigram_em2",
+    oracle=f"""
+WITH RECURSIVE {_UNI_PRELUDE},
+{_uni_dp_ctes("1", "vlp")},
+vocab2 AS (
+  SELECT piece, new_count AS cnt FROM used1
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT piece FROM pos WHERE i - j = 1) c
+  WHERE c.piece NOT IN (SELECT piece FROM used1)
+),
+vtot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab2),
+vlp2 AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab2, vtot2
+),
+{_uni_dp_ctes("2", "vlp2")}
+SELECT u.piece, u.new_count,
+       CAST(round(ln(u.new_count
+            / (SELECT CAST(sum(new_count) AS DOUBLE) FROM used2)) * 1e6) AS BIGINT)
+         AS new_lp_micro
+FROM used2 u
+""",
+)
+def v3b_unigram_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO unigram-LM EM iterations under one hash gate — v3's E-step
+    chained the way t20 chains gradient steps: round 2 re-segments every
+    distinct word under round 1's re-estimated probabilities (vocab 2 =
+    used pieces + chars-always-survive at count 1, the SentencePiece
+    rule that keeps every word segmentable as neighbors shrink the
+    vocab). The oracle unrolls BOTH Viterbi dynamic programs — two
+    rolling-window recursive CTEs and two recursive backtrace walks —
+    in a single statement; the Spark side reruns the same row-local
+    exact-BIGINT fold with the per-word frames persisted across
+    rounds."""
+    return B.unigram_em2(load(spark, sf_dir, "documents"))

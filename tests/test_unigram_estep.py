@@ -98,3 +98,88 @@ def test_singleton_exotic_chars_always_feasible(spark):
     # a feasible segmentation over vocab pieces (chars at minimum)
     assert sum(c for p, c in got.items() if set(p) <= set("xyzq")) >= 1
     assert got["aa"] == 2
+
+
+def py_em2(docs, max_piece=4, min_count=2):
+    """Two-round reference: round 1 = py_estep's counts; round 2 uses
+    (used pieces + missing chars at 1) renormalized."""
+    r1 = py_estep(docs, max_piece, min_count)
+    used1 = {p: c for p, c, _ in r1}
+    wcnt = collections.Counter(t for d in docs for t in d.split(" ") if t)
+    chars = {wd[i] for wd in wcnt for i in range(len(wd))}
+    vocab2 = dict(used1)
+    for ch in chars:
+        vocab2.setdefault(ch, 1)
+    tot = float(sum(vocab2.values()))
+    lp = {p: round(math.log(c / tot) * 1e6) for p, c in vocab2.items()}
+    used: collections.Counter = collections.Counter()
+    for wd, wc in wcnt.items():
+        n = len(wd)
+        best: list = [0] + [None] * n
+        back: list = [None] * (n + 1)
+        for i in range(1, n + 1):
+            key = None
+            for j in range(max(0, i - max_piece), i):
+                p = wd[j:i]
+                if p in lp and best[j] is not None:
+                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + j
+                    if key is None or kk > key:
+                        key = kk
+            best[i] = key // 64 - UNI_OFF
+            back[i] = key % 64
+        pos = n
+        while pos > 0:
+            j = back[pos]
+            used[wd[j:pos]] += wc
+            pos = j
+    tot2 = float(sum(used.values()))
+    return sorted(
+        (p, c, round(math.log(c / tot2) * 1e6)) for p, c in used.items()
+    )
+
+
+def _run_em2(spark, docs):
+    from kafka_streaming_polymarket_pipeline_spark.operators.bpe import unigram_em2
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    return sorted(tuple(r) for r in unigram_em2(df).collect())
+
+
+def test_em2_matches_python_reference(spark):
+    docs = ["the cat hat that", "the that hat cat cathat"]
+    assert _run_em2(spark, docs) == py_em2(docs)
+
+
+def test_em2_matches_python_reference_on_random_corpora(spark):
+    rng = random.Random(123)
+    alpha = "abcd"
+    for trial in range(2):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+            for _ in range(30)
+        ]
+        docs = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+            for _ in range(10)
+        ]
+        assert _run_em2(spark, docs) == py_em2(docs), f"trial {trial}"
+
+
+def test_em2_compound_split_sharpens(spark):
+    """Round 2's vocab has only used pieces (+ chars at 1), so the
+    round-1 winners 'cat'/'hat' gain probability mass and the compound
+    keeps splitting into them."""
+    docs = ["cat cat cat hat hat hat cathat"]
+    got = dict((p, c) for p, c, _ in _run_em2(spark, docs))
+    assert got["cat"] == 4 and got["hat"] == 4
+
+
+def test_em2_chars_always_survive(spark):
+    """'xyzq' uses char pieces in round 1 only if no multi-char piece
+    qualifies; whatever round 1 chose, round 2 must still segment every
+    word — the chars-at-count-1 rule guarantees feasibility."""
+    docs = ["xyzq aa aa bb bb"]
+    got = _run_em2(spark, docs)
+    covered = sum(c * len(p) for p, c, _ in got)
+    total_chars = sum(len(t) for d in docs for t in d.split())
+    assert covered == total_chars  # every position of every token segmented

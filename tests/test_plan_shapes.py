@@ -63,6 +63,11 @@ ALLOWED_NESTED = {
                         "broadcast equi-join on bucket",
     "e2e_corpus_build_d": "embeds x9's one-row broadcast gram-total "
                           "aggregate (the DSIR model-fit stage)",
+    "v3_unigram_estep": "crossJoin against the broadcast ONE-ROW vocab "
+                        "total aggregate (seed-prob normalizer) and the "
+                        "one-row used-total for the output log-probs",
+    "v3b_unigram_em2": "same one-row broadcast normalizer aggregates as "
+                       "v3, once per EM round",
     "a31_psi_drift": "crossJoin against the broadcast ONE-ROW min/max "
                      "aggregate for the shared binning; both slices count "
                      "in one groupBy(bin) conditional-sum pass (r08: no "

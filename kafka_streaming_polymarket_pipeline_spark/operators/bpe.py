@@ -174,12 +174,12 @@ def _uni_renorm(counts: DataFrame) -> DataFrame:
     )
 
 
-def _uni_viterbi_counts(
+def _uni_viterbi_segment(
     w: DataFrame, pos: DataFrame, vlp: DataFrame
 ) -> DataFrame:
-    """(piece, new_count): Viterbi-segment every distinct word under the
-    (piece, lp) model and re-count piece uses weighted by word counts —
-    the E-step core, shared by every EM iteration. Exact BIGINT DP with
+    """(word, wc, pieces): Viterbi-segment every distinct word under the
+    (piece, lp) model, pieces in READING order — the E-step core shared
+    by every EM iteration and by the v4 apply form. Exact BIGINT DP with
     the tie-break encoded in the comparison key (see
     :func:`unigram_viterbi_estep`)."""
     cand = pos.join(vlp, "piece").select("word", "i", "j", "lp")
@@ -243,19 +243,31 @@ def _uni_viterbi_counts(
             ),
         ).otherwise(acc)
 
+    # backtrace emits pieces END-first; reading order is the reverse
     segged = dp.withColumn(
         "_pieces",
-        F.aggregate(
-            F.sequence(F.lit(1), F.col("L")),
-            F.struct(
-                F.col("L").alias("pos"),
-                F.array().cast("array<string>").alias("pieces"),
-            ),
-            walk_step,
-        )["pieces"],
+        F.reverse(
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("L")),
+                F.struct(
+                    F.col("L").alias("pos"),
+                    F.array().cast("array<string>").alias("pieces"),
+                ),
+                walk_step,
+            )["pieces"]
+        ),
     )
+    return segged.select("word", "wc", F.col("_pieces").alias("pieces"))
+
+
+def _uni_viterbi_counts(
+    w: DataFrame, pos: DataFrame, vlp: DataFrame
+) -> DataFrame:
+    """(piece, new_count): piece uses weighted by word counts — the
+    E-step statistic, off the shared segmentation."""
     return (
-        segged.select("wc", F.explode("_pieces").alias("piece"))
+        _uni_viterbi_segment(w, pos, vlp)
+        .select("wc", F.explode("pieces").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("wc").alias("new_count"))
     )
@@ -353,4 +365,67 @@ def unigram_em2(
         F.round(F.log(F.col("new_count") / F.col("tot")) * 1e6)
         .cast("long")
         .alias("new_lp_micro"),
+    )
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+    min_count: int = UNI_MIN_COUNT,
+) -> DataFrame:
+    """APPLY the EM-trained unigram model to the corpus — the trainer's
+    missing half (v2 applies v1's BPE merges; apply_quality_lr applies
+    t20's weights; this applies v3b's round-2 probabilities): every
+    document's tokens are Viterbi-segmented under the two-iteration
+    model and materialized as one piece stream per document. Returns
+    (doc_id, n_pieces, pieces_fp) where pieces_fp = md5 of the
+    space-joined reading-order piece stream — the whole segmentation is
+    under the hash, not just its length.
+
+    Scale shape: segmentation stays per-DISTINCT-WORD (the DP never
+    touches the corpus); the corpus-side work is one posexplode to
+    preserve token order, one broadcast-sized join word -> pieces, and
+    one groupBy(doc) re-assembly — the v2 apply shape."""
+    from pyspark import StorageLevel
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    w = _uni_words(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = _uni_pos(w, max_piece).persist(StorageLevel.MEMORY_AND_DISK)
+    occ = pos.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    vocab = occ.filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+    used1 = _uni_viterbi_counts(w, pos, _uni_renorm(vocab))
+    chars = pos.filter(F.col("i") - F.col("j") == 1).select("piece").distinct()
+    vocab2 = used1.select("piece", F.col("new_count").alias("cnt")).unionByName(
+        chars.join(used1, "piece", "left_anti").select(
+            "piece", F.lit(1).cast("long").alias("cnt")
+        )
+    )
+    seg = _uni_viterbi_segment(w, pos, _uni_renorm(vocab2)).select("word", "pieces")
+    toks = docs.select(
+        F.col("doc_id"), F.posexplode(tokens(F.col(text_col))).alias("tp", "word")
+    )
+    per_doc = (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("tp"), F.col("pieces")))),
+                    lambda x: x["pieces"],
+                )
+            ).alias("stream")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("stream"), F.lit(0)).cast("long").alias("n_pieces"),
+            F.md5(F.concat_ws(" ", F.coalesce("stream", F.array().cast("array<string>")))).alias(
+                "pieces_fp"
+            ),
+        )
     )

@@ -309,3 +309,54 @@ def v3b_unigram_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-BIGINT fold with the per-word frames persisted across
     rounds."""
     return B.unigram_em2(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "v4_unigram_tokenize",
+    oracle=f"""
+WITH RECURSIVE {_UNI_PRELUDE},
+{_uni_dp_ctes("1", "vlp")},
+vocab2 AS (
+  SELECT piece, new_count AS cnt FROM used1
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT piece FROM pos WHERE i - j = 1) c
+  WHERE c.piece NOT IN (SELECT piece FROM used1)
+),
+vtot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab2),
+vlp2 AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab2, vtot2
+),
+{_uni_dp_ctes("2", "vlp2")},
+seg AS (
+  SELECT word, list(piece ORDER BY pos) AS pieces
+  FROM walk2 WHERE piece IS NOT NULL GROUP BY word
+),
+dtk AS (
+  SELECT d.doc_id, d.tks[CAST(ii.i AS INT)] AS tk, CAST(ii.i AS INT) AS tp
+  FROM (SELECT doc_id, {_TOKS} AS tks FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(d.tks) + 1)) AS i) ii
+),
+pd AS (
+  SELECT dtk.doc_id, flatten(list(s.pieces ORDER BY dtk.tp)) AS stream
+  FROM dtk JOIN seg s ON s.word = dtk.tk
+  GROUP BY dtk.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(pd.stream), 0) AS BIGINT) AS n_pieces,
+       md5(coalesce(array_to_string(pd.stream, ' '), '')) AS pieces_fp
+FROM documents d LEFT JOIN pd USING (doc_id)
+""",
+)
+def v4_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the two-iteration EM unigram model to the corpus — the
+    trainer's missing half (v2 applies v1's merges, apply_quality_lr
+    applies t20's weights): every document's tokens Viterbi-segmented
+    under v3b's round-2 probabilities, materialized as one
+    reading-order piece stream per document and fingerprinted whole
+    (md5 of the space-joined stream — the segmentation itself is under
+    the hash, not just its length). Segmentation stays per-DISTINCT-
+    word; the corpus side is one posexplode + a word->pieces join + a
+    groupBy(doc) re-assembly, the v2 apply shape."""
+    return B.unigram_tokenize(load(spark, sf_dir, "documents"))

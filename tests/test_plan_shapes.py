@@ -68,6 +68,8 @@ ALLOWED_NESTED = {
                         "one-row used-total for the output log-probs",
     "v3b_unigram_em2": "same one-row broadcast normalizer aggregates as "
                        "v3, once per EM round",
+    "v4_unigram_tokenize": "embeds v3b's one-row broadcast normalizer "
+                           "aggregates (the model it applies)",
     "a31_psi_drift": "crossJoin against the broadcast ONE-ROW min/max "
                      "aggregate for the shared binning; both slices count "
                      "in one groupBy(bin) conditional-sum pass (r08: no "

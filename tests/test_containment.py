@@ -110,3 +110,26 @@ def test_quote_inside_article_is_jaccard_blind(spark):
     qs = set(quote.split())
     js = len(qs) / (len(qs) + 80)
     assert js < 0.15  # Jaccard would never flag this pair at any real bar
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcf", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=10).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=10)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_corpus, st.sampled_from([(9, 10), (7, 10), (1, 1)]))
+def test_hypothesis_matches_naive(spark, corpus, thr):
+    """Adversarially-generated corpora (hypothesis shrinks on failure):
+    the prefix-filtered containment join must equal the naive all-pairs
+    filter for every generated corpus and threshold — the pigeonhole
+    guarantee under inputs a hand-written generator wouldn't try (empty
+    docs, all-identical docs, single-token vocabularies)."""
+    num, den = thr
+    rows = list(enumerate(corpus))
+    got = _run(spark, rows, num, den)
+    want = _naive_containment(rows, num, den)
+    assert got == want

@@ -155,3 +155,21 @@ def test_matches_python_reference_on_random_corpora(spark):
         got = _run(spark, docs, k=9)
         want = py_dsir(docs, k=9)
         assert got == want, f"trial {trial}"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from([f"w{i}" for i in range(20)] + ["aa", "zz"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_hypothesis_matches_python_reference(spark, corpus):
+    """Hypothesis-generated corpora (shrinks on failure): model fit,
+    integer score, Gumbel key and cut must all equal the plain-Python
+    recomputation — including degenerate corpora (all-empty docs, a
+    target slice that is empty or everything)."""
+    docs = list(enumerate(corpus))
+    assert _run(spark, docs, k=6) == py_dsir(docs, k=6)

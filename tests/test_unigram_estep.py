@@ -248,3 +248,21 @@ def test_v4_empty_doc_fingerprints_empty(spark):
     got = {r.doc_id: (r.n_pieces, r.pieces_fp) for r in unigram_tokenize(df).collect()}
     assert got[0] == (0, hashlib.md5(b"").hexdigest())
     assert got[1][0] >= 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abz", min_size=1, max_size=9)
+_doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=6))
+def test_hypothesis_estep_matches_reference(spark, corpus):
+    """Hypothesis-generated corpora: the full E-step (seed vocab,
+    integer Viterbi with the encoded tie-break, backtrace, re-count)
+    must equal the Python reference — shrinking finds minimal
+    counterexamples in the DP if the tie-break or window logic ever
+    drifts."""
+    assert _run(spark, corpus) == py_estep(corpus)

@@ -202,16 +202,21 @@ def _uni_viterbi_segment(
         feas = F.filter(
             cl, lambda c: F.element_at(acc["prevs"], i - c["j"]).isNotNull()
         )
+        # slot = 64 - piece length (i - j), bounded to 60..63 by
+        # max_piece <= 4, so it NEVER spills into the total slot no matter
+        # how long the word is (absolute j overflowed 6 bits for 65+ char
+        # words); ties still break toward the larger slot = shorter final
+        # piece = larger j, exactly the old semantics for short words.
         key = F.array_max(
             F.transform(
                 feas,
                 lambda c: (F.element_at(acc["prevs"], i - c["j"]) + c["lp"] + off)
                 * 64
-                + c["j"].cast("long"),
+                + (F.lit(64) - (i - c["j"])).cast("long"),
             )
         )
         tot = (key / 64).cast("long") - off  # key nonneg: / then cast == div
-        bj = (key % 64).cast("int")
+        bj = (i - (F.lit(64) - key % 64)).cast("int")
         return F.struct(
             F.concat(F.array(tot), F.slice(acc["prevs"], 1, 3)).alias("prevs"),
             F.concat(acc["backs"], F.array(bj)).alias("backs"),
@@ -293,10 +298,13 @@ def unigram_viterbi_estep(
     one rounding site per vocab piece on identical doubles), and the
     entire Viterbi recurrence — best[i] = max_j best[j] + lp(w[j..i]) —
     is exact BIGINT arithmetic. The argmax tie-break is encoded in the
-    comparison key itself: key = (total + 2^40) * 64 + j, so equal
-    totals break toward the larger j (shorter final piece) on every
-    engine, and the 2^40 offset keeps div/mod away from negative
-    operands. The DuckDB oracle replays the same DP as a rolling-window
+    comparison key itself: key = (total + 2^40) * 64 + (64 - (i - j)),
+    so equal totals break toward the shorter final piece (larger j) on
+    every engine, the 2^40 offset keeps div/mod away from negative
+    operands, and the slot stays in 60..63 (piece length <= max_piece
+    <= 4) so it cannot spill into the total for ANY word length —
+    encoding absolute j would overflow the 6-bit slot on 65+ char words
+    (long URLs, hashes). The DuckDB oracle replays the same DP as a rolling-window
     recursive CTE (best[i] needs only best[i-4..i-1], so the recursion
     carries 4 values + the backpointer string) and the same backtrace
     walk.

@@ -143,9 +143,10 @@ dp(word, i, b0, b1, b2, b3, backs) AS (
   FROM dp d
   JOIN w ON w.word = d.word AND d.i < w.L
   JOIN LATERAL (
-    SELECT CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) // 64
-                - 1099511627776 AS BIGINT) AS tot,
-           CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) % 64 AS INT) AS bj
+    SELECT CAST(max((prev + c.lp + 1099511627776) * 64 + 64 - (d.i + 1 - c.j))
+                // 64 - 1099511627776 AS BIGINT) AS tot,
+           CAST(d.i + 1 - 64 + max((prev + c.lp + 1099511627776) * 64
+                + 64 - (d.i + 1 - c.j)) % 64 AS INT) AS bj
     FROM (
       SELECT c0.j, c0.lp,
              CASE d.i - c0.j WHEN 0 THEN d.b0 WHEN 1 THEN d.b1
@@ -213,9 +214,10 @@ dp{sfx}(word, i, b0, b1, b2, b3, backs) AS (
   FROM dp{sfx} d
   JOIN w ON w.word = d.word AND d.i < w.L
   JOIN LATERAL (
-    SELECT CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) // 64
-                - 1099511627776 AS BIGINT) AS tot,
-           CAST(max((prev + c.lp + 1099511627776) * 64 + c.j) % 64 AS INT) AS bj
+    SELECT CAST(max((prev + c.lp + 1099511627776) * 64 + 64 - (d.i + 1 - c.j))
+                // 64 - 1099511627776 AS BIGINT) AS tot,
+           CAST(d.i + 1 - 64 + max((prev + c.lp + 1099511627776) * 64
+                + 64 - (d.i + 1 - c.j)) % 64 AS INT) AS bj
     FROM (
       SELECT c0.j, c0.lp,
              CASE d.i - c0.j WHEN 0 THEN d.b0 WHEN 1 THEN d.b1

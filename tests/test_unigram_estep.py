@@ -38,11 +38,11 @@ def py_estep(docs, max_piece=4, min_count=2):
             for j in range(max(0, i - max_piece), i):
                 p = wd[j:i]
                 if p in lp and best[j] is not None:
-                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + j
+                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + 64 - (i - j)
                     if key is None or kk > key:
                         key = kk
             best[i] = key // 64 - UNI_OFF
-            back[i] = key % 64
+            back[i] = i - (64 - key % 64)
         pos = n
         while pos > 0:
             j = back[pos]
@@ -122,11 +122,11 @@ def py_em2(docs, max_piece=4, min_count=2):
             for j in range(max(0, i - max_piece), i):
                 p = wd[j:i]
                 if p in lp and best[j] is not None:
-                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + j
+                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + 64 - (i - j)
                     if key is None or kk > key:
                         key = kk
             best[i] = key // 64 - UNI_OFF
-            back[i] = key % 64
+            back[i] = i - (64 - key % 64)
         pos = n
         while pos > 0:
             j = back[pos]
@@ -220,11 +220,11 @@ def test_v4_stream_reconstructs_documents(spark):
             for j in range(max(0, i - UNI_MAX_PIECE), i):
                 p = wd[j:i]
                 if p in lp and best[j] is not None:
-                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + j
+                    kk = (best[j] + lp[p] + UNI_OFF) * 64 + 64 - (i - j)
                     if key is None or kk > key:
                         key = kk
             best[i] = key // 64 - UNI_OFF
-            back[i] = key % 64
+            back[i] = i - (64 - key % 64)
         out, pos = [], n
         while pos > 0:
             j = back[pos]
@@ -250,10 +250,29 @@ def test_v4_empty_doc_fingerprints_empty(spark):
     assert got[1][0] >= 1
 
 
+def test_long_words_segment_correctly(spark):
+    """Words of 65+ chars (URLs, hex hashes) used to overflow the 6-bit
+    backpointer slot when the key encoded absolute j; the piece-length
+    encoding (slot = 64 - len, bounded by max_piece) cannot overflow.
+    Both the whole-corpus E-step and per-word coverage must hold."""
+    rng = random.Random(7)
+    long1 = "".join(rng.choice("abcd") for _ in range(70))
+    long2 = "ab" * 40  # 80 chars, highly repetitive -> 'ab'/'abab' pieces
+    docs = ["ab ab cd cd " + long1, long2 + " " + long2, "abcd abcd"]
+    got = _run(spark, docs)
+    assert got == py_estep(docs)
+    # every char position of every token must be covered exactly once
+    covered = sum(c * len(p) for p, c, _ in got)
+    total_chars = sum(len(t) for d in docs for t in d.split())
+    assert covered == total_chars
+    # and no emitted piece may exceed max_piece or miss the vocab
+    assert all(1 <= len(p) <= 4 for p, _, _ in got)
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-_word = st.text(alphabet="abz", min_size=1, max_size=9)
+_word = st.text(alphabet="abz", min_size=1, max_size=90)
 _doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
 
 

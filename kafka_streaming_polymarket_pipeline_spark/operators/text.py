@@ -937,6 +937,90 @@ def apply_quality_lr(
     )
 
 
+def quality_lr_eval(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    entropy_min: float = 2.0,
+):
+    """Close t20's train loop with MODEL SELECTION: train the hashed-bucket
+    logistic regression on the x1 'train' split, score the held-out
+    (validation + test) docs, and report confusion counts at the keep
+    threshold (logit >= 0) plus exact rank-sum AUC — the engine-native
+    evaluation primitive every quality-filter pipeline needs before it
+    trusts a classifier (the CCNet/fastText-era selection step).
+
+    Engine-exactness: scores are apply_quality_lr's 6-dp-rounded logits,
+    so ranks are deterministic given the tie-break — row_number over
+    (logit, doc_id). AUC = (Σ ranks of positives - P(P+1)/2) / (P*N),
+    all-integer numerator over 6-dp-identical orderings; baseline AUC
+    ranks by doc_id alone (exactly what a zero-weight model's constant
+    scores + the same tie-break produce), giving the in-query control a
+    test can assert the trained model beats.
+
+    Scale shape: train/score reuse t20's broadcast-join shapes; the only
+    global operation is the rank over the HELD-OUT docs — a bounded
+    evaluation sample by construction (an eval set you can't rank on one
+    task is an eval set too big to be one). Output: ONE row
+    (n_held, n_pos, n_neg, tp, fp, tn, fn, auc, auc_baseline)."""
+    from pyspark.sql import Window
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.sampling import hash_split
+
+    split = hash_split(df, id_col=id_col).select(id_col, "split")
+    train = df.join(split.filter(F.col("split") == "train").select(id_col), id_col)
+    held = df.join(split.filter(F.col("split") != "train").select(id_col), id_col)
+    w = train_quality_lr(
+        train, id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        entropy_min=entropy_min,
+    )
+    scored = apply_quality_lr(
+        held, w, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    labels = char_entropy_frame(held, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        (F.round(F.col("char_entropy_bits"), 6) >= entropy_min).alias("y"),
+    )
+    j = scored.join(labels, "doc_id").select(
+        "doc_id", "y", "quality_logit", (F.col("quality_logit") >= 0).alias("pred")
+    )
+    ranked = j.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("quality_logit", "doc_id"))
+        .cast("long")
+        .alias("r"),
+        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("r0"),
+    )
+    yl = F.col("y").cast("long")
+    pl = F.col("pred").cast("long")
+    agg = ranked.agg(
+        F.count("*").alias("n_held"),
+        F.sum(yl).alias("n_pos"),
+        F.sum(F.lit(1) - yl).alias("n_neg"),
+        F.sum(pl * yl).alias("tp"),
+        F.sum(pl * (1 - yl)).alias("fp"),
+        F.sum((1 - pl) * (1 - yl)).alias("tn"),
+        F.sum((1 - pl) * yl).alias("fn"),
+        F.sum(yl * F.col("r")).alias("_rsum"),
+        F.sum(yl * F.col("r0")).alias("_rsum0"),
+    )
+
+    def _auc(rsum):
+        p, n = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+        return F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round((rsum - p * (p + 1) / 2) / (p * n), 6),
+        )
+
+    return agg.select(
+        "n_held", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+        _auc(F.col("_rsum")).alias("auc"),
+        _auc(F.col("_rsum0")).alias("auc_baseline"),
+    )
+
+
 def char_entropy_frame(df, text_col: str = "text"):
     """Attach `n_chars_split`, `n_distinct_chars`, `char_entropy_bits`
     (unrounded) for the Shannon character entropy of ``text_col`` — the

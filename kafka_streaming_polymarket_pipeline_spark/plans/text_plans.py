@@ -840,6 +840,130 @@ def t20_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.train_quality_lr(load(spark, sf_dir, "documents"))
 
 
+_T21_Y = """CASE WHEN round(-coalesce(list_sum(list_transform(
+                list_sort(list_distinct(chars)),
+                ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE))
+                      * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE)))), 0.0), 6)
+              >= 4.1 THEN 1 ELSE 0 END"""
+
+
+@register(
+    "t21_quality_lr_eval",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         string_split(text, '') AS chars,
+         ('0x' || substr(md5(concat_ws(':', lang, CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+           % 100 AS sb
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+         CAST({_T21_Y} AS DOUBLE) AS y
+  FROM base WHERE sb < 80
+),
+ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM lab),
+tb AS (
+  SELECT doc_id, y, n,
+         CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM (SELECT doc_id, y, n, unnest(toks) AS t FROM lab)
+  GROUP BY 1, 2, 3, 4
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+g1 AS (
+  SELECT bucket,
+         round(sum((0.5 - y) * cnt / n) / (SELECT nn FROM ncnt), 6) AS g
+  FROM tb GROUP BY bucket
+),
+w1 AS (
+  SELECT s.bucket, round(0.0 - 1.0 * COALESCE(g1.g, 0.0), 6) AS weight
+  FROM spine s LEFT JOIN g1 USING (bucket)
+),
+p2 AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-round(sum(tb.cnt * w1.weight) / any_value(tb.n), 6))) AS p
+  FROM tb JOIN w1 USING (bucket) GROUP BY doc_id
+),
+g2 AS (
+  SELECT tb.bucket,
+         round(sum((p2.p - tb.y) * tb.cnt / tb.n) / (SELECT nn FROM ncnt), 6) AS g
+  FROM tb JOIN p2 USING (doc_id) GROUP BY tb.bucket
+),
+w2 AS (
+  SELECT s.bucket, round(w1.weight - 1.0 * COALESCE(g2.g, 0.0), 6) AS weight
+  FROM spine s JOIN w1 ON s.bucket = w1.bucket LEFT JOIN g2 ON s.bucket = g2.bucket
+),
+hlab AS (
+  SELECT doc_id, toks,
+         CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+         {_T21_Y} AS y
+  FROM base WHERE sb >= 80
+),
+hocc AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS t FROM hlab)
+),
+hsum AS (
+  SELECT hocc.doc_id, sum(w2.weight) AS s
+  FROM hocc JOIN w2 USING (bucket) GROUP BY hocc.doc_id
+),
+rk AS (
+  SELECT l.doc_id, l.y,
+         CASE WHEN round(COALESCE(hsum.s, 0.0) / l.n, 6) >= 0 THEN 1 ELSE 0 END AS pred,
+         CAST(row_number() OVER (
+           ORDER BY round(COALESCE(hsum.s, 0.0) / l.n, 6), l.doc_id) AS BIGINT) AS r,
+         CAST(row_number() OVER (ORDER BY l.doc_id) AS BIGINT) AS r0
+  FROM hlab l LEFT JOIN hsum USING (doc_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_held,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         CAST(sum(pred * y) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn,
+         CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+         sum(y * r) AS rsum, sum(y * r0) AS rsum0
+  FROM rk
+)
+SELECT n_held, n_pos, n_neg, tp, fp, tn, fn,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((rsum - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((rsum0 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) END AS auc_baseline
+FROM agg
+""",
+)
+def t21_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate t20's trained classifier on a held-out split — the
+    model-selection gate that closes train -> apply -> EVAL (r08 verdict
+    task 5). Train on x1's deterministic 'train' split (md5 bucket < 80),
+    score validation+test with apply_quality_lr, report confusion counts
+    at the keep threshold plus exact rank-sum AUC on the 6-dp-rounded
+    logits (ties broken by doc_id) and the zero-weight baseline AUC
+    (constant scores + the same tie-break = rank by doc_id) in the same
+    row, so 'the trained model beats random' is an in-query assertion.
+    The oracle unrolls the full two-step descent (t20's CTEs filtered to
+    the train split), replays inference per token occurrence (identical
+    term multisets under the 6-dp contract), and computes the same
+    rank-sum. One output row.
+
+    The label gate is entropy >= 4.1 bits (the corpus median — t17's
+    2.0-bit junk gate is degenerate here: every driver doc is natural
+    language, so 2.0 yields a single class and an undefined AUC; a
+    median split exercises both confusion diagonals and keeps AUC
+    well-defined at every SF)."""
+    return T.quality_lr_eval(load(spark, sf_dir, "documents"), entropy_min=4.1)
+
+
 @register(
     "m4b_video_decode_gate",
     oracle="""

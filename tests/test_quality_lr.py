@@ -162,3 +162,43 @@ def test_spine_keeps_unobserved_buckets(spark):
             assert r["weight"] != 0.0
         else:
             assert r["weight"] == 0.0
+
+
+def test_eval_trained_beats_baseline(spark):
+    """t21's eval loop on a learnable synthetic corpus: junk docs repeat
+    one token (entropy < 2 bits -> y=0), clean docs mix many (y=1); the
+    trained model's held-out AUC must be defined, near-perfect, and
+    beat the zero-weight baseline (rank by doc_id). Split assignment is
+    the deterministic md5 bucket, so held-out membership is stable."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import quality_lr_eval
+
+    vocab = [
+        "river", "engine", "window", "batch", "stream", "table", "query",
+        "sorted", "hash", "join", "state", "event", "core", "plan",
+    ]
+    docs = []
+    for i in range(40):
+        words = [vocab[(i + k * 3) % len(vocab)] for k in range(12)]
+        docs.append((i, "en", " ".join(words)))
+    for i in range(40, 80):
+        tok = ["aa", "zz", "qq"][i % 3]
+        docs.append((i, "en", " ".join([tok] * 12)))
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    row = quality_lr_eval(df).collect()[0]
+    assert row.n_held > 0 and row.n_pos > 0 and row.n_neg > 0, row
+    assert row.n_held == row.tp + row.fp + row.tn + row.fn
+    assert row.auc is not None and row.auc_baseline is not None
+    assert row.auc > row.auc_baseline, row
+    assert row.auc >= 0.9, row
+
+
+def test_eval_single_class_auc_null(spark):
+    """With one class held out, rank-sum AUC is undefined: both AUC
+    columns must be NULL while the confusion counts still fill."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import quality_lr_eval
+
+    docs = [(i, "en", "the quick brown fox jumps high") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    row = quality_lr_eval(df).collect()[0]
+    assert row.n_pos == row.n_held and row.n_neg == 0
+    assert row.auc is None and row.auc_baseline is None

@@ -1153,28 +1153,40 @@ def containment_pairs(
     signal-free rows that dominate the output on template corpora).
     """
     docs = _df_ordered_docs(df, id_col, text_col)
-    pref = docs.filter(F.col("sz") >= min_size).select(
+    return _containment_join(docs, docs, num, den, min_size, self_pairs=False)
+
+
+def _containment_join(
+    da_docs: DataFrame,
+    db_docs: DataFrame,
+    num: int,
+    den: int,
+    min_size: int,
+    self_pairs: bool,
+) -> DataFrame:
+    """Prefix-filtered directed containment A-in-B over two (did, toks,
+    sz) frames sharing one token total order (steps 2-4 of
+    :func:`containment_pairs`, factored so the cross-corpus decontam
+    form reuses the identical candidate/verify machinery).
+    ``self_pairs=False`` adds the a != b guard for the self-join form;
+    cross-corpus callers keep identical-id pairs (the same doc present
+    in both corpora IS a contamination hit)."""
+    pref = da_docs.filter(F.col("sz") >= min_size).select(
         F.col("did").alias("_a"),
         F.col("sz").alias("_sa"),
         F.explode(
             F.expr(f"slice(toks, 1, sz - (({num} * sz + {den} - 1) div {den}) + 1)")
         ).alias("t"),
     )
-    full = docs.select(
+    full = db_docs.select(
         F.col("did").alias("_b"), F.col("sz").alias("_sb"), F.explode("toks").alias("t")
     )
-    cand = (
-        pref.join(
-            full,
-            (pref["t"] == full["t"])
-            & (F.col("_a") != F.col("_b"))
-            & (den * F.col("_sb") >= num * F.col("_sa")),
-        )
-        .select("_a", "_b", "_sa")
-        .distinct()
-    )
-    da = docs.select(F.col("did").alias("_a"), F.col("toks").alias("_ta"))
-    db = docs.select(F.col("did").alias("_b"), F.col("toks").alias("_tb"))
+    cond = (pref["t"] == full["t"]) & (den * F.col("_sb") >= num * F.col("_sa"))
+    if not self_pairs:
+        cond = cond & (F.col("_a") != F.col("_b"))
+    cand = pref.join(full, cond).select("_a", "_b", "_sa").distinct()
+    da = da_docs.select(F.col("did").alias("_a"), F.col("toks").alias("_ta"))
+    db = db_docs.select(F.col("did").alias("_b"), F.col("toks").alias("_tb"))
     i = F.size(F.array_intersect("_ta", "_tb"))
     return (
         cand.join(da, "_a")
@@ -1186,4 +1198,63 @@ def containment_pairs(
             F.col("_b").alias("doc_id_b"),
             F.round(F.col("_i") / F.col("_sa"), 6).alias("containment"),
         )
+    )
+
+
+def cross_containment_pairs(
+    bench: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 9,
+    den: int = 10,
+    min_size: int = 1,
+) -> DataFrame:
+    """DECONTAMINATION-shaped directed containment: every benchmark doc
+    A whose token set is >= num/den contained in some training-corpus
+    doc B — the span-level complement of the 8-gram scan (t8/x10). An
+    eval passage quoted inside a long training document scores Jaccard
+    ~0 (the big doc's extra tokens swamp the union) but containment 1.0;
+    n-gram decontam misses paraphrase-reordered quotes whose token SET
+    survives. Same machinery as :func:`containment_pairs`
+    (prefix-filter on the contained side only, Xiao WWW'08; integer
+    cross-multiplied thresholds) with two inputs: the token
+    doc-frequency total order is computed over the UNION of both
+    corpora (one shared order keeps each benchmark prefix rare-first
+    against the corpus-side index; any fixed order is CORRECT — the
+    pigeonhole is on A alone — df order is the performance choice).
+    Identical ids on both sides are reported, not skipped: the same doc
+    present in both corpora is the strongest contamination hit.
+
+    100 TB shape: B-side full explode is the inverted-index shuffle
+    (linear in corpus tokens); the A side is tiny by construction
+    (benchmarks are MBs, not TBs) and its prefixes are ~(1-t)|A|+1
+    tokens, so this is effectively a broadcast-scale probe against a
+    corpus-sized index. Output: (doc_id_a=bench, doc_id_b=corpus,
+    containment)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    def tok_pairs(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("t"),
+        )
+
+    ta, tb = tok_pairs(bench), tok_pairs(corpus)
+    tok_df = ta.unionByName(tb).groupBy("t").agg(F.count("*").alias("tdf"))
+
+    def ordered(tok: DataFrame) -> DataFrame:
+        return (
+            tok.join(tok_df, "t")
+            .groupBy("did")
+            .agg(F.sort_array(F.collect_list(F.struct("tdf", "t"))).alias("_o"))
+            .select(
+                "did",
+                F.expr("transform(_o, x -> x.t)").alias("toks"),
+                F.size("_o").alias("sz"),
+            )
+        )
+
+    return _containment_join(
+        ordered(ta), ordered(tb), num, den, min_size, self_pairs=True
     )

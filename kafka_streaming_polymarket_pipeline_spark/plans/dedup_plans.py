@@ -10,6 +10,7 @@ work instead of the full shingle self-join.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
 from kafka_streaming_polymarket_pipeline_spark.plans.registry import register
@@ -490,3 +491,61 @@ def d15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         load(spark, sf_dir, "documents"), num=9, den=10, min_size=30
     )
+
+
+@register(
+    "d16_cross_containment",
+    oracle="""
+WITH sp AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(concat_ws(':', lang, CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+           % 100 AS sb
+  FROM documents
+),
+tka AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> ''))) AS tok
+  FROM sp WHERE sb >= 90
+),
+tkb AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> ''))) AS tok
+  FROM sp WHERE sb < 80
+),
+sza AS (SELECT doc_id, count(*) AS n FROM tka GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ov
+  FROM tka a JOIN tkb b USING (tok)
+  GROUP BY 1, 2
+)
+SELECT a_id AS doc_id_a, b_id AS doc_id_b,
+       round(CAST(ov AS DOUBLE) / sa.n, 6) AS containment
+FROM ov JOIN sza sa ON sa.doc_id = ov.a_id
+WHERE 10 * ov >= 9 * sa.n AND sa.n >= 30
+""",
+)
+def d16_cross_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORPUS directed containment — the decontamination form of
+    d15 (r08 verdict task 6): benchmark docs (x1's deterministic 'test'
+    split) as the CONTAINED side A against the training corpus (the
+    'train' split) as B, reporting every eval doc whose token set is
+    >= 0.9 inside some training doc. The span-level complement of the
+    t8/x10 8-gram scan: a quoted eval passage inside a long training
+    document is Jaccard ~0 (union swamped) and survives paraphrase
+    reordering that breaks contiguous 8-grams, but containment sees it
+    at 1.0. Same prefix-filter machinery as d15 with two inputs and one
+    SHARED union doc-frequency token order; identical ids would be
+    reported, not skipped (splits are disjoint, so none arise here).
+    The oracle is the naive cross token join. B-side explode is the
+    inverted-index shuffle; the A side is benchmark-sized (tiny by
+    construction) — effectively a broadcast-scale probe at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    from kafka_streaming_polymarket_pipeline_spark.operators.sampling import hash_split
+
+    sp = hash_split(docs).select("doc_id", "split")
+    d = docs.join(sp, "doc_id")
+    bench = d.filter(F.col("split") == "test").drop("split")
+    corpus = d.filter(F.col("split") == "train").drop("split")
+    return D.cross_containment_pairs(bench, corpus, num=9, den=10, min_size=30)

@@ -133,3 +133,52 @@ def test_hypothesis_matches_naive(spark, corpus, thr):
     got = _run(spark, rows, num, den)
     want = _naive_containment(rows, num, den)
     assert got == want
+
+
+def test_cross_containment_catches_quoted_benchmark_passage(spark):
+    """A benchmark passage quoted verbatim inside a long training doc:
+    Jaccard is ~0 (the training doc's extra tokens swamp the union) but
+    directed containment is 1.0 — the contamination hit the cross form
+    exists to catch. Token-reordered quotes (paraphrase that keeps the
+    word set) are caught too, where a contiguous 8-gram scan is blind."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.dedup import (
+        cross_containment_pairs,
+    )
+
+    quote = " ".join(f"bench{i}" for i in range(20))
+    reordered = " ".join(f"bench{i}" for i in reversed(range(20)))
+    filler = " ".join(f"corpus{i}" for i in range(400))
+    bench = spark.createDataFrame(
+        [(1, quote), (2, reordered), (3, "totally unrelated eval words here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100, filler + " " + quote + " " + filler), (101, filler)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in cross_containment_pairs(
+            bench, corpus, num=9, den=10, min_size=1
+        ).collect()
+    }
+    assert got[(1, 100)] == 1.0   # verbatim quote: contained
+    assert got[(2, 100)] == 1.0   # reordered quote: token SET contained
+    assert (3, 100) not in got and (3, 101) not in got
+    # the Jaccard the symmetric ladder would see for the same pair:
+    jac = 20 / (20 + 400)
+    assert jac < 0.05
+
+
+def test_cross_containment_same_id_reported(spark):
+    """The same doc present in both corpora IS a contamination hit —
+    the cross form must not inherit the self-join's a != b guard."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.dedup import (
+        cross_containment_pairs,
+    )
+
+    text = " ".join(f"w{i}" for i in range(10))
+    bench = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = cross_containment_pairs(bench, corpus, min_size=1).collect()
+    assert [(r.doc_id_a, r.doc_id_b, r.containment) for r in got] == [(7, 7, 1.0)]

@@ -1258,3 +1258,63 @@ def cross_containment_pairs(
     return _containment_join(
         ordered(ta), ordered(tb), num, den, min_size, self_pairs=True
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+) -> DataFrame:
+    """PARAGRAPH-granularity exact dedup — the sub-document pass
+    production pipelines run alongside whole-doc dedup (C4's
+    three-sentence rule, RefinedWeb's line-level dedup): split each doc
+    into non-overlapping ``size``-token paragraphs (t15's splitter with
+    stride == size; this corpus has no newline/sentence boundaries, so
+    the fixed window IS the paragraph), drop every paragraph occurrence
+    except the globally FIRST (min (doc_id, idx) over identical text —
+    d1's exact-hash rule at paragraph grain; intra-doc repeats dedup
+    too), and reassemble survivors in reading order (t19's rebuild
+    shape). One row per INPUT doc — untouched docs hash too, so silent
+    over-removal anywhere flips the gate.
+
+    Scale: one groupBy on paragraph text (the d1 shuffle, map-side
+    combined), one join back, one per-doc rebuild groupBy. No windows
+    over unbounded partitions, no doc x doc anything. Output:
+    (doc_id, text_clean, n_paras, n_removed)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import passage_chunks
+
+    paras = passage_chunks(
+        df, size=size, stride=size, id_col=id_col, text_col=text_col
+    ).select("doc_id", "chunk_idx", F.col("chunk_text").alias("_pt"))
+    canon = paras.groupBy("_pt").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("chunk_idx"))).alias("_k")
+    )
+    kept = paras.join(canon, "_pt").filter(
+        (F.col("doc_id") == F.col("_k")["doc_id"])
+        & (F.col("chunk_idx") == F.col("_k")["chunk_idx"])
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(chunk_idx, _pt))),"
+                " x -> x._pt)"
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").alias("_nk"),
+    )
+    tot = paras.groupBy("doc_id").agg(F.count("*").alias("_np"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(tot, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("_np", F.lit(0)).cast("long").alias("n_paras"),
+            (F.coalesce("_np", F.lit(0)) - F.coalesce("_nk", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

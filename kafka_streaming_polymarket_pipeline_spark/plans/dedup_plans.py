@@ -549,3 +549,49 @@ def d16_cross_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("split") == "test").drop("split")
     corpus = d.filter(F.col("split") == "train").drop("split")
     return D.cross_containment_pairs(bench, corpus, num=9, den=10, min_size=30)
+
+
+@register(
+    "d17_paragraph_dedup",
+    oracle="""
+WITH tkz AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+n AS (SELECT doc_id, ts, len(ts) AS L FROM tkz),
+p AS (
+  SELECT doc_id, CAST(ci AS INT) AS pidx,
+         array_to_string(ts[CAST(ci * 32 + 1 AS BIGINT) : CAST(ci * 32 + 32 AS BIGINT)], ' ') AS ptext
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, greatest(CAST(floor((L - 32 + 31) / 32) AS BIGINT), 0) + 1)) AS ci
+        FROM n WHERE L > 0)
+),
+k AS (
+  SELECT doc_id, pidx, ptext,
+         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rn
+  FROM p
+),
+reb AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS text_clean,
+         count(*) AS nk
+  FROM k WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS np FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.text_clean, '') AS text_clean,
+       CAST(coalesce(tot.np, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(tot.np, 0) - coalesce(reb.nk, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+""",
+)
+def d17_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup (r08 verdict stretch): split
+    every doc into non-overlapping 32-token paragraphs, keep only each
+    paragraph's globally first occurrence (min (doc_id, idx) — d1's
+    rule at sub-document grain, the C4/RefinedWeb line-level pass), and
+    reassemble survivors in reading order. One row per input doc
+    (scrubbed text + removal accounting) so untouched docs hash too.
+    The oracle re-derives first-occurrence with a row_number window;
+    Spark uses a groupBy min-struct + join back (map-side combined —
+    no global window at corpus scale)."""
+    return D.paragraph_dedup(load(spark, sf_dir, "documents"), size=32)

@@ -1,0 +1,114 @@
+"""Paragraph-granularity exact dedup (d17): first-occurrence-wins at
+32-token-window grain, reading-order reassembly, exact removal
+accounting — including the headline property that two docs sharing
+only one paragraph lose it from exactly the non-canonical doc."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streaming_polymarket_pipeline_spark.operators.dedup import paragraph_dedup
+
+
+def _para(tag: str, size: int = 32) -> str:
+    return " ".join(f"{tag}{i}" for i in range(size))
+
+
+def _run(spark, docs, size=32):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r.doc_id: r for r in paragraph_dedup(df, size=size).collect()}
+
+
+def py_paragraph_dedup(docs, size=32):
+    """Reference: split on whitespace into size-token windows, keep each
+    window text's first (doc_id, idx) occurrence, rebuild in order."""
+    paras = []
+    for did, text in sorted(docs):
+        ts = [t for t in text.split(" ") if t]
+        for ci in range((len(ts) + size - 1) // size):
+            paras.append((did, ci, " ".join(ts[ci * size : ci * size + size])))
+    first: dict = {}
+    for did, ci, pt in sorted(paras):
+        first.setdefault(pt, (did, ci))
+    out = {}
+    for did, text in docs:
+        ts = [t for t in text.split(" ") if t]
+        chunks = [
+            " ".join(ts[ci * size : ci * size + size])
+            for ci in range((len(ts) + size - 1) // size)
+        ]
+        kept = [
+            pt for ci, pt in enumerate(chunks) if first[pt] == (did, ci)
+        ]
+        out[did] = (" ".join(kept), len(chunks), len(chunks) - len(kept))
+    return out
+
+
+def test_shared_paragraph_removed_from_noncanonical_doc(spark):
+    """Two docs sharing exactly one paragraph: the lower-id doc keeps
+    it, the higher-id doc loses exactly those 32 tokens and nothing
+    else."""
+    shared = _para("sh")
+    a_only, b_only = _para("ao"), _para("bo")
+    docs = [(1, a_only + " " + shared), (2, shared + " " + b_only)]
+    got = _run(spark, docs)
+    assert got[1].text_clean == a_only + " " + shared and got[1].n_removed == 0
+    assert got[2].text_clean == b_only and got[2].n_removed == 1
+    assert got[2].n_paras == 2
+
+
+def test_no_duplicates_roundtrips_text(spark):
+    docs = [(i, _para(f"u{i}a") + " " + _para(f"u{i}b")) for i in range(5)]
+    got = _run(spark, docs)
+    for did, text in docs:
+        assert got[did].text_clean == text
+        assert got[did].n_removed == 0 and got[did].n_paras == 2
+
+
+def test_intra_doc_repeat_dedups(spark):
+    p = _para("rep")
+    got = _run(spark, [(9, p + " " + p + " " + p)])
+    assert got[9].text_clean == p
+    assert got[9].n_paras == 3 and got[9].n_removed == 2
+
+
+def test_empty_doc_accounts_zero(spark):
+    got = _run(spark, [(0, ""), (1, _para("x"))])
+    assert got[0].text_clean == "" and got[0].n_paras == 0 and got[0].n_removed == 0
+
+
+def test_short_tail_paragraph_participates(spark):
+    """Tail windows shorter than size dedup by their exact text too."""
+    tail = "t0 t1 t2"
+    docs = [(1, _para("h") + " " + tail), (2, tail)]
+    got = _run(spark, docs)
+    assert got[1].n_removed == 0
+    assert got[2].text_clean == "" and got[2].n_removed == 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 10_000))
+def test_hypothesis_matches_python_reference(spark, seed):
+    """Random corpora built from a small paragraph pool (forcing heavy
+    cross- and intra-doc collisions) must match the first-occurrence
+    reference exactly, window size 4 to keep cases small."""
+    rng = random.Random(seed)
+    pool = [_para(f"p{k}", size=4) for k in range(4)]
+    docs = [
+        (
+            did,
+            " ".join(rng.choice(pool) for _ in range(rng.randint(0, 4))),
+        )
+        for did in range(rng.randint(1, 6))
+    ]
+    got = _run(spark, docs, size=4)
+    ref = py_paragraph_dedup(docs, size=4)
+    for did, (tc, np_, nr) in ref.items():
+        assert (got[did].text_clean, got[did].n_paras, got[did].n_removed) == (
+            tc,
+            np_,
+            nr,
+        ), (did, docs)

@@ -166,3 +166,65 @@ def containment_probe_sink(
         )
 
     return foreach_batch_sink(docs_stream, process, checkpoint)
+
+
+def compact_index(spark, index_path: str) -> dict:
+    """Offline compaction for the containment job's inverted-token index
+    — dedup_stream's staged protocol applied to the two FLAT tables here
+    (``inv``/``sizes`` have no ``__kbucket`` level, so both take the
+    byte-sized flat writer). Same operational contract: run ONLY with
+    the standing job stopped and its checkpoint committed; the merged
+    dir lands as ``batch=0`` (never the highest id — the id a
+    foreachBatch retry would overwrite), staging under ``.compact_tmp``
+    with ``_SUCCESS`` gating recovery, so a crash at any step resumes
+    losslessly. Returns per-table file-count stats
+    (see :func:`dedup_stream.compact_index` for the full rationale)."""
+    from kafka_streaming_polymarket_pipeline_spark.streaming.dedup_stream import (
+        _compact_table,
+        _write_flat_sized,
+    )
+
+    stats: dict = {}
+    for name in (INV, SIZES):
+        table = os.path.join(index_path, name)
+        if not os.path.isdir(table):
+            continue
+        out = _compact_table(
+            spark,
+            table,
+            lambda df, tmp, _t=table: _write_flat_sized(df, _t, tmp),
+        )
+        if out is not None:
+            stats[name] = out
+    return stats
+
+
+def needs_compaction(index_path: str, max_files_per_table: int = 32) -> dict:
+    """Decision arithmetic for WHEN to compact the containment index —
+    dedup_stream's trigger adapted to this index's probe shape: both
+    tables are FLAT and every probe reads them whole (the token
+    equi-join prunes in the shuffle, not at the file level), so the
+    metric is each table's TOTAL parquet file count, growing by one
+    file per batch forever. The default 32 ≈ half a day of hourly
+    batches, the cadence the dedup soak measured as keeping open/footer
+    overhead a rounding error. Pure local-FS metadata walk; the
+    operator checks between stopped-job windows exactly as for the
+    dedup index::
+
+        if needs_compaction(idx)["needed"]:
+            compact_index(spark, idx)   # job STOPPED, checkpoint committed
+    """
+    tables: dict[str, int] = {}
+    for name in (INV, SIZES):
+        table = os.path.join(index_path, name)
+        if not os.path.isdir(table):
+            continue
+        tables[name] = sum(
+            1 for _, _, fs in os.walk(table) for f in fs if f.endswith(".parquet")
+        )
+    worst = max(tables.values(), default=0)
+    return {
+        "needed": worst > max_files_per_table,
+        "worst": worst,
+        "tables": tables,
+    }

@@ -418,83 +418,97 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     resumed an interrupted compaction — the originals were partially
     gone, so there is no honest before-count).
     """
-    import re
-    import shutil
-
     m = _bucket_count(index_path) or N_DOC_BUCKETS
     stats: dict = {}
-
-    def _parquet_files(p: str) -> int:
-        return sum(
-            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
-        )
-
-    def _write_flat_sized(df, table: str, tmp: str) -> None:
-        # size the flat output by bytes (~128 MB/file): always reduces
-        # file count at small scale, never produces monster files at large
-        table_bytes = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(table)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        n_out = max(1, -(-table_bytes // (128 << 20)))  # ceil div
-        df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
 
     for name in (SIGS, HASHED, BUCKETS):
         table = os.path.join(index_path, name)
         if not os.path.isdir(table):
             continue
-        tmp = os.path.join(table, ".compact_tmp")
-        batches = sorted(
-            (d for d in os.listdir(table) if re.fullmatch(r"batch=\d+", d)),
-            key=lambda d: int(d.split("=")[1]),
-        )
-        if os.path.isdir(tmp):
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                # Staging is complete: finish the interrupted run. Any
-                # surviving batch dirs are step-2 leftovers already merged
-                # into staging — deleting them loses nothing; treating the
-                # staging as "incomplete" here WOULD lose the already-
-                # deleted originals' rows.
-                for d in batches:
-                    shutil.rmtree(os.path.join(table, d))
-                os.rename(tmp, os.path.join(table, "batch=0"))
-                stats[name] = {
-                    "files_before": None,
-                    "files_after": _parquet_files(table),
-                    "recovered": True,
-                }
-                continue
-            shutil.rmtree(tmp)  # crashed in step 1: originals intact, redo
-        if len(batches) <= 1:
-            continue
-        files_before = _parquet_files(table)
-        # batch=0, not the highest id: the highest id is the one a
-        # foreachBatch retry replays (see docstring — a retried
-        # overwrite of the merged dir would drop the whole index)
-        target = "batch=0"
-        df = spark.read.option("basePath", table).parquet(
-            os.path.join(table, "batch=*")
-        ).drop("batch")
-        if name in (SIGS, HASHED) and _KB in df.columns:
-            (
-                df.repartition(m, F.col(_KB))
-                .write.mode("overwrite")
-                .partitionBy(_KB)
-                .parquet(tmp)
-            )
-        else:
-            _write_flat_sized(df, table, tmp)
-        for d in batches:
-            shutil.rmtree(os.path.join(table, d))
-        os.rename(tmp, os.path.join(table, target))
-        stats[name] = {
-            "files_before": files_before,
-            "files_after": _parquet_files(table),
-            "recovered": False,
-        }
+
+        def _writer(df, tmp: str, _table: str = table, _name: str = name) -> None:
+            if _name in (SIGS, HASHED) and _KB in df.columns:
+                (
+                    df.repartition(m, F.col(_KB))
+                    .write.mode("overwrite")
+                    .partitionBy(_KB)
+                    .parquet(tmp)
+                )
+            else:
+                _write_flat_sized(df, _table, tmp)
+
+        out = _compact_table(spark, table, _writer)
+        if out is not None:
+            stats[name] = out
     return stats
+
+
+def _parquet_files(p: str) -> int:
+    return sum(1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet"))
+
+
+def _write_flat_sized(df, table: str, tmp: str) -> None:
+    # size the flat output by bytes (~128 MB/file): always reduces
+    # file count at small scale, never produces monster files at large
+    table_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(table)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, -(-table_bytes // (128 << 20)))  # ceil div
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+
+
+def _compact_table(spark: SparkSession, table: str, write_tmp) -> dict | None:
+    """One table's staged compact (the :func:`compact_index` protocol,
+    factored so the containment stream's flat inv/sizes index reuses it
+    verbatim): recover any interrupted run, merge ``batch=*`` into
+    ``batch=0`` via ``write_tmp(df, tmp_dir)``, delete originals,
+    rename. Returns the stats dict, or None when there is nothing to
+    do (0 or 1 batch dirs and no staging)."""
+    import re
+    import shutil
+
+    tmp = os.path.join(table, ".compact_tmp")
+    batches = sorted(
+        (d for d in os.listdir(table) if re.fullmatch(r"batch=\d+", d)),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    if os.path.isdir(tmp):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            # Staging is complete: finish the interrupted run. Any
+            # surviving batch dirs are step-2 leftovers already merged
+            # into staging — deleting them loses nothing; treating the
+            # staging as "incomplete" here WOULD lose the already-
+            # deleted originals' rows.
+            for d in batches:
+                shutil.rmtree(os.path.join(table, d))
+            os.rename(tmp, os.path.join(table, "batch=0"))
+            return {
+                "files_before": None,
+                "files_after": _parquet_files(table),
+                "recovered": True,
+            }
+        shutil.rmtree(tmp)  # crashed in step 1: originals intact, redo
+    if len(batches) <= 1:
+        return None
+    files_before = _parquet_files(table)
+    # batch=0, not the highest id: the highest id is the one a
+    # foreachBatch retry replays (see compact_index docstring — a
+    # retried overwrite of the merged dir would drop the whole index)
+    df = spark.read.option("basePath", table).parquet(
+        os.path.join(table, "batch=*")
+    ).drop("batch")
+    write_tmp(df, tmp)
+    for d in batches:
+        shutil.rmtree(os.path.join(table, d))
+    os.rename(tmp, os.path.join(table, "batch=0"))
+    return {
+        "files_before": files_before,
+        "files_after": _parquet_files(table),
+        "recovered": False,
+    }
 
 
 def needs_compaction(index_path: str, max_files_per_bucket: int = 32) -> dict:

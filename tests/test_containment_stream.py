@@ -180,3 +180,91 @@ def test_retry_of_landed_batch_emits_identical_pairs(spark, tmp_path):
     bad, _, _ = CS.containment_probe_batch(b1, idx, before_batch=None)
     bad_rows = {(r.doc_id_a, r.doc_id_b, r.containment) for r in bad.collect()}
     assert bad_rows != first_rows
+
+
+LATE = [
+    (6, QUOTE + " plus a few new words"),   # contains doc-2's QUOTE tokens
+    (7, "nothing in common with anything"),
+]
+
+
+def test_needs_compaction_decision_arithmetic(spark, tmp_path):
+    """The containment index's trigger counts TOTAL parquet files per
+    flat table (every probe reads both tables whole), flips needed at
+    the threshold, and resets after compact_index."""
+    idx = str(tmp_path / "idx")
+    for i, rows in enumerate((BATCH_A, BATCH_B, LATE)):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        _, post, sizes = CS.containment_probe_batch(df, idx, before_batch=i)
+        post.coalesce(1).write.parquet(os.path.join(idx, CS.INV, f"batch={i}"))
+        sizes.coalesce(1).write.parquet(os.path.join(idx, CS.SIZES, f"batch={i}"))
+    before = CS.needs_compaction(idx, max_files_per_table=2)
+    assert set(before["tables"]) == {CS.INV, CS.SIZES}
+    assert before["worst"] >= 3 and before["needed"] is True
+    assert CS.needs_compaction(idx, max_files_per_table=100)["needed"] is False
+    stats = CS.compact_index(spark, idx)
+    assert set(stats) == {CS.INV, CS.SIZES}
+    for t in (CS.INV, CS.SIZES):
+        dirs = [d for d in os.listdir(os.path.join(idx, t)) if d.startswith("batch=")]
+        assert dirs == ["batch=0"]
+        assert stats[t]["files_after"] <= stats[t]["files_before"]
+    after = CS.needs_compaction(idx, max_files_per_table=2)
+    assert after["worst"] < before["worst"] and after["needed"] is False
+
+
+def test_compaction_between_micro_batches_leaves_emissions_identical(
+    spark, tmp_path
+):
+    """Port of the dedup index's mid-stream equivalence gate (r08
+    verdict task 2): stop the standing containment job, compact, resume
+    the SAME checkpoint with new files — the resumed batch's pair
+    emissions must be identical to a twin run that never compacted, and
+    must still see pre-compaction docs through the merged batch=0."""
+    import time as _time
+
+    def run(root, compact_between):
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        idx, pairs, ck = (os.path.join(root, d) for d in ("idx", "pairs", "ck"))
+        a = spark.createDataFrame(BATCH_A, "doc_id long, text string")
+        b = spark.createDataFrame(BATCH_B, "doc_id long, text string")
+        a.coalesce(1).write.parquet(os.path.join(src, "f0"))
+        _time.sleep(1.1)
+        b.coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+        def start():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/f*")
+            )
+            return CS.containment_probe_sink(stream, idx, pairs, ck)
+
+        q = start()
+        q.awaitTermination(120)
+        q.stop()  # standing job STOPPED, checkpoint committed
+        if compact_between:
+            assert CS.compact_index(spark, idx)  # actually compacted
+        _time.sleep(1.1)
+        spark.createDataFrame(LATE, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, "f2"))
+        q = start()  # resume from the same checkpoint
+        q.awaitTermination(120)
+        q.stop()
+        out = {}
+        for d in os.listdir(pairs):
+            if d.startswith("batch="):
+                out[d] = {
+                    (r["doc_id_a"], r["doc_id_b"], r["containment"])
+                    for r in spark.read.parquet(os.path.join(pairs, d)).collect()
+                }
+        return out
+
+    plain = run(str(tmp_path / "plain"), compact_between=False)
+    compacted = run(str(tmp_path / "compacted"), compact_between=True)
+    assert compacted == plain
+    # the resumed batch actually probed the merged index: doc 2 (QUOTE,
+    # pre-compaction) is contained in late doc 6
+    resumed = compacted[max(compacted, key=lambda d: int(d.split("=")[1]))]
+    assert any(a == 2 and b == 6 for a, b, _ in resumed), resumed

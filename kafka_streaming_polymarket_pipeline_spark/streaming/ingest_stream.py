@@ -71,7 +71,8 @@ def corpus_ingest_sink(
     Pass ``monitor_reference`` (a frozen histogram from
     ``quality_stream.reference_histogram``, with its mn/mx binning
     constants) to ALSO emit one drift reading per micro-batch under
-    ``monitor/batch=<id>``: (n_events, psi, ks_stat) of the INCOMING
+    ``monitor/batch=<id>``: (n_events, psi, ks_stat, w1_distance) —
+    the full drift triple from the one shared fold — of the INCOMING
     population's ``monitor_col`` distribution — pre-gate, keep and
     reject alike, because upstream drift is exactly what shifts the
     admission rate, and a monitor that only sees admitted rows is blind
@@ -111,13 +112,24 @@ def corpus_ingest_sink(
         lam_rows = [
             (int(r["bucket"]), int(r["lam_micro"])) for r in dsir_lambda.collect()
         ]
-        if not lam_rows:
-            # hash % 0 would evaluate to NULL and silently land
-            # score_micro=0 for every doc — fail loudly instead (the
-            # monitor_reference binning-constants guard's sibling)
+        # The scoring modulus is inferred as len(lam_rows), so ANY
+        # deviation from the fit's full spine re-buckets grams under a
+        # different modulus and lands silently-wrong score_micro values:
+        # an empty table would make hash % 0 NULL-score everything, and
+        # a partial/filtered table (or one fit with a different
+        # n_buckets) is just as corrupt with no error at all. Demand the
+        # exact spine 0..n-1 (the monitor_reference binning-constants
+        # guard's sibling).
+        if not lam_rows or sorted(b for b, _ in lam_rows) != list(
+            range(len(lam_rows))
+        ):
             raise ValueError(
-                "dsir_lambda is empty — pass the full dsir_model table "
-                "(exactly n_buckets rows) or None"
+                "dsir_lambda must be the FULL dsir_model table (bucket "
+                "spine exactly 0..n_buckets-1); got "
+                f"{len(lam_rows)} rows with buckets "
+                f"{sorted(b for b, _ in lam_rows)[:8]}... — a partial or "
+                "re-filtered model would re-bucket grams under the wrong "
+                "modulus and silently mis-score every document"
             )
 
     def process(batch: DataFrame, batch_id: int) -> None:

@@ -219,9 +219,10 @@ def _drift_stats_from_rows(
     eps: float = 1e-6,
 ) -> DataFrame:
     """Batch form of the drift monitor over a pre-collected reference:
-    ONE (n_events, psi, ks_stat) row for a static frame (empty input ->
-    zero rows, not a null reading). The foreachBatch building block —
-    a micro-batch IS the window, so no event-time machinery."""
+    ONE (n_events, psi, ks_stat, w1_distance) row — the full triple
+    from the one shared fold — for a static frame (empty input -> zero
+    rows, not a null reading). The foreachBatch building block — a
+    micro-batch IS the window, so no event-time machinery."""
     if mx <= mn:
         raise ValueError(f"degenerate binning range [{mn}, {mx}]")
     binned = df.select(_bin_expr(value_col, mn, mx, n_bins).alias("bin"))
@@ -247,8 +248,8 @@ def drift_stats(
     n_bins: int = 10,
     eps: float = 1e-6,
 ) -> DataFrame:
-    """One (n_events, psi, ks_stat) row for a static frame against the
-    frozen ``reference`` histogram — ``stream_drift_monitor``'s math
+    """One (n_events, psi, ks_stat, w1_distance) row for a static frame
+    against the frozen ``reference`` histogram — ``stream_drift_monitor``'s math
     (same `_psi_ks_expr` fold, same clamped binning) without the
     event-time window, for batch audits and foreachBatch monitors."""
     ref_rows = {int(r["bin"]): float(r["ref_share"]) for r in reference.collect()}

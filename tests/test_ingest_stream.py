@@ -114,10 +114,12 @@ def test_ingest_stream_equals_batch_and_rejects_never_indexed(spark, tmp_path):
 
 def test_ingest_monitor_emits_per_batch_drift(spark, tmp_path):
     """The wired drift monitor: per micro-batch, one (n_events, psi,
-    ks_stat) reading of the INCOMING quality-logit population against a
-    frozen reference — equal to the batch drift_stats over the same
+    ks_stat, w1_distance) reading — the FULL drift triple from the one
+    shared fold — of the INCOMING quality-logit population against a
+    frozen reference: equal to the batch drift_stats over the same
     files, pre-gate (keep and reject alike), and the junk-flood batch
-    reads as drifted while the clean batch reads near zero."""
+    reads as drifted on all three statistics while the clean batch
+    reads near zero."""
     from kafka_streaming_polymarket_pipeline_spark.streaming.quality_stream import (
         drift_stats,
         quality_features_frame,
@@ -161,15 +163,21 @@ def test_ingest_monitor_emits_per_batch_drift(spark, tmp_path):
     for bid, rows in ((0, clean), (1, flood)):
         mrow = spark.read.parquet(f"{out}/monitor/batch={bid}").collect()
         assert len(mrow) == 1
-        got[bid] = (mrow[0]["n_events"], mrow[0]["psi"], mrow[0]["ks_stat"])
+        got[bid] = (
+            mrow[0]["n_events"], mrow[0]["psi"], mrow[0]["ks_stat"],
+            mrow[0]["w1_distance"],
+        )
         # equals the batch form over the same rows (shared fold)
         feats = quality_features_frame(spark.createDataFrame(rows, SCHEMA))
         want = drift_stats(feats, reference, mn, mx, "char_entropy_bits").collect()[0]
-        assert got[bid] == (want["n_events"], want["psi"], want["ks_stat"])
+        assert got[bid] == (
+            want["n_events"], want["psi"], want["ks_stat"], want["w1_distance"],
+        )
     assert got[0][0] == 4 and got[1][0] == 4
-    # clean batch ~ reference; junk flood visibly drifted on both gates
+    # clean batch ~ reference; junk flood visibly drifted on all three
     assert got[0][1] < 0.5 < got[1][1]  # PSI
     assert got[0][2] < 0.5 < got[1][2]  # KS
+    assert got[0][3] < got[1][3] and got[1][3] > 0.5  # W1 (bin-width units)
 
 
 def test_ingest_monitor_requires_binning_constants(spark, tmp_path):
@@ -245,3 +253,24 @@ def test_ingest_stream_attaches_frozen_dsir_scores(spark, tmp_path):
         ).collect()
     }
     assert min(got.values()) > max(junk_scores.values())
+
+
+def test_ingest_rejects_partial_or_empty_dsir_model(spark, tmp_path):
+    """The scoring modulus is inferred as len(lam_rows): a partial,
+    re-filtered, or differently-sized model table would silently
+    re-bucket grams under the wrong modulus — the sink must demand the
+    exact 0..n-1 spine up front (empty included)."""
+    import pytest
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(tmp_path))
+    for rows in (
+        [],                                   # empty
+        [(0, 10), (2, 20), (3, 5)],           # hole at 1: not the spine
+        [(1, 10), (2, 20)],                   # offset: missing bucket 0
+    ):
+        lam = spark.createDataFrame(rows, "bucket int, lam_micro long")
+        with pytest.raises(ValueError, match="FULL dsir_model"):
+            IS.corpus_ingest_sink(
+                stream, str(tmp_path / "o"), str(tmp_path / "c"),
+                dsir_lambda=lam,
+            )

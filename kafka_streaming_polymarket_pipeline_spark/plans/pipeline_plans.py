@@ -474,3 +474,96 @@ def e2e_corpus_build_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.join(sel.select("doc_id", "score_micro"), "doc_id").select(
         "doc_id", "score_micro", "n_tokens", "tok_start", "seq_first", "seq_last"
     )
+
+
+# Fourth composition: the C4/RefinedWeb-recipe pipeline over the round-9
+# sub-document operators — line-level (here: 32-token-window) exact dedup
+# with reassembly, then the char-entropy quality gate at the corpus
+# median, then sequence packing. The scrub REWRITES text before packing,
+# so the token spine is computed over scrubbed lengths — exactly the
+# composition bug class (stage A mutates what stage B measures) this
+# gate exists to catch.
+ENTROPY_KEEP_BITS = 4.1
+
+
+@register(
+    "e2e_corpus_build_p",
+    oracle=f"""
+WITH tkz AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+n AS (SELECT doc_id, ts, len(ts) AS L FROM tkz),
+p AS (
+  SELECT doc_id, CAST(ci AS INT) AS pidx,
+         array_to_string(ts[CAST(ci * 32 + 1 AS BIGINT) : CAST(ci * 32 + 32 AS BIGINT)], ' ') AS ptext
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, greatest(CAST(floor((L - 32 + 31) / 32) AS BIGINT), 0) + 1)) AS ci
+        FROM n WHERE L > 0)
+),
+k AS (
+  SELECT doc_id, pidx, ptext,
+         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rn
+  FROM p
+),
+reb AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS text_clean
+  FROM k WHERE rn = 1 GROUP BY doc_id
+),
+scrub AS (
+  SELECT d.doc_id, coalesce(reb.text_clean, '') AS text
+  FROM documents d LEFT JOIN reb USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, text FROM scrub
+  WHERE round(-coalesce(list_sum(list_transform(
+          list_sort(list_distinct(string_split(text, ''))),
+          ch -> (CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+                  / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE))
+                * log2(CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+                  / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE)))), 0.0), 6)
+        >= {ENTROPY_KEEP_BITS}
+),
+tk AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM kept
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tok_start
+  FROM tk
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {P.PACK_BUDGET} AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // {P.PACK_BUDGET}
+            ELSE tok_start // {P.PACK_BUDGET} END AS seq_last
+FROM placed
+""",
+)
+def e2e_corpus_build_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document-era corpus materialization (the C4/RefinedWeb
+    recipe, round 9): d17 paragraph-granularity exact dedup REWRITES
+    every document (first-occurrence-wins over 32-token windows,
+    reading-order reassembly), the t17 char-entropy gate at the corpus
+    median (4.1 bits — fully-scrubbed empty docs drop here) filters the
+    scrubbed text, and pk1's packer lays the survivors into 512-token
+    sequences. The token spine is computed over SCRUBBED lengths —
+    stage A mutates exactly what stage C measures, the composition bug
+    class per-stage gates can't see. Each stage is an independently
+    hash-gated operator (d17, t17, pk1); the oracle re-derives the
+    whole chain in one statement."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = D.paragraph_dedup(docs, size=32).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    kept = (
+        T.char_entropy_frame(scrubbed)
+        .filter(F.round(F.col("char_entropy_bits"), 6) >= ENTROPY_KEEP_BITS)
+        .select("doc_id", "text")
+    )
+    return P.packed_sequences(kept).select(
+        "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"
+    )

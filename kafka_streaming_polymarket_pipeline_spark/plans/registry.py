@@ -67,110 +67,58 @@ _REGISTRY: dict[str, Query] = {}
 # when a twin's re-audit comes due the pair enters together (adjacent),
 # accepting that round's one expected rows-only row.
 #
-# ---- r08 gate prefix (exactly 50 entries) ----
+# ---- r09 gate prefix (exactly 50 entries) ----
 # Rotation rule order (r05 verdict task 4; see the invariant above):
-# Block 1 (7, never-audited + changed-code): a31_psi_drift and
-# a32_ks_two_sample — the round-7 additions registered past the r07
-# window (each locally hash-verified at sf0.001/0.01/0.1 via
-# scripts/driver_sim.py and independently hash-verified by the r07
-# judge), ALSO re-binned this round (single conditional-sum groupBy
-# replacing the per-slice branches — r07 ADVICE), so rules 1 and 2
-# both land them here. a33_wasserstein_drift (the drift triple's third
-# gate, adjacent to its siblings), d14_neardup_auto,
-# t18_exact_substr_spans, t19_exact_substr_scrub and
-# t20_quality_lr_train are the round-8 additions (binned W1 over the
-# shared discretization; the routed AllPairs-vs-LSH facade, VERDICT
-# r07 task 3; the ExactSubstr maximal-span audit + its rewrite, task 8
-# stretch; in-engine logistic-regression training distilling the
-# entropy gate — the iterative-oracle family's first TRAINING member),
-# registered IN-window this time; each hash-verified at 3 SFs via
-# driver_sim before commit. Their entries displace r14_promo_share,
-# r18_large_orders, a1_array_sum, a2_argmax_per_group and
-# a3_positional_first (r05-green, now the head of the r09 queue; each
-# re-verified via driver_sim on displacement).
-# Block 2 (29, the r04-stale rows — ALL of them): the r07 verdict
-# scheduled 15 by name (u8, w4, a18, a19, w5, r6, r9, r10, a20, a21,
-# a22, m4 + twin m4b adjacent, t14, sh2) but undercounted — the
-# CORRECTNESS_r01..r07 artifacts show 29 rows whose newest green round
-# is r04 (the verdict's own coverage table even lists d3c as r04).
-# The named 15 lead in the verdict's order; the 14 it missed (d3c, c1,
-# d8, x6, t15, d9, b1, d10, r7, r8, a15, c2, a16, a17) follow in
-# registration-family order, clearing the ENTIRE r04 debt this round.
-# m4_video_decode is the round's ONE expected rows-only row (permanent
-# by-design: JPEG pixel math is not SQL-expressible; its hash-gated
-# twin m4b sits adjacent) — CORRECTNESS_r08 green target is therefore
-# 49 hash-green + 1 documented rows-only row.
-# Block 3 (14): the oldest remaining green rows (r05),
-# registration-family order. Max staleness after r08: 3 rounds (the
-# 36 remaining r05 rows — r14_promo_share, r18_large_orders,
-# a1_array_sum, a2_argmax_per_group and a3_positional_first now first
-# among them — which open the tail below as the r09 queue).
-# NOTE t14_span_scrub sits in block 2 AND its shared operator module
-# changed this round (the gram-key fold factored to _hashed_gram_keys
-# for t18) — rule 2 and rule 3 coincide on it.
-# POST-WINDOW round-8 additions (the a31/a32 precedent: registered
-# past the 50-row prefix, hash-verified at sf0.001/0.01/0.1 via
-# scripts/driver_sim.py before commit, scheduled to LEAD the r09
-# prefix as never-officially-audited): x9_dsir_resample,
-# a34_sample_quantiles, c4_kcore (3-SF Spark-verified; its sf0.1
-# ORACLE is infeasible — the naive shingle self-join spills DuckDB
-# temp past disk at 5000 docs — so c4's 3rd-SF check is Spark-side
-# rows: 7/3/31 survivors at sf0.001/0.01/0.1, oracle-hashed at the
-# driver's own two SFs), e2e_corpus_build_d (the DSIR-era
-# composition gate: dedup-canonical -> x9 resample -> pack),
-# d15_containment_pairs (d15 additionally re-verified d12 + d14 at
-# sf0.01 after the _df_ordered_docs refactor of their shared stage).
+# Block 1 (15, never-audited): the 12 round-8 continuation additions
+# the r08 verdict scheduled by name to LEAD (x9, x10, d15, c4, c4b,
+# v3, v3b, v4, a34, j11, w9, e2e_corpus_build_d — each hash-verified
+# at 3 SFs via scripts/driver_sim.py on registration AND independently
+# hash-verified by the r08 judge's 195-query battery), followed by the
+# FOUR round-9 in-window additions (t21_quality_lr_eval — the
+# train->eval closure, r08 verdict task 5; d16_cross_containment —
+# the decontam-shaped two-corpus form, task 6; d17_paragraph_dedup —
+# sub-document dedup + reassembly, task 8 stretch; e2e_corpus_build_p
+# — the C4-recipe composition gate over d17 + t17 + pk1, where the
+# scrub stage mutates exactly what the packer measures), each
+# hash-verified at sf0.001 + sf0.01 via driver_sim before commit. Rule 2 coincides
+# on v3/v3b/v4 (the Viterbi backpointer slot re-encoded this round —
+# piece length instead of absolute j, ADVICE r08 — and re-verified at
+# all 3 SFs) and on d15 (its candidate/verify stages factored into
+# _containment_join for d16; re-verified at sf0.01 on the refactor).
+# Block 2 (5): the rows displaced in r08, r05-green and longest
+# waiting: r14_promo_share, r18_large_orders, a1_array_sum,
+# a2_argmax_per_group, a3_positional_first.
+# Block 3 (30): the oldest remaining r05 rows in registration-family
+# order (p1-p9, j1-j5, s-tier + recalls, g1-g4, x1-x3, and three of
+# the five TPC-H-shaped flagships). regional_revenue and
+# order_priority_check are the TWO r05 rows left after this round —
+# they lead the r10 queue, followed by the r06 rows in the tail order
+# below. No rows-only row is due this
+# round (neither a13 nor m4 is in the prefix): CORRECTNESS_r09's green
+# target is 50/50 fully hash-green.
+# The TAIL (entries 51+) is ordered by actual staleness — each query's
+# newest green round parsed from the CORRECTNESS_r01..r08 artifacts,
+# stalest first, ties in prior order — so the r10 rotation reads its
+# queue straight off the front of the tail. The two permanent
+# rows-only twins (m4, a13) are pinned ADJACENT to their hash-gated
+# gates (m4b, a13b) wherever the gate lands, per the module docstring.
 _DRIVER_PRIORITY: list[str] = [
-    "a31_psi_drift",
-    "a32_ks_two_sample",
-    "a33_wasserstein_drift",
-    "d14_neardup_auto",
-    "t18_exact_substr_spans",
-    "t19_exact_substr_scrub",
-    "t20_quality_lr_train",
-    "u8_except_all_pairs",
-    "w4_trailing_range_window",
-    "a18_funnel_stages",
-    "a19_cohort_retention",
-    "w5_scd2_intervals",
-    "r6_forecast_revenue",
-    "r9_profit_by_nation_year",
-    "r10_returned_top20",
-    "a20_gap_fill_ffill",
-    "a21_value_histogram",
-    "a22_type_trend_corr",
-    "m4_video_decode",
-    "m4b_video_decode_gate",
-    "t14_span_scrub",
-    "sh2_epoch_shuffle",
-    "d3c_minhash_lsh_dfpruned",
-    "c1_kmeans_assign",
-    "d8_semantic_dedup",
-    "x6_unimax_budget",
-    "t15_passage_chunks",
-    "d9_semantic_clusters",
-    "b1_bm25_topk",
-    "d10_semantic_decontam",
-    "r7_nation_trade",
-    "r8_market_share",
-    "a15_cms_heavy_hitters",
-    "c2_pagerank",
-    "a16_bloom_decontam",
-    "a17_portable_hll",
-    "d12_prefix_jaccard_join",
-    "d11_editdist_pairs",
-    "a27_markov_transitions",
-    "a28_pair_lift",
-    "u9_grouping_sets",
-    "a29_time_decay_sum",
-    "r21_waiting_suppliers",
-    "r11_important_parts",
-    "r20_excess_supply",
-    "u10_unpivot",
-    "w3_rank_battery",
-    "z1_zorder_layout",
-    "k2_salted_join",
-    "r12_priority_lines",
+    "x9_dsir_resample",
+    "x10_decontam_split",
+    "d15_containment_pairs",
+    "c4_kcore",
+    "c4b_kcore_dfpruned",
+    "v3_unigram_estep",
+    "v3b_unigram_em2",
+    "v4_unigram_tokenize",
+    "a34_sample_quantiles",
+    "j11_asof_interpolate",
+    "w9_resample_interpolate",
+    "e2e_corpus_build_d",
+    "t21_quality_lr_eval",
+    "d16_cross_containment",
+    "d17_paragraph_dedup",
+    "e2e_corpus_build_p",
     "r14_promo_share",
     "r18_large_orders",
     "a1_array_sum",
@@ -304,6 +252,56 @@ _DRIVER_PRIORITY: list[str] = [
     "q4_binary_hamming_topk",
     "q4_recall",
     "u7_intersect_users",
+    "a31_psi_drift",
+    "a32_ks_two_sample",
+    "a33_wasserstein_drift",
+    "d14_neardup_auto",
+    "t18_exact_substr_spans",
+    "t19_exact_substr_scrub",
+    "t20_quality_lr_train",
+    "u8_except_all_pairs",
+    "w4_trailing_range_window",
+    "a18_funnel_stages",
+    "a19_cohort_retention",
+    "w5_scd2_intervals",
+    "r6_forecast_revenue",
+    "r9_profit_by_nation_year",
+    "r10_returned_top20",
+    "a20_gap_fill_ffill",
+    "a21_value_histogram",
+    "a22_type_trend_corr",
+    "m4_video_decode",
+    "m4b_video_decode_gate",
+    "t14_span_scrub",
+    "sh2_epoch_shuffle",
+    "d3c_minhash_lsh_dfpruned",
+    "c1_kmeans_assign",
+    "d8_semantic_dedup",
+    "x6_unimax_budget",
+    "t15_passage_chunks",
+    "d9_semantic_clusters",
+    "b1_bm25_topk",
+    "d10_semantic_decontam",
+    "r7_nation_trade",
+    "r8_market_share",
+    "a15_cms_heavy_hitters",
+    "c2_pagerank",
+    "a16_bloom_decontam",
+    "a17_portable_hll",
+    "d12_prefix_jaccard_join",
+    "d11_editdist_pairs",
+    "a27_markov_transitions",
+    "a28_pair_lift",
+    "u9_grouping_sets",
+    "a29_time_decay_sum",
+    "r21_waiting_suppliers",
+    "r11_important_parts",
+    "r20_excess_supply",
+    "u10_unpivot",
+    "w3_rank_battery",
+    "z1_zorder_layout",
+    "k2_salted_join",
+    "r12_priority_lines",
 ]
 
 

@@ -1170,7 +1170,17 @@ def _containment_join(
     form reuses the identical candidate/verify machinery).
     ``self_pairs=False`` adds the a != b guard for the self-join form;
     cross-corpus callers keep identical-id pairs (the same doc present
-    in both corpora IS a contamination hit)."""
+    in both corpora IS a contamination hit).
+
+    Each ordered frame feeds two consumers (prefix/full explode AND the
+    verify-side array lookup), and exchange reuse does not fire across
+    the differently-projected join sides (the minhash funnel's measured
+    lesson) — so both frames are persisted here; a self-join caller
+    passing the same object persists once."""
+    from pyspark.storagelevel import StorageLevel
+
+    da_docs = da_docs.persist(StorageLevel.MEMORY_AND_DISK)
+    db_docs = db_docs.persist(StorageLevel.MEMORY_AND_DISK)
     pref = da_docs.filter(F.col("sz") >= min_size).select(
         F.col("did").alias("_a"),
         F.col("sz").alias("_sa"),

@@ -333,6 +333,22 @@ def unigram_viterbi_estep(
     )
 
 
+def _uni_vocab2(w: DataFrame, pos: DataFrame, min_count: int) -> DataFrame:
+    """Round-2 vocabulary (piece, cnt): round 1's used-piece counts plus
+    every single character at count 1 — SentencePiece's chars-always-
+    survive rule, shared by every consumer of the two-iteration model
+    (v3b's M-step, v4's apply, v5's scoring)."""
+    occ = pos.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    vocab = occ.filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+    used1 = _uni_viterbi_counts(w, pos, _uni_renorm(vocab))
+    chars = pos.filter(F.col("i") - F.col("j") == 1).select("piece").distinct()
+    return used1.select("piece", F.col("new_count").alias("cnt")).unionByName(
+        chars.join(used1, "piece", "left_anti").select(
+            "piece", F.lit(1).cast("long").alias("cnt")
+        )
+    )
+
+
 def unigram_em2(
     docs: DataFrame,
     text_col: str = "text",
@@ -356,16 +372,7 @@ def unigram_em2(
 
     w = _uni_words(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     pos = _uni_pos(w, max_piece).persist(StorageLevel.MEMORY_AND_DISK)
-    occ = pos.groupBy("piece").agg(F.sum("wc").alias("cnt"))
-    vocab = occ.filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
-    used1 = _uni_viterbi_counts(w, pos, _uni_renorm(vocab))
-    chars = pos.filter(F.col("i") - F.col("j") == 1).select("piece").distinct()
-    vocab2 = used1.select("piece", F.col("new_count").alias("cnt")).unionByName(
-        chars.join(used1, "piece", "left_anti").select(
-            "piece", F.lit(1).cast("long").alias("cnt")
-        )
-    )
-    used2 = _uni_viterbi_counts(w, pos, _uni_renorm(vocab2))
+    used2 = _uni_viterbi_counts(w, pos, _uni_renorm(_uni_vocab2(w, pos, min_count)))
     utot = used2.agg(F.sum("new_count").cast("double").alias("tot"))
     return used2.crossJoin(F.broadcast(utot)).select(
         "piece",
@@ -401,15 +408,7 @@ def unigram_tokenize(
 
     w = _uni_words(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     pos = _uni_pos(w, max_piece).persist(StorageLevel.MEMORY_AND_DISK)
-    occ = pos.groupBy("piece").agg(F.sum("wc").alias("cnt"))
-    vocab = occ.filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
-    used1 = _uni_viterbi_counts(w, pos, _uni_renorm(vocab))
-    chars = pos.filter(F.col("i") - F.col("j") == 1).select("piece").distinct()
-    vocab2 = used1.select("piece", F.col("new_count").alias("cnt")).unionByName(
-        chars.join(used1, "piece", "left_anti").select(
-            "piece", F.lit(1).cast("long").alias("cnt")
-        )
-    )
+    vocab2 = _uni_vocab2(w, pos, min_count)
     seg = _uni_viterbi_segment(w, pos, _uni_renorm(vocab2)).select("word", "pieces")
     toks = docs.select(
         F.col("doc_id"), F.posexplode(tokens(F.col(text_col))).alias("tp", "word")
@@ -435,5 +434,83 @@ def unigram_tokenize(
             F.md5(F.concat_ws(" ", F.coalesce("stream", F.array().cast("array<string>")))).alias(
                 "pieces_fp"
             ),
+        )
+    )
+
+
+def unigram_doc_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+    min_count: int = UNI_MIN_COUNT,
+) -> DataFrame:
+    """Per-document log-probability under the two-iteration EM unigram
+    model — the CCNet recipe (Wenzek et al. 2020) with the LM trained
+    IN-ENGINE instead of imported: documents are scored by the mean
+    per-piece log-prob of their Viterbi segmentation, the statistic
+    CCNet thresholds into head/middle/tail quality buckets. Complements
+    t12 (word-bigram LM score): this is the subword model an actual
+    tokenizer-training pipeline already has in hand, so quality scoring
+    costs one extra broadcast join, not a second corpus model.
+
+    Exactness discipline: per-piece log-probs are v3's integer
+    micro-units, so a word's score is an exact BIGINT sum and a doc's
+    (total_lp_micro, n_pieces) are exact BIGINT sums of those — the only
+    floating point is the final mean (one division on identical doubles)
+    and ppl = exp(-mean) computed on the ALREADY-ROUNDED mean (the t16
+    pattern: libm exp differences operate on identical inputs).
+
+    Scale shape: the DP stays per-DISTINCT-WORD; per-word scores
+    (np_w, lp_w) are one explode + broadcast-model join over the tiny
+    word table; the corpus side is one token explode + word-key join +
+    groupBy(doc) — v2's apply shape, no doc×doc, no corpus-sized
+    sort. Returns (doc_id, n_pieces, total_lp_micro, mean_lp, ppl).
+    """
+    from pyspark import StorageLevel
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    w = _uni_words(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = _uni_pos(w, max_piece).persist(StorageLevel.MEMORY_AND_DISK)
+    vlp2 = _uni_renorm(_uni_vocab2(w, pos, min_count)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    word_lp = (
+        _uni_viterbi_segment(w, pos, vlp2)
+        .select("word", F.explode("pieces").alias("piece"))
+        .join(F.broadcast(vlp2), "piece")
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("np_w"),
+            F.sum("lp").cast("long").alias("lp_w"),
+        )
+    )
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    per_doc = (
+        toks.join(word_lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np_w").cast("long").alias("n_pieces"),
+            F.sum("lp_w").cast("long").alias("total_lp_micro"),
+        )
+    )
+    np_ = F.coalesce(F.col("n_pieces"), F.lit(0).cast("long"))
+    tot = F.coalesce(F.col("total_lp_micro"), F.lit(0).cast("long"))
+    mean_lp = F.round(
+        F.when(np_ > 0, F.col("total_lp_micro") / F.lit(1e6) / F.col("n_pieces"))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            np_.alias("n_pieces"),
+            tot.alias("total_lp_micro"),
+            mean_lp.alias("mean_lp"),
+            F.round(F.exp(-mean_lp), 6).alias("ppl"),
         )
     )

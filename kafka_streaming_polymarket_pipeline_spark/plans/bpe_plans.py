@@ -362,3 +362,165 @@ def v4_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     word; the corpus side is one posexplode + a word->pieces join + a
     groupBy(doc) re-assembly, the v2 apply shape."""
     return B.unigram_tokenize(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "v5_unigram_doc_ppl",
+    oracle=f"""
+WITH RECURSIVE {_UNI_PRELUDE},
+{_uni_dp_ctes("1", "vlp")},
+vocab2 AS (
+  SELECT piece, new_count AS cnt FROM used1
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT piece FROM pos WHERE i - j = 1) c
+  WHERE c.piece NOT IN (SELECT piece FROM used1)
+),
+vtot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab2),
+vlp2 AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab2, vtot2
+),
+{_uni_dp_ctes("2", "vlp2")},
+wordlp AS (
+  SELECT wk.word,
+         CAST(count(*) AS BIGINT) AS np_w,
+         CAST(sum(v.lp) AS BIGINT) AS lp_w
+  FROM walk2 wk JOIN vlp2 v ON v.piece = wk.piece
+  WHERE wk.piece IS NOT NULL
+  GROUP BY wk.word
+),
+dtk AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+ds AS (
+  SELECT dtk.doc_id,
+         CAST(sum(wl.np_w) AS BIGINT) AS n_pieces,
+         CAST(sum(wl.lp_w) AS BIGINT) AS total_lp_micro
+  FROM dtk JOIN wordlp wl USING (word)
+  GROUP BY dtk.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(ds.n_pieces, 0) AS BIGINT) AS n_pieces,
+         CAST(coalesce(ds.total_lp_micro, 0) AS BIGINT) AS total_lp_micro,
+         round(CASE WHEN coalesce(ds.n_pieces, 0) = 0 THEN 0.0
+                    ELSE ds.total_lp_micro / 1e6 / ds.n_pieces END, 6) AS mean_lp
+  FROM documents d LEFT JOIN ds USING (doc_id)
+)
+SELECT doc_id, n_pieces, total_lp_micro, mean_lp,
+       round(exp(-mean_lp), 6) AS ppl
+FROM scored
+""",
+)
+def v5_unigram_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the EM-trained unigram LM — the
+    CCNet quality gate (Wenzek et al. 2020) run with the model the
+    pipeline just trained (v3b's round-2 probabilities) instead of an
+    imported KenLM: docs scored by mean per-piece log-prob of their
+    Viterbi segmentation, the statistic CCNet thresholds into
+    head/middle/tail. Closes the v-tier's train->score loop the way v4
+    closes train->tokenize and t20/t21 close train->eval. Per-piece
+    log-probs are exact integer micro-units so (total_lp_micro,
+    n_pieces) are exact BIGINT sums; ppl = exp(-mean) is computed on
+    the ALREADY-6dp-ROUNDED mean (t16's discipline: libm exp
+    differences operate on identical inputs). Scale: the DP never
+    touches the corpus; scoring is one token explode + word-key join +
+    groupBy(doc) — v2's apply shape."""
+    return B.unigram_doc_logprob(load(spark, sf_dir, "documents"))
+
+
+_P13 = repr(1 / 3)  # 0.3333333333333333 — round-trips to the same double
+_P23 = repr(2 / 3)  # in both engines, so the cutpoint inputs are identical
+
+
+@register(
+    "x11_ccnet_ppl_buckets",
+    oracle=f"""
+WITH RECURSIVE {_UNI_PRELUDE},
+{_uni_dp_ctes("1", "vlp")},
+vocab2 AS (
+  SELECT piece, new_count AS cnt FROM used1
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT piece FROM pos WHERE i - j = 1) c
+  WHERE c.piece NOT IN (SELECT piece FROM used1)
+),
+vtot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab2),
+vlp2 AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab2, vtot2
+),
+{_uni_dp_ctes("2", "vlp2")},
+wordlp AS (
+  SELECT wk.word,
+         CAST(count(*) AS BIGINT) AS np_w,
+         CAST(sum(v.lp) AS BIGINT) AS lp_w
+  FROM walk2 wk JOIN vlp2 v ON v.piece = wk.piece
+  WHERE wk.piece IS NOT NULL
+  GROUP BY wk.word
+),
+dtk AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+ds AS (
+  SELECT dtk.doc_id,
+         CAST(sum(wl.np_w) AS BIGINT) AS n_pieces,
+         CAST(sum(wl.lp_w) AS BIGINT) AS total_lp_micro
+  FROM dtk JOIN wordlp wl USING (word)
+  GROUP BY dtk.doc_id
+),
+sc AS (
+  SELECT d.doc_id, d.lang,
+         round(exp(-round(CASE WHEN coalesce(ds.n_pieces, 0) = 0 THEN 0.0
+                    ELSE ds.total_lp_micro / 1e6 / ds.n_pieces END, 6)), 6) AS ppl
+  FROM documents d LEFT JOIN ds USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(ppl, {_P13}), 6) AS c1,
+         round(quantile_cont(ppl, {_P23}), 6) AS c2
+  FROM sc GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.ppl,
+       CASE WHEN sc.ppl <= cuts.c1 THEN 'head'
+            WHEN sc.ppl <= cuts.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN cuts USING (lang)
+""",
+)
+def x11_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3),
+    end-to-end in-engine: per-language perplexity TERTILES under the
+    v3b-trained unigram LM bucket every document — head (lowest ppl)
+    is what CCNet feeds to LM pretraining. v5 scores; the cutpoints are
+    exact interpolated per-lang tertiles (a12's percentile form, both
+    engines fed the identical repr'd double 1/3) ROUNDED to 6dp before
+    comparison so both engines threshold on identical values; bucket
+    assignment is a broadcast join of the ≤n_langs cutpoint rows —
+    map-only, no corpus-wide window/sort anywhere. At 100 TB the exact
+    per-lang percentile aggregate swaps for percentile_approx or the
+    a34 sketch (CCNet itself computes cutoffs on a sample), leaving
+    the apply side untouched."""
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    sc = (
+        B.unigram_doc_logprob(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "ppl")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cuts = sc.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(ppl, {_P13})"), 6).alias("c1"),
+        F.round(F.expr(f"percentile(ppl, {_P23})"), 6).alias("c2"),
+    )
+    return sc.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

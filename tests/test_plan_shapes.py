@@ -70,6 +70,14 @@ ALLOWED_NESTED = {
                        "v3, once per EM round",
     "v4_unigram_tokenize": "embeds v3b's one-row broadcast normalizer "
                            "aggregates (the model it applies)",
+    "v5_unigram_doc_ppl": "embeds v3b's one-row broadcast normalizer "
+                          "aggregates (the model it scores under); the "
+                          "corpus path is a word-key equi-join + "
+                          "groupBy(doc)",
+    "x11_ccnet_ppl_buckets": "embeds v5 (v3b's one-row broadcast "
+                             "normalizers); cutpoint apply is a broadcast "
+                             "equi-join on lang against the <=n_langs "
+                             "tertile rows",
     "a31_psi_drift": "crossJoin against the broadcast ONE-ROW min/max "
                      "aggregate for the shared binning; both slices count "
                      "in one groupBy(bin) conditional-sum pass (r08: no "
@@ -89,6 +97,11 @@ ALLOWED_NESTED = {
                             "gradient step; everything else is equi-joins "
                             "on bucket/doc keys and the 64-row weight "
                             "spine",
+    "t21_quality_lr_eval": "embeds t20's one-row broadcast doc-count "
+                           "crossJoin (the gradient's 1/N scale) per "
+                           "training step; its own only global op is the "
+                           "rank window over the bounded held-out eval "
+                           "set",
     "c1_kmeans_assign": "Lloyd assignment passes crossJoin against the "
                         "broadcast k-row (k=8) centroid table",
     "x6_unimax_budget": "crossJoins against the broadcast one-row "

@@ -285,3 +285,108 @@ def test_hypothesis_estep_matches_reference(spark, corpus):
     counterexamples in the DP if the tie-break or window logic ever
     drifts."""
     assert _run(spark, corpus) == py_estep(corpus)
+
+
+# ---- v5: per-doc perplexity under the trained model ----------------------
+
+
+class TestDocLogprob:
+    def _score(self, spark, docs):
+        from kafka_streaming_polymarket_pipeline_spark.operators.bpe import unigram_doc_logprob
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        return {r["doc_id"]: r.asDict() for r in unigram_doc_logprob(df).collect()}
+
+    def test_piece_counts_agree_with_v4(self, spark):
+        """v5 scores the SAME segmentation v4 materializes: per-doc
+        n_pieces must match exactly."""
+        from kafka_streaming_polymarket_pipeline_spark.operators.bpe import (
+            unigram_doc_logprob,
+            unigram_tokenize,
+        )
+
+        rng = random.Random(7)
+        words = ["market", "maker", "marketmaker", "order", "book", "orderbook"]
+        docs = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        v4 = {r["doc_id"]: r["n_pieces"] for r in unigram_tokenize(df).collect()}
+        v5 = {r["doc_id"]: r["n_pieces"] for r in unigram_doc_logprob(df).collect()}
+        assert v4 == v5
+
+    def test_empty_doc_scores_zero(self, spark):
+        out = self._score(spark, ["market maker", ""])
+        assert out[1]["n_pieces"] == 0
+        assert out[1]["total_lp_micro"] == 0
+        assert out[1]["mean_lp"] == 0.0
+        assert out[1]["ppl"] == 1.0  # exp(-0)
+
+    def test_mean_and_ppl_consistent(self, spark):
+        out = self._score(spark, ["market maker market", "order book order"])
+        for r in out.values():
+            assert r["n_pieces"] > 0
+            expect_mean = round(r["total_lp_micro"] / 1e6 / r["n_pieces"], 6)
+            assert r["mean_lp"] == expect_mean
+            assert r["ppl"] == round(math.exp(-r["mean_lp"]), 6)
+            assert r["mean_lp"] < 0  # log-probs are negative
+            assert r["ppl"] > 1.0
+
+    def test_in_distribution_beats_junk(self, spark):
+        """The CCNet premise: text made of the corpus's frequent words
+        scores lower perplexity than character junk."""
+        common = "market maker order book trade price " * 5
+        junk = "zqxjkv wvyqzx qzkjxw xkvjqz"
+        out = self._score(spark, [common.strip(), junk, common.strip() + " extra"])
+        assert out[0]["ppl"] < out[1]["ppl"]
+
+
+class TestCcnetBuckets:
+    def test_buckets_match_python_tertiles(self, spark, tmp_path):
+        """x11's bucket assignment reproduces a numpy-derived reference:
+        per-lang linear-interpolated tertile cutpoints over v5's ppl,
+        6dp-rounded, head <= c1 < middle <= c2 < tail."""
+        import numpy as np
+
+        from kafka_streaming_polymarket_pipeline_spark.plans.bpe_plans import (
+            x11_ccnet_ppl_buckets,
+        )
+
+        rng = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "market", "maker"]
+        rows = []
+        for i in range(60):
+            lang = "en" if i % 2 == 0 else "de"
+            n = rng.randint(2, 10)
+            text = " ".join(rng.choice(words) for _ in range(n))
+            if i % 7 == 0:  # some junk docs so ppl spreads
+                text += " zzqqxxjj" * (i % 3 + 1)
+            rows.append((i, text, lang, "s", len(text)))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf_dir = str(tmp_path)
+        df.write.parquet(f"{sf_dir}/documents.parquet")
+        out = {r["doc_id"]: r for r in x11_ccnet_ppl_buckets(spark, sf_dir).collect()}
+        assert len(out) == 60
+        by_lang: dict = {}
+        for r in out.values():
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rs in by_lang.items():
+            ppls = np.array(sorted(x["ppl"] for x in rs))
+            c1 = round(float(np.percentile(ppls, 100 / 3, method="linear")), 6)
+            c2 = round(float(np.percentile(ppls, 200 / 3, method="linear")), 6)
+            for x in rs:
+                want = (
+                    "head" if x["ppl"] <= c1 else "middle" if x["ppl"] <= c2 else "tail"
+                )
+                assert x["bucket"] == want, (lang, x["doc_id"], x["ppl"], c1, c2)
+            # every bucket populated and ordered: max(head) <= min(tail)
+            got = {x["bucket"] for x in rs}
+            assert got == {"head", "middle", "tail"}
+            assert max(x["ppl"] for x in rs if x["bucket"] == "head") <= min(
+                x["ppl"] for x in rs if x["bucket"] == "tail"
+            )

@@ -468,17 +468,28 @@ def unigram_doc_logprob(
     """
     from pyspark import StorageLevel
 
-    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
-
     w = _uni_words(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     pos = _uni_pos(w, max_piece).persist(StorageLevel.MEMORY_AND_DISK)
     vlp2 = _uni_renorm(_uni_vocab2(w, pos, min_count)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return _uni_score_docs(docs, w, pos, vlp2, text_col)
+
+
+def _uni_score_docs(
+    docs: DataFrame, w: DataFrame, pos: DataFrame, vlp: DataFrame, text_col: str
+) -> DataFrame:
+    """Score every document under a (piece, lp) model given prebuilt
+    word/position frames: Viterbi-segment the distinct words, sum exact
+    integer per-piece log-probs per word, then per doc — the shared tail
+    of v5 (model from the corpus itself) and the frozen-model streaming
+    scorer. Returns (doc_id, n_pieces, total_lp_micro, mean_lp, ppl)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
     word_lp = (
-        _uni_viterbi_segment(w, pos, vlp2)
+        _uni_viterbi_segment(w, pos, vlp)
         .select("word", F.explode("pieces").alias("piece"))
-        .join(F.broadcast(vlp2), "piece")
+        .join(F.broadcast(vlp), "piece")
         .groupBy("word")
         .agg(
             F.count("*").cast("long").alias("np_w"),
@@ -514,3 +525,62 @@ def unigram_doc_logprob(
             F.round(F.exp(-mean_lp), 6).alias("ppl"),
         )
     )
+
+
+def unigram_lm_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+    min_count: int = UNI_MIN_COUNT,
+) -> DataFrame:
+    """FIT the two-iteration EM unigram model and return it as a frozen
+    (piece, lp) table — the artifact a standing scorer ships to
+    production (the dsir_model/reference_histogram pattern: fit once on
+    an exemplar corpus, freeze, apply per batch). lp is v3's integer
+    micro-units; the table is tokenizer-vocab-sized (bounded by the
+    seed-vocab min-count rule), hence broadcastable."""
+    from pyspark import StorageLevel
+
+    w = _uni_words(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = _uni_pos(w, max_piece).persist(StorageLevel.MEMORY_AND_DISK)
+    return _uni_renorm(_uni_vocab2(w, pos, min_count))
+
+
+def unigram_score_with_model(
+    docs: DataFrame,
+    vlp: DataFrame,
+    unk_lp_micro: int | None = None,
+    text_col: str = "text",
+    max_piece: int = UNI_MAX_PIECE,
+) -> DataFrame:
+    """Score documents under a FROZEN (piece, lp) unigram model — the
+    apply half that makes the trained LM a standing quality gate: new
+    text is Viterbi-segmented under the shipped probabilities, never
+    refit (CCNet's deployment shape: the KenLM is trained once on
+    Wikipedia and applied to every crawl snapshot).
+
+    New text can contain characters the frozen model never saw, which
+    would make a word unsegmentable (training guarantees char coverage
+    only over its own corpus); those chars enter the model at
+    ``unk_lp_micro`` — the SentencePiece UNK-penalty move. Default:
+    (min model lp) - 1e6 micro, one bounded 1-row aggregate at call
+    time, so an OOV char always scores strictly worse than every real
+    piece and identical inputs give identical floors.
+
+    Scale shape: the per-batch DP is per-DISTINCT-WORD of the batch;
+    the model join is broadcast; scoring is v5's explode + word-key
+    join + groupBy(doc). Returns v5's schema."""
+    if unk_lp_micro is None:
+        row = vlp.agg(F.min("lp").alias("m")).collect()[0]
+        if row["m"] is None:
+            raise ValueError("unigram_score_with_model needs a non-empty model")
+        unk_lp_micro = int(row["m"]) - 1_000_000
+    w = _uni_words(docs, text_col)
+    pos = _uni_pos(w, max_piece)
+    chars = pos.filter(F.col("i") - F.col("j") == 1).select("piece").distinct()
+    vfull = vlp.unionByName(
+        chars.join(vlp, "piece", "left_anti").select(
+            "piece", F.lit(unk_lp_micro).cast("long").alias("lp")
+        )
+    ).localCheckpoint(eager=False)
+    return _uni_score_docs(docs, w, pos, vfull, text_col)

@@ -61,6 +61,7 @@ def corpus_ingest_sink(
     monitor_col: str = "quality_logit",
     monitor_bins: int = 10,
     dsir_lambda: DataFrame | None = None,
+    lm_model: DataFrame | None = None,
 ):
     """Standing job: per micro-batch, quality-gate the docs, quarantine
     rejects, then run the admitted docs through the incremental dedup
@@ -89,7 +90,19 @@ def corpus_ingest_sink(
     downstream mixture/selection job can Gumbel-top-k over the landed
     corpus without re-featurizing it. Scored AFTER the gate — rejects
     never cost a gram explode — via one broadcast join of the model
-    table per batch (``sampling.dsir_score``)."""
+    table per batch (``sampling.dsir_score``).
+
+    Pass ``lm_model`` (a frozen ``bpe.unigram_lm_model`` (piece, lp)
+    table — CCNet's deployment shape: the LM is trained once on an
+    exemplar corpus and applied to every snapshot) to ALSO attach each
+    admitted document's perplexity under the trained unigram LM:
+    ``admitted/batch=<id>`` gains ``lm_n_pieces`` / ``lm_total_lp_micro``
+    (exact BIGINTs, the x9 integer contract) and the derived ``lm_ppl``.
+    The model is materialized ONCE at job build (localCheckpoint — its
+    lineage never re-runs per batch) with the OOV-char floor pinned
+    there too, so every batch scores under literally the same table;
+    per batch the scorer costs one per-DISTINCT-WORD Viterbi fold + a
+    broadcast model join over admitted docs only."""
     from kafka_streaming_polymarket_pipeline_spark.sources.sinks import (
         foreach_batch_sink,
     )
@@ -132,6 +145,20 @@ def corpus_ingest_sink(
                 "modulus and silently mis-score every document"
             )
 
+    lm_frozen = None
+    lm_unk = None
+    if lm_model is not None:
+        # materialize once at job build: the closure must reuse the same
+        # rows every batch, not re-run the fit lineage per micro-batch
+        lm_frozen = lm_model.localCheckpoint(eager=True)
+        row = lm_frozen.agg(F.min("lp").alias("m")).collect()[0]
+        if row["m"] is None:
+            raise ValueError(
+                "lm_model must be a non-empty (piece, lp) unigram model "
+                "table (bpe.unigram_lm_model output)"
+            )
+        lm_unk = int(row["m"]) - 1_000_000
+
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
         feats = quality_features_frame(batch, entropy_min).localCheckpoint(eager=True)
@@ -159,6 +186,20 @@ def corpus_ingest_sink(
             landed = admitted.join(
                 dsir_score(admitted, lam, n_buckets=len(lam_rows)), "doc_id"
             )
+        if lm_frozen is not None:
+            from kafka_streaming_polymarket_pipeline_spark.operators.bpe import (
+                unigram_score_with_model,
+            )
+
+            lm_scores = unigram_score_with_model(
+                admitted, lm_frozen, unk_lp_micro=lm_unk
+            ).select(
+                "doc_id",
+                F.col("n_pieces").alias("lm_n_pieces"),
+                F.col("total_lp_micro").alias("lm_total_lp_micro"),
+                F.col("ppl").alias("lm_ppl"),
+            )
+            landed = landed.join(lm_scores, "doc_id")
         landed.write.mode("overwrite").parquet(
             os.path.join(out_path, "admitted", f"batch={batch_id}")
         )

@@ -274,3 +274,99 @@ def test_ingest_rejects_partial_or_empty_dsir_model(spark, tmp_path):
                 stream, str(tmp_path / "o"), str(tmp_path / "c"),
                 dsir_lambda=lam,
             )
+
+
+def test_ingest_stream_attaches_frozen_lm_ppl(spark, tmp_path):
+    """With a frozen unigram-LM model, every admitted doc lands with
+    lm_ppl/lm_total_lp_micro equal to the BATCH unigram_score_with_model
+    of the same docs under the same frozen table (stream == batch for
+    the scoring leg); quarantined docs are never scored; and a doc made
+    of the exemplar corpus's vocabulary out-scores (lower ppl than) one
+    full of characters the model never saw."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.bpe import (
+        unigram_lm_model,
+        unigram_score_with_model,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    a = spark.createDataFrame(BATCH_A, SCHEMA)
+    b = spark.createDataFrame(BATCH_B, SCHEMA)
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    # model frozen from a separate exemplar corpus (the CCNet shape) —
+    # doc 5's words ("window", "functions") are partly unseen while its
+    # characters are covered: the scorer must handle both regimes.
+    ref = spark.createDataFrame(
+        [(100, "en", "s0", BASE), (101, "en", "s0", BASE + " window scan")],
+        SCHEMA,
+    )
+    lm = unigram_lm_model(ref)
+    assert lm.count() > 0
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path / "out")
+    q = IS.corpus_ingest_sink(stream, out, str(tmp_path / "ck"), lm_model=lm)
+    q.awaitTermination(180)
+    q.stop()
+
+    landed = spark.read.parquet(os.path.join(out, "admitted"))
+    got = {
+        r["doc_id"]: (r["lm_n_pieces"], r["lm_total_lp_micro"], r["lm_ppl"])
+        for r in landed.collect()
+    }
+
+    full = a.unionByName(b)
+    kept_b, rej_b = quality_split(full)
+    admitted_batch = full.join(kept_b.select("doc_id"), "doc_id")
+    lm_frozen = lm.localCheckpoint(eager=True)
+    want = {
+        r["doc_id"]: (r["n_pieces"], r["total_lp_micro"], r["ppl"])
+        for r in unigram_score_with_model(admitted_batch, lm_frozen).collect()
+    }
+    assert got == want and len(got) > 0
+    rej_ids = {r["doc_id"] for r in rej_b.select("doc_id").collect()}
+    assert rej_ids and not (rej_ids & set(got))
+
+    # OOV direction: in-vocabulary text beats never-seen characters
+    probe = spark.createDataFrame(
+        [(200, "en", "s", BASE), (201, "en", "s", "zzz qqq xxx 0451 #!?")],
+        SCHEMA,
+    )
+    pr = {
+        r["doc_id"]: r["ppl"]
+        for r in unigram_score_with_model(probe, lm_frozen).collect()
+    }
+    assert pr[200] < pr[201]
+
+
+def test_score_with_model_matches_v5_on_training_corpus(spark):
+    """Fit-then-score on the SAME corpus must equal v5's one-shot
+    unigram_doc_logprob (the OOV extension adds nothing when every char
+    was seen in training) — the frozen-model path is the same math."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.bpe import (
+        unigram_doc_logprob,
+        unigram_lm_model,
+        unigram_score_with_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "s", "market maker moves the order book"),
+            (1, "en", "s", "order book depth beats the market maker"),
+            (2, "en", "s", ""),
+        ],
+        SCHEMA[:0] or "doc_id long, lang string, source string, text string",
+    )
+    v5 = {tuple(r) for r in unigram_doc_logprob(docs).collect()}
+    frozen = {
+        tuple(r)
+        for r in unigram_score_with_model(docs, unigram_lm_model(docs)).collect()
+    }
+    assert v5 == frozen

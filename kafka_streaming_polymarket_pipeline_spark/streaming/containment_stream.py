@@ -42,6 +42,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streaming_polymarket_pipeline_spark.streaming import fsio
+
 INV, SIZES = "inv", "sizes"
 
 
@@ -65,9 +67,7 @@ def _read_table(
     rows its first attempt already landed under batch=N, or every
     batch-N token would count twice in the overlap (containment 2.0
     rows) and the bwd leg would re-emit reversed duplicates."""
-    if os.path.isdir(path) and any(
-        d.startswith("batch=") for d in os.listdir(path)
-    ):
+    if any(d.startswith("batch=") for d in fsio.listdir(path)):
         df = spark.read.option("basePath", path).parquet(
             os.path.join(path, "batch=*")
         )
@@ -187,7 +187,7 @@ def compact_index(spark, index_path: str) -> dict:
     stats: dict = {}
     for name in (INV, SIZES):
         table = os.path.join(index_path, name)
-        if not os.path.isdir(table):
+        if not fsio.is_dir(table):
             continue
         out = _compact_table(
             spark,
@@ -207,7 +207,8 @@ def needs_compaction(index_path: str, max_files_per_table: int = 32) -> dict:
     metric is each table's TOTAL parquet file count, growing by one
     file per batch forever. The default 32 ≈ half a day of hourly
     batches, the cadence the dedup soak measured as keeping open/footer
-    overhead a rounding error. Pure local-FS metadata walk; the
+    overhead a rounding error. One recursive listing per table via
+    ``streaming.fsio`` (works on object-store indexes too); the
     operator checks between stopped-job windows exactly as for the
     dedup index::
 
@@ -217,10 +218,10 @@ def needs_compaction(index_path: str, max_files_per_table: int = 32) -> dict:
     tables: dict[str, int] = {}
     for name in (INV, SIZES):
         table = os.path.join(index_path, name)
-        if not os.path.isdir(table):
+        if not fsio.is_dir(table):
             continue
         tables[name] = sum(
-            1 for _, _, fs in os.walk(table) for f in fs if f.endswith(".parquet")
+            1 for f, _ in fsio.list_files_recursive(table) if f.endswith(".parquet")
         )
     worst = max(tables.values(), default=0)
     return {

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
+from kafka_streaming_polymarket_pipeline_spark.streaming import fsio
 
 SIGS, BUCKETS, HASHED = "sigs", "buckets", "hashed"
 
@@ -77,7 +78,7 @@ def _has_batch_dirs(index_path: str) -> bool:
     whatever the CREATING process used, not this module's constant."""
     for name in (SIGS, HASHED, BUCKETS):
         p = os.path.join(index_path, name)
-        if os.path.isdir(p) and any(d.startswith("batch=") for d in os.listdir(p)):
+        if any(d.startswith("batch=") for d in fsio.listdir(p)):
             return True
     return False
 
@@ -99,17 +100,17 @@ def _ensure_meta(index_path: str) -> int | None:
     silent-drop failure the file exists to prevent.  Such an index is
     pinned as legacy (``n_doc_buckets: null``): probes read unpruned
     forever (correct, just slower) and a warning tells the operator to
-    rebuild for pruned probes.  (Local-FS metadata I/O, like the rest of
-    this module's directory probing; an object-store deployment swaps
-    these few calls for its client.)"""
+    rebuild for pruned probes.  (Metadata I/O goes through
+    ``streaming.fsio`` — Hadoop FileSystem resolved from the path — so
+    the index can live on any Spark-reachable filesystem, local or
+    object store.)"""
     import json
 
     path = os.path.join(index_path, _META)
-    if os.path.exists(path):
-        with open(path) as f:
-            v = json.load(f)["n_doc_buckets"]
-            return int(v) if v is not None else None
-    os.makedirs(index_path, exist_ok=True)
+    if fsio.exists(path):
+        v = json.loads(fsio.read_text(path))["n_doc_buckets"]
+        return int(v) if v is not None else None
+    fsio.mkdirs(index_path)
     pinned: int | None = N_DOC_BUCKETS
     if _has_batch_dirs(index_path):
         pinned = None
@@ -120,8 +121,7 @@ def _ensure_meta(index_path: str) -> int | None:
             "rebuild the index to enable partition-pruned probes.",
             stacklevel=2,
         )
-    with open(path, "w") as f:
-        json.dump({"n_doc_buckets": pinned}, f)
+    fsio.write_text(path, json.dumps({"n_doc_buckets": pinned}))
     return pinned
 
 
@@ -132,10 +132,9 @@ def _bucket_count(index_path: str) -> int | None:
     import json
 
     path = os.path.join(index_path, _META)
-    if os.path.exists(path):
-        with open(path) as f:
-            v = json.load(f)["n_doc_buckets"]
-            return int(v) if v is not None else None
+    if fsio.exists(path):
+        v = json.loads(fsio.read_text(path))["n_doc_buckets"]
+        return int(v) if v is not None else None
     if _has_batch_dirs(index_path):
         return None  # legacy: modulus unknowable, never prune
     return N_DOC_BUCKETS
@@ -149,12 +148,12 @@ def _table_is_flat(table_path: str) -> bool:
     into a flat table would make every subsequent read of the table
     raise, which is worse than the unpruned-but-working reads the legacy
     fallback promises."""
-    if not os.path.isdir(table_path):
+    if not fsio.is_dir(table_path):
         return False
-    for d in os.listdir(table_path):
+    for d in fsio.listdir(table_path):
         if d.startswith("batch="):
             sub = os.path.join(table_path, d)
-            return not any(x.startswith(_KB + "=") for x in os.listdir(sub))
+            return not any(x.startswith(_KB + "=") for x in fsio.listdir(sub))
     return False
 
 
@@ -218,7 +217,7 @@ def _read_index(
     table pass ``touched_buckets`` (a bounded <= N_DOC_BUCKETS int
     list) to partition-prune the read to those ``__kbucket=`` dirs."""
     p = os.path.join(index_path, name)
-    if not os.path.exists(p) or not any(d.startswith("batch=") for d in os.listdir(p)):
+    if not any(d.startswith("batch=") for d in fsio.listdir(p)):
         return None
     df = spark.read.option("basePath", p).parquet(os.path.join(p, "batch=*"))
     if touched_buckets is not None:
@@ -423,7 +422,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
 
     for name in (SIGS, HASHED, BUCKETS):
         table = os.path.join(index_path, name)
-        if not os.path.isdir(table):
+        if not fsio.is_dir(table):
             continue
 
         def _writer(df, tmp: str, _table: str = table, _name: str = name) -> None:
@@ -444,17 +443,14 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
 
 
 def _parquet_files(p: str) -> int:
-    return sum(1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet"))
+    return sum(1 for f, _ in fsio.list_files_recursive(p) if f.endswith(".parquet"))
 
 
 def _write_flat_sized(df, table: str, tmp: str) -> None:
     # size the flat output by bytes (~128 MB/file): always reduces
     # file count at small scale, never produces monster files at large
     table_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(table)
-        for f in fs
-        if f.endswith(".parquet")
+        sz for f, sz in fsio.list_files_recursive(table) if f.endswith(".parquet")
     )
     n_out = max(1, -(-table_bytes // (128 << 20)))  # ceil div
     df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
@@ -468,29 +464,28 @@ def _compact_table(spark: SparkSession, table: str, write_tmp) -> dict | None:
     rename. Returns the stats dict, or None when there is nothing to
     do (0 or 1 batch dirs and no staging)."""
     import re
-    import shutil
 
     tmp = os.path.join(table, ".compact_tmp")
     batches = sorted(
-        (d for d in os.listdir(table) if re.fullmatch(r"batch=\d+", d)),
+        (d for d in fsio.listdir(table) if re.fullmatch(r"batch=\d+", d)),
         key=lambda d: int(d.split("=")[1]),
     )
-    if os.path.isdir(tmp):
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+    if fsio.is_dir(tmp):
+        if fsio.exists(os.path.join(tmp, "_SUCCESS")):
             # Staging is complete: finish the interrupted run. Any
             # surviving batch dirs are step-2 leftovers already merged
             # into staging — deleting them loses nothing; treating the
             # staging as "incomplete" here WOULD lose the already-
             # deleted originals' rows.
             for d in batches:
-                shutil.rmtree(os.path.join(table, d))
-            os.rename(tmp, os.path.join(table, "batch=0"))
+                fsio.delete(os.path.join(table, d))
+            fsio.rename(tmp, os.path.join(table, "batch=0"))
             return {
                 "files_before": None,
                 "files_after": _parquet_files(table),
                 "recovered": True,
             }
-        shutil.rmtree(tmp)  # crashed in step 1: originals intact, redo
+        fsio.delete(tmp)  # crashed in step 1: originals intact, redo
     if len(batches) <= 1:
         return None
     files_before = _parquet_files(table)
@@ -502,8 +497,8 @@ def _compact_table(spark: SparkSession, table: str, write_tmp) -> dict | None:
     ).drop("batch")
     write_tmp(df, tmp)
     for d in batches:
-        shutil.rmtree(os.path.join(table, d))
-    os.rename(tmp, os.path.join(table, "batch=0"))
+        fsio.delete(os.path.join(table, d))
+    fsio.rename(tmp, os.path.join(table, "batch=0"))
     return {
         "files_before": files_before,
         "files_after": _parquet_files(table),
@@ -536,27 +531,27 @@ def needs_compaction(index_path: str, max_files_per_bucket: int = 32) -> dict:
         if needs_compaction(idx)["needed"]:
             compact_index(spark, idx)   # job STOPPED, checkpoint committed
 
-    Pure local-FS metadata walk (no Spark session) — same I/O class as
-    the rest of this module's directory probing."""
+    One recursive file listing per table via ``streaming.fsio`` (Hadoop
+    FileSystem, so the arithmetic works on object-store indexes too) —
+    same I/O class as the rest of this module's directory probing."""
     from collections import Counter
 
     tables: dict[str, int] = {}
     for name in (SIGS, HASHED, BUCKETS):
         table = os.path.join(index_path, name)
-        if not os.path.isdir(table):
+        if not fsio.is_dir(table):
             continue
         per_bucket: Counter = Counter()
         total = 0
-        for root, _dirs, files in os.walk(table):
-            n = sum(1 for f in files if f.endswith(".parquet"))
-            if not n:
+        for fpath, _sz in fsio.list_files_recursive(table):
+            if not fpath.endswith(".parquet"):
                 continue
-            total += n
+            total += 1
             kb = next(
-                (p for p in root.split(os.sep) if p.startswith(_KB + "=")), None
+                (p for p in fpath.split("/") if p.startswith(_KB + "=")), None
             )
             if kb is not None:
-                per_bucket[kb] += n
+                per_bucket[kb] += 1
         tables[name] = max(per_bucket.values()) if per_bucket else total
     worst = max(tables.values(), default=0)
     return {

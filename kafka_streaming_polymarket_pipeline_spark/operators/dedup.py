@@ -1304,6 +1304,16 @@ def paragraph_dedup(
         (F.col("doc_id") == F.col("_k")["doc_id"])
         & (F.col("chunk_idx") == F.col("_k")["chunk_idx"])
     )
+    return _rebuild_kept_windows(df, id_col, paras, kept)
+
+
+def _rebuild_kept_windows(
+    df: DataFrame, id_col: str, paras: DataFrame, kept: DataFrame
+) -> DataFrame:
+    """Reading-order reassembly + removal accounting shared by the exact
+    (d17) and fuzzy (d18) paragraph-dedup forms: ``paras`` is every
+    window (doc_id, chunk_idx, _pt), ``kept`` its surviving subset.
+    One row per INPUT doc so untouched docs hash too."""
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.expr(
@@ -1328,3 +1338,63 @@ def paragraph_dedup(
             .alias("n_removed"),
         )
     )
+
+
+# windows per doc headroom for the fuzzy-grain window id encoding: a doc
+# would need > 2^20 windows (32M+ tokens) before (doc_id, chunk_idx)
+# stopped packing injectively — far beyond any document.
+PARA_WID_MULT = 1 << 20
+
+
+def paragraph_neardup_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    threshold: float = 0.5,
+    n: int = 5,
+) -> DataFrame:
+    """FUZZY paragraph-grain dedup — d17's sub-document pass with d3's
+    near-dup relation instead of exact equality (the Dolma/RefinedWeb
+    combination: fuzzy matching at sub-document granularity, so lightly
+    edited boilerplate paragraphs — dates bumped, names swapped — dedup
+    where the exact pass misses): split into non-overlapping
+    ``size``-token windows, find EXACT-verified Jaccard >= threshold
+    window pairs via the d3 MinHash funnel (windows become docs under a
+    packed id wid = doc_id * 2^20 + idx, injective and reading-ordered),
+    close the pair relation into clusters with large-star/small-star CC,
+    keep each cluster's minimum-wid window (= globally first occurrence
+    in reading order, d17's rule lifted to the fuzzy closure; singletons
+    keep themselves), and reassemble survivors per doc.
+
+    Windows shorter than the shingle width n have no shingles, never
+    pair, and always survive — the relation is near-duplicate AT SHINGLE
+    GRAIN, exactly d3's contract.
+
+    Scale: the funnel is d3's (banded candidate generation, never
+    window x window); CC is O(log^2) star rounds over the pair graph;
+    reassembly is d17's per-doc groupBy. Output d17's schema:
+    (doc_id, text_clean, n_paras, n_removed)."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import passage_chunks
+
+    paras = passage_chunks(
+        df, size=size, stride=size, id_col=id_col, text_col=text_col
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_text").alias("_pt"),
+        (F.col("doc_id") * F.lit(PARA_WID_MULT) + F.col("chunk_idx"))
+        .cast("long")
+        .alias("wid"),
+    )
+    wdocs = paras.select(F.col("wid").alias("doc_id"), F.col("_pt").alias("text"))
+    pairs = minhash_lsh_dedup(wdocs, threshold=threshold, n=n)
+    labels = neardup_clusters_star(wdocs, pairs).select(
+        F.col("doc_id").alias("wid"), "cluster_id"
+    )
+    kept = (
+        paras.join(labels, "wid")
+        .filter(F.col("wid") == F.col("cluster_id"))
+        .select("doc_id", "chunk_idx", "_pt")
+    )
+    return _rebuild_kept_windows(df, id_col, paras, kept)

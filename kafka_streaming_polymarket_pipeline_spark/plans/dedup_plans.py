@@ -595,3 +595,85 @@ def d17_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark uses a groupBy min-struct + join back (map-side combined —
     no global window at corpus scale)."""
     return D.paragraph_dedup(load(spark, sf_dir, "documents"), size=32)
+
+
+@register(
+    "d18_paragraph_neardup",
+    oracle="""
+WITH RECURSIVE tkz AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+nn AS (SELECT doc_id, ts, len(ts) AS L FROM tkz),
+p AS (
+  SELECT doc_id, CAST(ci AS INT) AS pidx,
+         array_to_string(ts[CAST(ci * 32 + 1 AS BIGINT) : CAST(ci * 32 + 32 AS BIGINT)], ' ') AS ptext
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, greatest(CAST(floor((L - 32 + 31) / 32) AS BIGINT), 0) + 1)) AS ci
+        FROM nn WHERE L > 0)
+),
+w AS (
+  SELECT doc_id, pidx, ptext,
+         CAST(doc_id * 1048576 + pidx AS BIGINT) AS wid
+  FROM p
+),
+sh AS (
+  SELECT DISTINCT wid, s FROM (
+    SELECT wid,
+           unnest(list_transform(range(1, greatest(len(ptext) - 3, 1)),
+                                 i -> substr(ptext, CAST(i AS INT), 5))) AS s
+    FROM w)
+),
+sz AS (SELECT wid, count(*) AS n FROM sh GROUP BY wid),
+inter AS (
+  SELECT a.wid AS wa, b.wid AS wb, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.wid < b.wid
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT wa, wb
+  FROM inter
+  JOIN sz sa ON wa = sa.wid
+  JOIN sz sb ON wb = sb.wid
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+),
+edges AS (
+  SELECT wa AS src, wb AS dst FROM prs
+  UNION ALL
+  SELECT wb, wa FROM prs
+),
+reach(node, lab) AS (
+  SELECT wid, wid FROM w
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+),
+labs AS (SELECT node AS wid, min(lab) AS cl FROM reach GROUP BY node),
+kept AS (
+  SELECT w.doc_id, w.pidx, w.ptext
+  FROM w JOIN labs USING (wid) WHERE w.wid = labs.cl
+),
+reb AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS text_clean,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS np FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.text_clean, '') AS text_clean,
+       CAST(coalesce(tot.np, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(tot.np, 0) - coalesce(reb.nk, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+""",
+)
+def d18_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY paragraph-grain dedup — the Dolma/RefinedWeb combination
+    d17 exactifies: near-duplicate (exact-verified Jaccard >= 0.5, d3's
+    funnel) matching between 32-token windows corpus-wide, the pair
+    relation closed into clusters by large-star/small-star CC, each
+    cluster keeping only its reading-order-first window, survivors
+    reassembled per doc. Lightly edited boilerplate paragraphs dedup
+    where d17's exact equality misses. Four subsystems under ONE hash
+    gate (splitter -> LSH funnel -> star CC -> reassembly); the oracle
+    re-derives exact window Jaccard from character 5-gram shingles and
+    the closure with a recursive CTE, d6's pattern at window grain."""
+    return D.paragraph_neardup_dedup(load(spark, sf_dir, "documents"), size=32)

@@ -112,3 +112,65 @@ def test_hypothesis_matches_python_reference(spark, seed):
             np_,
             nr,
         ), (did, docs)
+
+
+# ---- d18: FUZZY paragraph-grain dedup -------------------------------------
+
+
+def _run_fuzzy(spark, docs, size=32):
+    from kafka_streaming_polymarket_pipeline_spark.operators.dedup import (
+        paragraph_neardup_dedup,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r.doc_id: r for r in paragraph_neardup_dedup(df, size=size).collect()}
+
+
+class TestParagraphNearDup:
+    def test_edited_shared_paragraph_removed(self, spark):
+        """The capability d17 lacks: a LIGHTLY EDITED copy of a shared
+        paragraph (one token swapped out of 32 -> Jaccard ~0.87 over char
+        5-grams) is removed from the later doc, while the exact pass
+        keeps both."""
+        shared = _para("boiler")
+        edited = shared.replace("boiler7", "changed")
+        docs = [
+            (0, shared + " " + _para("alpha")),
+            (1, edited + " " + _para("beta")),
+        ]
+        out = _run_fuzzy(spark, docs)
+        assert out[0].text_clean == docs[0][1]  # canonical doc untouched
+        assert out[1].text_clean == _para("beta")
+        assert out[1].n_removed == 1 and out[0].n_removed == 0
+        # contrast: exact d17 removes nothing here
+        exact = _run(spark, docs)
+        assert exact[1].n_removed == 0
+
+    def test_exact_duplicates_still_dedup(self, spark):
+        """The fuzzy relation contains equality: d17's headline case
+        holds under d18 too (first occurrence wins)."""
+        shared = _para("x")
+        docs = [(0, shared + " " + _para("a")), (1, _para("b") + " " + shared)]
+        out = _run_fuzzy(spark, docs)
+        assert out[0].n_removed == 0
+        assert out[1].n_removed == 1
+        assert out[1].text_clean == _para("b")
+
+    def test_transitive_closure_keeps_one(self, spark):
+        """A near-dup CHAIN (A~B, B~C, A!~C directly) collapses to the
+        first occurrence: non-transitive pairs, transitive closure."""
+        base = _para("t")
+        e1 = base.replace("t3", "q3").replace("t9", "q9")
+        e2 = e1.replace("t15", "q15").replace("t21", "q21")
+        docs = [(0, base), (1, e1), (2, e2)]
+        out = _run_fuzzy(spark, docs)
+        assert out[0].n_removed == 0 and out[0].text_clean == base
+        assert out[1].n_removed == 1 and out[1].text_clean == ""
+        assert out[2].n_removed == 1 and out[2].text_clean == ""
+
+    def test_unrelated_docs_untouched(self, spark):
+        docs = [(0, _para("aa") + " " + _para("bb")), (1, _para("cc"))]
+        out = _run_fuzzy(spark, docs)
+        assert out[0].n_removed == 0 and out[1].n_removed == 0
+        assert out[0].text_clean == docs[0][1]
+        assert out[0].n_paras == 2 and out[1].n_paras == 1

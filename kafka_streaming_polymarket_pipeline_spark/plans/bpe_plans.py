@@ -524,3 +524,99 @@ def x11_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@register(
+    "e2e_corpus_build_v",
+    oracle=f"""
+WITH RECURSIVE {_UNI_PRELUDE},
+{_uni_dp_ctes("1", "vlp")},
+vocab2 AS (
+  SELECT piece, new_count AS cnt FROM used1
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT piece FROM pos WHERE i - j = 1) c
+  WHERE c.piece NOT IN (SELECT piece FROM used1)
+),
+vtot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab2),
+vlp2 AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab2, vtot2
+),
+{_uni_dp_ctes("2", "vlp2")},
+wordlp AS (
+  SELECT wk.word,
+         CAST(count(*) AS BIGINT) AS np_w,
+         CAST(sum(v.lp) AS BIGINT) AS lp_w
+  FROM walk2 wk JOIN vlp2 v ON v.piece = wk.piece
+  WHERE wk.piece IS NOT NULL
+  GROUP BY wk.word
+),
+dtk AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+ds AS (
+  SELECT dtk.doc_id,
+         CAST(sum(wl.np_w) AS BIGINT) AS n_pieces,
+         CAST(sum(wl.lp_w) AS BIGINT) AS total_lp_micro
+  FROM dtk JOIN wordlp wl USING (word)
+  GROUP BY dtk.doc_id
+),
+sc AS (
+  SELECT d.doc_id, d.lang,
+         round(exp(-round(CASE WHEN coalesce(ds.n_pieces, 0) = 0 THEN 0.0
+                    ELSE ds.total_lp_micro / 1e6 / ds.n_pieces END, 6)), 6) AS ppl
+  FROM documents d LEFT JOIN ds USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(ppl, {_P13}), 6) AS c1,
+         round(quantile_cont(ppl, {_P23}), 6) AS c2
+  FROM sc GROUP BY lang
+),
+picked AS (
+  SELECT sc.doc_id, sc.lang, sc.ppl,
+         CASE WHEN sc.ppl <= cuts.c1 THEN 'head' ELSE 'middle' END AS bucket
+  FROM sc JOIN cuts USING (lang)
+  WHERE sc.ppl <= cuts.c2
+),
+wd AS (
+  SELECT p.doc_id, p.lang, p.ppl, p.bucket, d.text
+  FROM picked p JOIN documents d USING (doc_id)
+),
+canon AS (SELECT text, min(doc_id) AS keep_id FROM wd GROUP BY text)
+SELECT wd.doc_id, wd.lang, wd.ppl, wd.bucket,
+       CAST(len(list_filter(string_split(wd.text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_tokens
+FROM wd JOIN canon ON wd.text = canon.text AND wd.doc_id = canon.keep_id
+""",
+)
+def e2e_corpus_build_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-era corpus materialization: train the unigram LM in-engine,
+    perplexity-bucket per language (x11), DISCARD the tail tertile
+    (Wenzek et al. keep head+middle for LM pretraining), exact-dedup
+    the survivors (d1's keep-first rule — selection among gated docs,
+    so the dedup population is what the gate produced, the composition
+    coupling per-stage gates can't see), and account surviving tokens.
+    One statement re-derives train -> score -> cut -> gate -> dedup;
+    joins the e2e family as its model-scored member (e2e: quality gate;
+    _t: temperature mix; _d: DSIR; _p: paragraph scrub + packing)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    kept = x11_ccnet_ppl_buckets(spark, sf_dir).filter(F.col("bucket") != "tail")
+    wd = kept.join(docs.select("doc_id", "text"), "doc_id")
+    canon = wd.groupBy("text").agg(F.min("doc_id").alias("_keep"))
+    return (
+        wd.join(canon, "text")
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select(
+            "doc_id",
+            "lang",
+            "ppl",
+            "bucket",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )

@@ -92,9 +92,9 @@ _REGISTRY: dict[str, Query] = {}
 # order (p1-p9, j1-j5, s-tier + recalls, g1-g4, x1-x3, and three of
 # the five TPC-H-shaped flagships). The r10 queue LEADS with the
 # round-9 post-prefix additions (never audited: v5_unigram_doc_ppl,
-# x11_ccnet_ppl_buckets, d18_paragraph_neardup — registered after the
-# 50-row prefix froze; each driver_sim-verified at sf0.001+sf0.01 on
-# registration), then
+# x11_ccnet_ppl_buckets, d18_paragraph_neardup, e2e_corpus_build_v —
+# registered after the 50-row prefix froze; each driver_sim-verified
+# at sf0.001+sf0.01 on registration), then
 # regional_revenue and order_priority_check (the TWO r05 rows left
 # after this round), then the r06 rows in the tail order
 # below. No rows-only row is due this

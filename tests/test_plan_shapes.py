@@ -78,6 +78,11 @@ ALLOWED_NESTED = {
                              "normalizers); cutpoint apply is a broadcast "
                              "equi-join on lang against the <=n_langs "
                              "tertile rows",
+    "e2e_corpus_build_v": "embeds x11 (v3b's one-row broadcast "
+                          "normalizers + the <=n_langs cutpoint "
+                          "broadcast); the gate filter, dedup canon "
+                          "groupBy and token count are equi-join/"
+                          "map-side",
     "a31_psi_drift": "crossJoin against the broadcast ONE-ROW min/max "
                      "aggregate for the shared binning; both slices count "
                      "in one groupBy(bin) conditional-sum pass (r08: no "

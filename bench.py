@@ -83,6 +83,7 @@ HEADLINE = [
     "j9_asof_nearest_join",   # nearest as-of (two directional scans composed)
     "d17_paragraph_dedup",    # sub-document exact dedup + reassembly (r09)
     "t21_quality_lr_eval",    # train/score/AUC eval loop for the LR (r09)
+    "v5_unigram_doc_ppl",     # doc perplexity under the in-engine-trained LM (r09)
 ]
 
 # Heavy tier: the most expensive registered operators, trend-tracked with
@@ -106,6 +107,12 @@ HEAVY = [
     "d15_containment_pairs",        # directed containment join (r08
                                     # continuation; 13.6 s cold / 6.8 s warm
                                     # at sf0.1 on arrival — 525k output pairs)
+    "d18_paragraph_neardup",        # fuzzy sub-doc dedup: d3 funnel at
+                                    # window grain (~30x the doc count) +
+                                    # star-CC + reassembly (r09; ~110 s at
+                                    # sf0.1 — the 128-perm signature agg
+                                    # over windows dominates, per-partition
+                                    # parallel at cluster scale)
     "d16_cross_containment",        # decontam-shaped cross-corpus
                                     # containment (r09; test split vs train
                                     # split over the same prefix machinery)

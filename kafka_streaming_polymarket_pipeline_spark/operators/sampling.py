@@ -301,6 +301,21 @@ def dsir_score(
     )
 
 
+def gumbel_micro(id_col: str = "doc_id") -> Column:
+    """Deterministic per-row Gumbel noise in integer micro-units:
+    round(-ln(-ln(u)) * 1e6) with u = (md5_32(id) + 0.5) / 2^32 in
+    (0, 1). u is EXACTLY representable (integer + 0.5 over a power of
+    two), so the only float evaluation is the two nested logs; the
+    margin audit (tests/test_sampling_margins.py) asserts every value
+    at the gate SFs sits far enough from a .5 micro boundary that a
+    multi-ulp libm difference cannot flip the round on any engine."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)  # (0, 1)
+    return F.round(-F.log(-F.log(u)) * 1e6).cast("long")
+
+
 def dsir_select(
     df: DataFrame,
     k: int = 100,
@@ -368,11 +383,7 @@ def dsir_select(
         .select("did", F.coalesce("s", F.lit(0)).cast("long").alias("score_micro"))
         .withColumnRenamed("did", id_col)
     )
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    u = (h + F.lit(0.5)) / F.lit(4294967296.0)  # (0, 1)
-    g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("long")
+    g_micro = gumbel_micro(id_col)
     return (
         scores.select(
             id_col,

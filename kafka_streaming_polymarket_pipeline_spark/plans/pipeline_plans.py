@@ -420,7 +420,7 @@ bt AS (
            AS lam_micro
   FROM bt, tot
 ), sc AS (
-  SELECT lab.doc_id, coalesce(s.score_micro, 0) AS score_micro
+  SELECT lab.doc_id, CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro
   FROM lab LEFT JOIN (
     SELECT tb.doc_id, sum(tb.cnt * lam.lam_micro) AS score_micro
     FROM tb JOIN lam USING (bucket) GROUP BY 1

@@ -67,7 +67,31 @@ _REGISTRY: dict[str, Query] = {}
 # when a twin's re-audit comes due the pair enters together (adjacent),
 # accepting that round's one expected rows-only row.
 #
-# ---- r09 gate prefix (exactly 50 entries) ----
+# ---- r10 gate prefix (exactly 50 entries) ----
+# Rotation rule order (r05 verdict task 4; invariant above):
+# Block 1 (9, never-audited): the four round-9 post-prefix additions
+# the r09 verdict scheduled by name to LEAD (v5_unigram_doc_ppl,
+# x11_ccnet_ppl_buckets, d18_paragraph_neardup, e2e_corpus_build_v —
+# each independently hash-verified by the r09 judge at sf0.01), then
+# the round-10 additions: x9a_dsir_model_gate + x9b_dsir_keys (the
+# r09-task-1a DSIR stage-localization gates), d12c_prefix_jaccard_dfpruned
+# (task 5), x11b_ccnet_buckets_approx (task 6), e2e_corpus_build_g
+# (task 7) — each driver_sim-verified at sf0.001+sf0.01 on registration.
+# Block 2 (2, changed code): x9_dsir_resample + e2e_corpus_build_d —
+# the two r09 hash-FAILs. Root cause found r10: NOT libm rounding but
+# DuckDB HUGEINT (uncast sum(BIGINT)) leaking into the oracle output
+# and surfacing as int128/decimal through the official driver's fetch
+# path; both oracles now CAST to BIGINT, tests/test_oracle_types.py
+# pins all ~200 oracle output schemas to portable types, and
+# tests/test_sampling_margins.py retires the rounding-flip hypothesis
+# (min margin 1.9e-3 micro-units, >= 10^5 x any libm ulp spread).
+# Block 3 (39, stalest first): regional_revenue + order_priority_check
+# (the last two r05 rows), then the r06 rows straight off the front of
+# the staleness-ordered tail (d13 .. q3_recall). No rows-only row is
+# due (a13/m4 out of prefix): CORRECTNESS_r10's target is 50/50 green.
+#
+# ---- r09 gate prefix (history; exactly the 50 entries below Block
+# comments describe) ----
 # Rotation rule order (r05 verdict task 4; see the invariant above):
 # Block 1 (15, never-audited): the 12 round-8 continuation additions
 # the r08 verdict scheduled by name to LEAD (x9, x10, d15, c4, c4b,
@@ -107,56 +131,20 @@ _REGISTRY: dict[str, Query] = {}
 # rows-only twins (m4, a13) are pinned ADJACENT to their hash-gated
 # gates (m4b, a13b) wherever the gate lands, per the module docstring.
 _DRIVER_PRIORITY: list[str] = [
+    # -- Block 1: never-audited (r09 post-prefix + r10 additions) --
+    "v5_unigram_doc_ppl",
+    "x11_ccnet_ppl_buckets",
+    "d18_paragraph_neardup",
+    "e2e_corpus_build_v",
+    "x9a_dsir_model_gate",
+    "x9b_dsir_keys",
+    "d12c_prefix_jaccard_dfpruned",
+    "x11b_ccnet_buckets_approx",
+    "e2e_corpus_build_g",
+    # -- Block 2: changed code (r09 HUGEINT hash-FAILs, oracles fixed) --
     "x9_dsir_resample",
-    "x10_decontam_split",
-    "d15_containment_pairs",
-    "c4_kcore",
-    "c4b_kcore_dfpruned",
-    "v3_unigram_estep",
-    "v3b_unigram_em2",
-    "v4_unigram_tokenize",
-    "a34_sample_quantiles",
-    "j11_asof_interpolate",
-    "w9_resample_interpolate",
     "e2e_corpus_build_d",
-    "t21_quality_lr_eval",
-    "d16_cross_containment",
-    "d17_paragraph_dedup",
-    "e2e_corpus_build_p",
-    "r14_promo_share",
-    "r18_large_orders",
-    "a1_array_sum",
-    "a2_argmax_per_group",
-    "a3_positional_first",
-    "p1_substring_filter",
-    "p2_window_containment",
-    "p3_projection_parse",
-    "p4_type_filter",
-    "p5_event_dispatch",
-    "p6_explode_filter",
-    "p7_positive_filter",
-    "p8_null_empty_guards",
-    "p9_resolution_predicate",
-    "j1_dim_broadcast_join",
-    "j2_interval_join",
-    "j3_left_label_join",
-    "j4_lag_deltas",
-    "j5_latest_scalar",
-    "s1_ann_bruteforce_topk",
-    "s2_ann_ivf_topk",
-    "s3_ann_lsh_topk",
-    "s2_recall",
-    "s3_recall",
-    "g1_momentum_volatility",
-    "g2_whale_deltas",
-    "g3_concentration",
-    "g4_winner_label",
-    "x1_hash_split",
-    "x2_stratified_sample",
-    "x3_mixture_sample",
-    "market_candles_15m",
-    "pricing_summary",
-    "shipping_priority_top10",
+    # -- Block 3: stalest official rows, oldest first --
     "regional_revenue",
     "order_priority_check",
     "d13_keep_longest_per_cluster",
@@ -306,6 +294,55 @@ _DRIVER_PRIORITY: list[str] = [
     "z1_zorder_layout",
     "k2_salted_join",
     "r12_priority_lines",
+    # -- r09-green rows (freshest; displaced to the back of the tail) --
+    "x10_decontam_split",
+    "d15_containment_pairs",
+    "c4_kcore",
+    "c4b_kcore_dfpruned",
+    "v3_unigram_estep",
+    "v3b_unigram_em2",
+    "v4_unigram_tokenize",
+    "a34_sample_quantiles",
+    "j11_asof_interpolate",
+    "w9_resample_interpolate",
+    "t21_quality_lr_eval",
+    "d16_cross_containment",
+    "d17_paragraph_dedup",
+    "e2e_corpus_build_p",
+    "r14_promo_share",
+    "r18_large_orders",
+    "a1_array_sum",
+    "a2_argmax_per_group",
+    "a3_positional_first",
+    "p1_substring_filter",
+    "p2_window_containment",
+    "p3_projection_parse",
+    "p4_type_filter",
+    "p5_event_dispatch",
+    "p6_explode_filter",
+    "p7_positive_filter",
+    "p8_null_empty_guards",
+    "p9_resolution_predicate",
+    "j1_dim_broadcast_join",
+    "j2_interval_join",
+    "j3_left_label_join",
+    "j4_lag_deltas",
+    "j5_latest_scalar",
+    "s1_ann_bruteforce_topk",
+    "s2_ann_ivf_topk",
+    "s3_ann_lsh_topk",
+    "s2_recall",
+    "s3_recall",
+    "g1_momentum_volatility",
+    "g2_whale_deltas",
+    "g3_concentration",
+    "g4_winner_label",
+    "x1_hash_split",
+    "x2_stratified_sample",
+    "x3_mixture_sample",
+    "market_candles_15m",
+    "pricing_summary",
+    "shipping_priority_top10",
 ]
 
 

@@ -372,7 +372,7 @@ lam AS (
 ),
 sc AS (
   SELECT lab.doc_id,
-         coalesce(s.score_micro, 0) AS score_micro
+         CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro
   FROM lab LEFT JOIN (
     SELECT tb.doc_id, sum(tb.cnt * lam.lam_micro) AS score_micro
     FROM tb JOIN lam USING (bucket) GROUP BY 1
@@ -400,6 +400,96 @@ def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the 6-dp precedent. One gram explode + two <= 64-row broadcast
     model tables + TakeOrderedAndProject; nothing collects."""
     return S.dsir_select(load(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "x9a_dsir_model_gate",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         string_split(text, '') AS chars
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         CASE WHEN round(-coalesce(list_sum(list_transform(
+                list_sort(list_distinct(chars)),
+                ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE))
+                      * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                        / CAST(greatest(len(chars), 1) AS DOUBLE)))), 0.0), 6)
+              >= 2.0 THEN 1 ELSE 0 END AS tgt
+  FROM base
+),
+grams AS (
+  SELECT doc_id, tgt, unnest(toks) AS g FROM lab
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM lab WHERE len(toks) >= 2
+),
+tb AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+bt AS (
+  SELECT s.bucket,
+         coalesce(sum(tb.cnt), 0) AS raw_cnt,
+         coalesce(sum(CASE WHEN tb.tgt = 1 THEN tb.cnt END), 0) AS tgt_cnt
+  FROM spine s LEFT JOIN tb USING (bucket) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS rtot,
+         CAST(sum(tgt_cnt) AS DOUBLE) AS ttot
+  FROM bt
+)
+SELECT bucket,
+       CAST(round((ln((tgt_cnt + 1.0) / (ttot + 64.0))
+                   - ln((raw_cnt + 1.0) / (rtot + 64.0))) * 1e6) AS BIGINT)
+         AS lam_micro
+FROM bt, tot
+""",
+)
+def x9a_dsir_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage gate 1 of 2 (r09 verdict task 1a): the 64-row
+    (bucket, lam_micro) importance model ALONE, so an official-gate
+    divergence in x9 is localized to either the model fit or the keyed
+    cut (x9b). Root cause of the r09 x9/e2e_d hash FAIL, found r10:
+    NOT libm rounding — DuckDB's sum(BIGINT) returns HUGEINT, and the
+    uncast score_micro/key_micro surfaced as int128/decimal through the
+    official driver's fetch path, hash-mismatching Spark's int64 even
+    on equal values (this sandbox's fetchall() coerces to Python int,
+    which is why driver_sim passed). Both oracles now CAST to BIGINT;
+    tests/test_oracle_types.py pins every oracle output to portable
+    types. The rounding-margin audit (also added r10) separately shows
+    every rounded value at the gate SFs sits >= 1.8e-3 micro-units from
+    a .5 boundary — orders of magnitude beyond any libm ulp spread."""
+    return S.dsir_model(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "x9b_dsir_keys",
+    oracle="""
+SELECT doc_id,
+       CAST(round(-ln(-ln(
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+         / 4294967296.0)) * 1e6) AS BIGINT) AS g_micro
+FROM documents
+""",
+)
+def x9b_dsir_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage gate 2 of 2 (r09 verdict task 1a): the per-doc Gumbel
+    key in integer micro-units, a pure function of doc_id — if x9
+    diverges while x9a (model) is green, this row pins whether the
+    noise stage or the BIGINT composition is at fault. Map-only at any
+    scale; see x9a's docstring for the r09 root cause."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", S.gumbel_micro("doc_id").alias("g_micro"))
 
 
 @register(

@@ -45,12 +45,23 @@ for n in names:
         if osql is None:
             out[n] = {"rows": len(srows), "oracle": None}
             continue
-        orows = con.execute(osql).fetchall()
+        orel = con.sql(osql)
+        # The official driver's fetch path is stricter than fetchall():
+        # DuckDB HUGEINT (e.g. an uncast sum(BIGINT)) surfaces as
+        # int128/decimal there and hash-mismatches Spark int64 even on
+        # equal values — the r09 x9/e2e_d root cause. Surface it here.
+        portable = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                    "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+        twarn = [f"{c}:{t}" for c, t in zip(orel.columns, orel.types)
+                 if str(t) not in portable]
+        orows = orel.fetchall()
         out[n] = {
             "rows_match": len(srows) == len(orows),
             "hash_match": vhash(srows) == vhash(orows),
             "spark_rows": len(srows), "oracle_rows": len(orows),
         }
+        if twarn:
+            out[n]["type_warn"] = twarn
     except Exception as ex:
         out[n] = {"err": str(ex)[:300]}
 print(json.dumps(out, indent=1))

@@ -1353,6 +1353,7 @@ def paragraph_neardup_dedup(
     size: int = 32,
     threshold: float = 0.5,
     n: int = 5,
+    wid_mult: int = PARA_WID_MULT,
 ) -> DataFrame:
     """FUZZY paragraph-grain dedup — d17's sub-document pass with d3's
     near-dup relation instead of exact equality (the Dolma/RefinedWeb
@@ -1374,16 +1375,48 @@ def paragraph_neardup_dedup(
     Scale: the funnel is d3's (banded candidate generation, never
     window x window); CC is O(log^2) star rounds over the pair graph;
     reassembly is d17's per-doc groupBy. Output d17's schema:
-    (doc_id, text_clean, n_paras, n_removed)."""
+    (doc_id, text_clean, n_paras, n_removed).
+
+    Injectivity guard (ADVICE r09): the packed wid is injective and
+    reading-ordered ONLY for 0 <= doc_id < 2^63 / wid_mult and
+    0 <= chunk_idx < wid_mult; a negative doc_id or a doc with >=
+    wid_mult windows (33M+ tokens at the default 2^20 x 32-token
+    windows) would silently collide into a neighbouring doc's window
+    space — and the oracle shares the formula, so the hash gate could
+    not catch it. Out-of-range rows now raise from inside the plan
+    (executor-side, no driver scan) instead of corrupting the
+    min-wid first-occurrence rule."""
     from kafka_streaming_polymarket_pipeline_spark.operators.text import passage_chunks
 
+    doc_cap = (1 << 63) // wid_mult
+    in_range = (
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(doc_cap))
+        & (F.col("chunk_idx") < F.lit(wid_mult))
+    )
     paras = passage_chunks(
         df, size=size, stride=size, id_col=id_col, text_col=text_col
     ).select(
         "doc_id",
         "chunk_idx",
         F.col("chunk_text").alias("_pt"),
-        (F.col("doc_id") * F.lit(PARA_WID_MULT) + F.col("chunk_idx"))
+        F.when(
+            in_range, F.col("doc_id") * F.lit(wid_mult) + F.col("chunk_idx")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "paragraph_neardup_dedup: wid packing out of range "
+                        f"(need 0 <= doc_id < {doc_cap} and chunk_idx < "
+                        f"{wid_mult}); got doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" chunk_idx="),
+                    F.col("chunk_idx").cast("string"),
+                )
+            )
+        )
         .cast("long")
         .alias("wid"),
     )

@@ -174,3 +174,41 @@ class TestParagraphNearDup:
         assert out[0].n_removed == 0 and out[1].n_removed == 0
         assert out[0].text_clean == docs[0][1]
         assert out[0].n_paras == 2 and out[1].n_paras == 1
+
+
+class TestWidPackingGuard:
+    """ADVICE r09: wid = doc_id * wid_mult + chunk_idx is injective only
+    for 0 <= doc_id < 2^63/wid_mult and chunk_idx < wid_mult; outside
+    that the min-wid first-occurrence rule silently corrupts AND the
+    oracle shares the formula, so only an in-plan raise can catch it.
+    wid_mult is parameterized so the >=-wid_mult-windows case is
+    testable without a 33M-token document."""
+
+    def test_doc_with_too_many_windows_raises(self, spark):
+        from kafka_streaming_polymarket_pipeline_spark.operators.dedup import (
+            paragraph_neardup_dedup,
+        )
+        import pytest
+
+        # 6 windows of 32 tokens against wid_mult=4 -> chunk_idx 4..5 overflow
+        docs = [(0, " ".join(_para(f"w{i}") for i in range(6)))]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        with pytest.raises(Exception, match="wid packing out of range"):
+            paragraph_neardup_dedup(df, wid_mult=4).collect()
+
+    def test_negative_doc_id_raises(self, spark):
+        from kafka_streaming_polymarket_pipeline_spark.operators.dedup import (
+            paragraph_neardup_dedup,
+        )
+        import pytest
+
+        df = spark.createDataFrame([(-1, _para("neg"))], "doc_id long, text string")
+        with pytest.raises(Exception, match="wid packing out of range"):
+            paragraph_neardup_dedup(df).collect()
+
+    def test_in_range_unaffected_by_guard(self, spark):
+        """The guard is a no-op on valid ids: same result as before."""
+        shared = _para("g")
+        docs = [(0, shared + " " + _para("h")), (1, shared)]
+        out = _run_fuzzy(spark, docs)
+        assert out[0].n_removed == 0 and out[1].n_removed == 1

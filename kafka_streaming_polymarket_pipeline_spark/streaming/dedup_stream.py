@@ -108,7 +108,20 @@ def _ensure_meta(index_path: str) -> int | None:
 
     path = os.path.join(index_path, _META)
     if fsio.exists(path):
-        v = json.loads(fsio.read_text(path))["n_doc_buckets"]
+        try:
+            v = json.loads(fsio.read_text(path))["n_doc_buckets"]
+        except (ValueError, KeyError):
+            # A truncated/corrupt meta (crash mid-write predating the
+            # atomic write_text) must not brick the index: the pinned
+            # modulus is unknowable, which is exactly the legacy case —
+            # repin as legacy-unpruned (correct, just slower) and warn.
+            warnings.warn(
+                f"unparseable {_META} at {index_path}: repinning as "
+                "legacy-unpruned; rebuild the index for pruned probes.",
+                stacklevel=2,
+            )
+            fsio.write_text(path, json.dumps({"n_doc_buckets": None}))
+            return None
         return int(v) if v is not None else None
     fsio.mkdirs(index_path)
     pinned: int | None = N_DOC_BUCKETS
@@ -133,7 +146,10 @@ def _bucket_count(index_path: str) -> int | None:
 
     path = os.path.join(index_path, _META)
     if fsio.exists(path):
-        v = json.loads(fsio.read_text(path))["n_doc_buckets"]
+        try:
+            v = json.loads(fsio.read_text(path))["n_doc_buckets"]
+        except (ValueError, KeyError):
+            return None  # corrupt meta: modulus unknowable, never prune
         return int(v) if v is not None else None
     if _has_batch_dirs(index_path):
         return None  # legacy: modulus unknowable, never prune

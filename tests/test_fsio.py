@@ -83,3 +83,87 @@ def test_dedup_index_on_file_uri(spark, tmp_path):
         for r in DS.incremental_pairs_against_index(b2, uri_idx).collect()
     }
     assert {(0, 5), (1, 5), (3, 5)} <= post
+
+
+def test_write_text_overwrite_is_replace_not_truncate(spark, tmp_path):
+    """r09 ADVICE: write_text must never leave a truncated file at the
+    destination — it writes a sibling temp and moves it in. Overwrite
+    round-trips, and no temp residue survives a successful write."""
+    base = f"file:{tmp_path}/aw"
+    fsio.mkdirs(base)
+    p = base + "/m.json"
+    fsio.write_text(p, '{"k": 1}')
+    fsio.write_text(p, '{"k": 22}')
+    assert fsio.read_text(p) == '{"k": 22}'
+    assert sorted(fsio.listdir(base)) == ["m.json"]
+
+
+def test_session_less_local_paths_work_without_spark(tmp_path, monkeypatch):
+    """r09 ADVICE: a monitoring/cron probe with no SparkSession must be
+    able to walk plain local paths (needs_compaction's documented
+    contract). Simulate no-session by patching getActiveSession."""
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "getActiveSession", staticmethod(lambda: None))
+    base = str(tmp_path / "nospark")
+    assert not fsio.exists(base)
+    fsio.mkdirs(base + "/a")
+    assert fsio.is_dir(base + "/a")
+    fsio.write_text(base + "/m.json", '{"n": null}')
+    assert fsio.read_text(base + "/m.json") == '{"n": null}'
+    assert sorted(fsio.listdir(base)) == ["a", "m.json"]
+    fsio.rename(base + "/a", base + "/b")
+    with pytest.raises(FileExistsError):
+        fsio.mkdirs(base + "/c")
+        fsio.rename(base + "/b", base + "/c")
+    files = fsio.list_files_recursive(base)
+    assert [(os.path.basename(f), sz) for f, sz in files] == [("m.json", 11)]
+    fsio.delete(base + "/c")
+    assert not fsio.exists(base + "/c")
+    fsio.delete(base + "/never")  # no-op
+    # scheme-qualified paths still demand a session
+    with pytest.raises(RuntimeError):
+        fsio.exists("file:/tmp/x")
+
+
+def test_needs_compaction_runs_without_session(tmp_path, monkeypatch):
+    """The actual r09-ADVICE regression: needs_compaction as a pure
+    local-FS metadata walk, no JVM."""
+    from pyspark.sql import SparkSession
+
+    from kafka_streaming_polymarket_pipeline_spark.streaming.containment_stream import (
+        needs_compaction,
+    )
+
+    monkeypatch.setattr(SparkSession, "getActiveSession", staticmethod(lambda: None))
+    idx = str(tmp_path / "cidx")
+    for b in range(3):
+        d = os.path.join(idx, "inv")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"part-{b}.parquet"), "w") as f:
+            f.write("x")
+    out = needs_compaction(idx, max_files_per_table=2)
+    assert out["needed"] is True
+
+
+def test_corrupt_meta_repins_as_legacy(spark, tmp_path):
+    """A truncated _meta.json (crash mid-write predating the atomic
+    write) must repin as legacy-unpruned with a warning, not brick the
+    index in json.loads."""
+    import warnings as w
+
+    from kafka_streaming_polymarket_pipeline_spark.streaming import (
+        dedup_stream as DS,
+    )
+
+    idx = str(tmp_path / "bidx")
+    os.makedirs(idx)
+    with open(os.path.join(idx, DS._META), "w") as f:
+        f.write('{"n_doc_buc')  # truncated
+    assert DS._bucket_count(idx) is None  # never prune on corrupt meta
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        assert DS._ensure_meta(idx) is None
+    assert any("unparseable" in str(x.message) for x in caught)
+    # repaired: now a valid legacy pin
+    assert fsio.read_text(os.path.join(idx, DS._META)) == '{"n_doc_buckets": null}'

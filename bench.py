@@ -116,6 +116,11 @@ HEAVY = [
     "d16_cross_containment",        # decontam-shaped cross-corpus
                                     # containment (r09; test split vs train
                                     # split over the same prefix machinery)
+    "d12c_prefix_jaccard_dfpruned", # DF-pruned AllPairs (r10; d3c's cut on
+                                    # d12's task — candidate mass collapses
+                                    # to the answer set on this corpus, so
+                                    # the delta vs d12 IS the boilerplate
+                                    # candidate cost)
 ]
 
 # The driver records bench output from a bounded stdout tail capture

@@ -977,12 +977,23 @@ def editdist1_pairs(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     )
 
 
-def _df_ordered_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _df_ordered_docs(
+    df: DataFrame, id_col: str, text_col: str, max_df_pct: int | None = None
+) -> DataFrame:
     """Stages 1-2 shared by the prefix-filtered set-similarity joins
     (d12 Jaccard, d15 containment): distinct lowercase whitespace tokens
     per doc, each doc's tokens sorted by the global (doc-frequency ASC,
     token ASC) total order — a row-local array sort off one word-count
-    shuffle, no global rank/window. Returns (did, toks, sz)."""
+    shuffle, no global rank/window. Returns (did, toks, sz).
+
+    ``max_df_pct`` applies d3c's corpus-wide document-frequency cut
+    BEFORE the per-doc arrays are built: tokens present in more than
+    that percentage of documents are dropped everywhere (integer-exact
+    ``tdf * 100 <= pct * n_docs``, so an oracle replicates the kept set
+    bit-for-bit), and docs whose every token is pruned vanish — the
+    d3c contract at word-token grain. The DF table is already computed
+    for the prefix ordering, so the cut adds only a broadcast one-row
+    count join."""
     from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
 
     tok = df.select(
@@ -990,6 +1001,11 @@ def _df_ordered_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("t"),
     )
     tok_df = tok.groupBy("t").agg(F.count("*").alias("tdf"))
+    if max_df_pct is not None:
+        n_docs = df.agg(F.count("*").alias("n_docs"))
+        tok_df = tok_df.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("tdf") * 100 <= F.lit(max_df_pct) * F.col("n_docs")
+        ).drop("n_docs")
     return (
         tok.join(tok_df, "t")
         .groupBy("did")
@@ -1008,15 +1024,17 @@ def prefix_jaccard_candidates(
     text_col: str = "text",
     num: int = 7,
     den: int = 10,
+    max_df_pct: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 1-3 of :func:`prefix_jaccard_pairs` — returns
     ``(docs, candidates)`` where ``docs`` is (did, toks, sz) with tokens
     in global (df ASC, token ASC) order and ``candidates`` is the
     distinct (doc_id_a, doc_id_b) prefix-collision pairs.  Exposed
     separately so the pigeonhole guarantee (candidates ⊇ qualifying
-    pairs) is directly property-testable.
+    pairs) is directly property-testable. ``max_df_pct`` is the d12c
+    corpus-wide DF cut (see :func:`_df_ordered_docs`).
     """
-    docs = _df_ordered_docs(df, id_col, text_col)
+    docs = _df_ordered_docs(df, id_col, text_col, max_df_pct)
     pref = docs.select(
         "did",
         "sz",
@@ -1045,6 +1063,7 @@ def prefix_jaccard_pairs(
     text_col: str = "text",
     num: int = 7,
     den: int = 10,
+    max_df_pct: int | None = None,
 ) -> DataFrame:
     """EXACT word-token-set Jaccard >= num/den pairs via prefix filtering
     (the AllPairs / PPJoin family: Bayardo et al. WWW'07, Xiao et al.
@@ -1083,8 +1102,16 @@ def prefix_jaccard_pairs(
     at most k prefixes and hub tokens land in almost none); verification
     is an id equi-join. Output is inherently quadratic in duplicate-
     cluster size, as for any exact pair enumeration.
+
+    ``max_df_pct`` (d12c): apply the d3c corpus-wide DF cut first and
+    compute exact Jaccard over the PRUNED token sets — boilerplate-blind
+    similarity, the production semantics for template-heavy corpora
+    where AllPairs candidate mass is exactly the templated token mass.
+    On the driver corpus the cut collapses candidate pairs to the
+    answer set itself (every pair sharing ANY surviving token
+    qualifies at 19/20).
     """
-    docs, cand = prefix_jaccard_candidates(df, id_col, text_col, num, den)
+    docs, cand = prefix_jaccard_candidates(df, id_col, text_col, num, den, max_df_pct)
     da = docs.select(
         F.col("did").alias("doc_id_a"), F.col("toks").alias("_ta"), F.col("sz").alias("_sa")
     )

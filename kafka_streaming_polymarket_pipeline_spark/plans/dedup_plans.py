@@ -383,6 +383,56 @@ def d12_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(load(spark, sf_dir, "documents"), num=19, den=20)
 
 
+@register(
+    "d12c_prefix_jaccard_dfpruned",
+    oracle="""
+WITH tok0 AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+    FROM documents)
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), dfq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS d FROM tok0 GROUP BY t
+), tok AS (
+  SELECT tok0.doc_id, tok0.t
+  FROM tok0 JOIN dfq USING (t) CROSS JOIN n
+  WHERE dfq.d * 100 <= 10 * n.n_docs
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON doc_id_a = sa.doc_id
+JOIN sz sb ON doc_id_b = sb.doc_id
+WHERE 20 * i >= 19 * (sa.n + sb.n - i)
+""",
+)
+def d12c_prefix_jaccard_dfpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3c's corpus-wide DF-pruning cut applied to d12's AllPairs prefix
+    filter (r09 verdict task 5): tokens in >10% of docs are dropped
+    corpus-wide BEFORE prefix ordering, candidates, and verification;
+    output is exact Jaccard >= 19/20 over the PRUNED token sets —
+    boilerplate-blind similarity, the production semantics on
+    template-heavy corpora, which is exactly where AllPairs candidate
+    mass explodes (the templated token mass IS the candidate mass; d3c
+    measured a 435x collapse for the MinHash funnel, and on this corpus
+    the cut collapses AllPairs candidates to the answer set itself —
+    every pair sharing ANY surviving token qualifies). The DF cut is
+    one integer-exact filter on the df table the prefix ordering
+    already computes, so it adds only a broadcast one-row count join;
+    the DuckDB oracle replicates the kept set bit-for-bit."""
+    return D.prefix_jaccard_pairs(
+        load(spark, sf_dir, "documents"), num=19, den=20, max_df_pct=10
+    )
+
+
 @register("d14_neardup_auto", oracle=_TOKEN_JACCARD_19_20_ORACLE)
 def d14_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUTED exact near-dup pairs — the executable form of the

@@ -527,6 +527,123 @@ def x11_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x11b_ccnet_buckets_approx",
+    oracle=f"""
+WITH RECURSIVE {_UNI_PRELUDE},
+{_uni_dp_ctes("1", "vlp")},
+vocab2 AS (
+  SELECT piece, new_count AS cnt FROM used1
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT piece FROM pos WHERE i - j = 1) c
+  WHERE c.piece NOT IN (SELECT piece FROM used1)
+),
+vtot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab2),
+vlp2 AS (
+  SELECT piece, CAST(round(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+  FROM vocab2, vtot2
+),
+{_uni_dp_ctes("2", "vlp2")},
+wordlp AS (
+  SELECT wk.word,
+         CAST(count(*) AS BIGINT) AS np_w,
+         CAST(sum(v.lp) AS BIGINT) AS lp_w
+  FROM walk2 wk JOIN vlp2 v ON v.piece = wk.piece
+  WHERE wk.piece IS NOT NULL
+  GROUP BY wk.word
+),
+dtk AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+ds AS (
+  SELECT dtk.doc_id,
+         CAST(sum(wl.np_w) AS BIGINT) AS n_pieces,
+         CAST(sum(wl.lp_w) AS BIGINT) AS total_lp_micro
+  FROM dtk JOIN wordlp wl USING (word)
+  GROUP BY dtk.doc_id
+),
+sc AS (
+  SELECT d.doc_id, d.lang,
+         round(exp(-round(CASE WHEN coalesce(ds.n_pieces, 0) = 0 THEN 0.0
+                    ELSE ds.total_lp_micro / 1e6 / ds.n_pieces END, 6)), 6) AS ppl
+  FROM documents d LEFT JOIN ds USING (doc_id)
+)
+SELECT lang,
+       round(quantile_cont(ppl, {_P13}), 6) AS exact_c1,
+       round(quantile_cont(ppl, {_P23}), 6) AS exact_c2,
+       TRUE AS approx_in_band,
+       TRUE AS agree_ok
+FROM sc GROUP BY lang
+""",
+)
+def x11b_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cutpoint swap x11's docstring prescribes, made a
+    driver-checkable gate (r09 verdict task 6, the a13b/a14 pattern):
+    the per-lang tertile cutoffs come from percentile_approx (a KLL/GK
+    mergeable sketch, accuracy 10000) instead of the exact interpolated
+    percentile, and the hashable contract is (a) each approx cutoff
+    lands inside a RANK band around its exact tertile ([0.28, 0.39]
+    for 1/3, [0.61, 0.72] for 2/3 — rank bands hold at any group size,
+    the a14 lesson) and (b) the head/middle/tail assignment under the
+    approx cutoffs agrees with the exact assignment on >= 98% of docs
+    per language — which is the property the swap must preserve for
+    CCNet's pipeline (CCNet itself computes cutoffs on a sample). The
+    oracle reproduces the exact cutpoints and pins both booleans TRUE.
+    Scale: identical to x11 except the cutpoint aggregate is the
+    mergeable sketch — map-side partials, bytes-sized state — and the
+    agreement check is one more broadcast-cuts map + per-lang avg."""
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    sc = (
+        B.unigram_doc_logprob(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "ppl")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cuts = sc.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(ppl, {_P13})"), 6).alias("c1"),
+        F.round(F.expr(f"percentile(ppl, {_P23})"), 6).alias("c2"),
+        F.expr("percentile(ppl, 0.28)").alias("lo1"),
+        F.expr("percentile(ppl, 0.39)").alias("hi1"),
+        F.expr("percentile(ppl, 0.61)").alias("lo2"),
+        F.expr("percentile(ppl, 0.72)").alias("hi2"),
+        F.round(F.expr(f"percentile_approx(ppl, {_P13}, 10000)"), 6).alias("a1"),
+        F.round(F.expr(f"percentile_approx(ppl, {_P23}, 10000)"), 6).alias("a2"),
+    )
+
+    def _bucket(c1, c2):
+        return (
+            F.when(F.col("ppl") <= F.col(c1), F.lit("head"))
+            .when(F.col("ppl") <= F.col(c2), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+
+    agree = (
+        sc.join(F.broadcast(cuts), "lang")
+        .select(
+            "lang",
+            (_bucket("c1", "c2") == _bucket("a1", "a2")).cast("int").alias("_same"),
+        )
+        .groupBy("lang")
+        .agg(F.avg("_same").alias("agree_rate"))
+    )
+    return (
+        cuts.join(F.broadcast(agree), "lang")
+        .select(
+            "lang",
+            F.col("c1").alias("exact_c1"),
+            F.col("c2").alias("exact_c2"),
+            (
+                F.col("a1").between(F.col("lo1"), F.col("hi1"))
+                & F.col("a2").between(F.col("lo2"), F.col("hi2"))
+            ).alias("approx_in_band"),
+            (F.col("agree_rate") >= 0.98).alias("agree_ok"),
+        )
+    )
+
+
+@register(
     "e2e_corpus_build_v",
     oracle=f"""
 WITH RECURSIVE {_UNI_PRELUDE},

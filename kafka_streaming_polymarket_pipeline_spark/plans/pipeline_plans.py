@@ -567,3 +567,184 @@ def e2e_corpus_build_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.packed_sequences(kept).select(
         "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"
     )
+
+
+# Fifth composition: the Dolma-recipe pipeline — BOTH dedup grains in
+# one build, the shape real corpus builds (Dolma, RefinedWeb) actually
+# run: fuzzy sub-document scrub first (d18 — lightly edited boilerplate
+# paragraphs dedup where exact matching misses), then DOC-level near-dup
+# dedup over the SCRUBBED text with the keep-longest canonical rule
+# (d3 funnel -> star CC -> d13's argmax), then the t17 entropy gate,
+# then pk1 sequence packing. Stage 1 rewrites what stages 2-4 measure
+# (cluster membership, canonical lengths, the token spine), so this gate
+# catches three distinct stage-coupling bug classes at once.
+
+
+@register(
+    "e2e_corpus_build_g",
+    oracle=f"""
+WITH RECURSIVE tkz AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+nn AS (SELECT doc_id, ts, len(ts) AS L FROM tkz),
+p AS (
+  SELECT doc_id, CAST(ci AS INT) AS pidx,
+         array_to_string(ts[CAST(ci * 32 + 1 AS BIGINT) : CAST(ci * 32 + 32 AS BIGINT)], ' ') AS ptext
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, greatest(CAST(floor((L - 32 + 31) / 32) AS BIGINT), 0) + 1)) AS ci
+        FROM nn WHERE L > 0)
+),
+w AS (
+  SELECT doc_id, pidx, ptext,
+         CAST(doc_id * 1048576 + pidx AS BIGINT) AS wid
+  FROM p
+),
+wsh AS (
+  SELECT DISTINCT wid, s FROM (
+    SELECT wid,
+           unnest(list_transform(range(1, greatest(len(ptext) - 3, 1)),
+                                 i -> substr(ptext, CAST(i AS INT), 5))) AS s
+    FROM w)
+),
+wsz AS (SELECT wid, count(*) AS n FROM wsh GROUP BY wid),
+winter AS (
+  SELECT a.wid AS wa, b.wid AS wb, count(*) AS i
+  FROM wsh a JOIN wsh b ON a.s = b.s AND a.wid < b.wid
+  GROUP BY 1, 2
+),
+wprs AS (
+  SELECT wa, wb
+  FROM winter
+  JOIN wsz sa ON wa = sa.wid
+  JOIN wsz sb ON wb = sb.wid
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+),
+wedges AS (
+  SELECT wa AS src, wb AS dst FROM wprs
+  UNION ALL
+  SELECT wb, wa FROM wprs
+),
+wreach(node, lab) AS (
+  SELECT wid, wid FROM w
+  UNION
+  SELECT e.src, r.lab FROM wedges e JOIN wreach r ON r.node = e.dst
+),
+wlabs AS (SELECT node AS wid, min(lab) AS cl FROM wreach GROUP BY node),
+wkept AS (
+  SELECT w.doc_id, w.pidx, w.ptext
+  FROM w JOIN wlabs USING (wid) WHERE w.wid = wlabs.cl
+),
+reb AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS text_clean
+  FROM wkept GROUP BY doc_id
+),
+scrub AS (
+  SELECT d.doc_id, coalesce(reb.text_clean, '') AS text
+  FROM documents d LEFT JOIN reb USING (doc_id)
+),
+dsh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM scrub)
+),
+dsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+dinter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM dinter
+  JOIN dsz sa ON doc_id_a = sa.doc_id
+  JOIN dsz sb ON doc_id_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+),
+dedges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM dpairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM dpairs
+),
+dreach(node, lab) AS (
+  SELECT doc_id, doc_id FROM scrub
+  UNION
+  SELECT e.src, r.lab FROM dedges e JOIN dreach r ON r.node = e.dst
+),
+dclusters AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM dreach GROUP BY node),
+canon AS (
+  SELECT doc_id, text FROM (
+    SELECT s.doc_id, s.text,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY len(s.text) DESC, s.doc_id) AS rn
+    FROM scrub s JOIN dclusters c USING (doc_id)
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id, text FROM canon
+  WHERE round(-coalesce(list_sum(list_transform(
+          list_sort(list_distinct(string_split(text, ''))),
+          ch -> (CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+                  / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE))
+                * log2(CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+                  / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE)))), 0.0), 6)
+        >= {ENTROPY_KEEP_BITS}
+),
+tk AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM kept
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tok_start
+  FROM tk
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {P.PACK_BUDGET} AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // {P.PACK_BUDGET}
+            ELSE tok_start // {P.PACK_BUDGET} END AS seq_last
+FROM placed
+""",
+)
+def e2e_corpus_build_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-recipe corpus materialization (r09 verdict task 7) — BOTH
+    dedup grains in one build, the combination real corpus builds run:
+    d18's fuzzy paragraph scrub rewrites every document (near-dup
+    32-token windows at exact-verified J >= 0.5, star-CC closure,
+    first-occurrence-wins, reading-order reassembly), then DOC-level
+    near-dup dedup runs OVER THE SCRUBBED TEXT (d3's funnel + star CC)
+    with d13's keep-longest canonical rule (char length of the
+    SCRUBBED text, ties -> smaller id), the t17 char-entropy gate at
+    4.1 bits drops fully-scrubbed and low-entropy survivors, and pk1's
+    packer lays the rest into 512-token sequences. Stage 1 mutates
+    what every later stage measures — cluster membership (scrubbed
+    shingles), canonical choice (scrubbed lengths), and the token
+    spine — so this one hash gate covers three stage-coupling bug
+    classes no per-stage gate can see. Every stage is an independently
+    hash-gated operator (d18, d3, d6b, d13, t17, pk1); the oracle
+    re-derives the entire chain in one statement with two recursive
+    closures (window grain, then doc grain)."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = D.paragraph_neardup_dedup(docs, size=32).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    pairs = D.minhash_lsh_dedup(scrubbed, threshold=0.5, n=5)
+    clusters = D.neardup_clusters_star(scrubbed, pairs)
+    canon = scrubbed.join(
+        D.keep_longest_per_cluster(scrubbed, clusters)
+        .select(F.col("kept_doc_id").alias("doc_id")),
+        "doc_id",
+    )
+    kept = (
+        T.char_entropy_frame(canon)
+        .filter(F.round(F.col("char_entropy_bits"), 6) >= ENTROPY_KEEP_BITS)
+        .select("doc_id", "text")
+    )
+    return P.packed_sequences(kept).select(
+        "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"
+    )

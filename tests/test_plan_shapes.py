@@ -56,11 +56,18 @@ ALLOWED_NESTED = {
     "d3c_minhash_lsh_dfpruned": "crossJoin against the broadcast one-row "
                                 "corpus doc-count aggregate (the integer "
                                 "max-df cut df*100 <= pct*n_docs)",
+    "d12c_prefix_jaccard_dfpruned": "same one-row broadcast doc-count "
+                                    "crossJoin as d3c (the integer max-df "
+                                    "cut), applied before the AllPairs "
+                                    "prefix ordering",
     "x9_dsir_resample": "crossJoin against the broadcast ONE-ROW "
                         "(rtot, ttot) gram-total aggregate folded into "
                         "the <= 64-row model table — bytes-sized however "
                         "the corpus grows; the per-doc path is a "
                         "broadcast equi-join on bucket",
+    "x9a_dsir_model_gate": "x9's model-fit stage alone: the same "
+                           "crossJoin against the broadcast ONE-ROW "
+                           "(rtot, ttot) gram-total aggregate",
     "e2e_corpus_build_d": "embeds x9's one-row broadcast gram-total "
                           "aggregate (the DSIR model-fit stage)",
     "v3_unigram_estep": "crossJoin against the broadcast ONE-ROW vocab "
@@ -78,6 +85,11 @@ ALLOWED_NESTED = {
                              "normalizers); cutpoint apply is a broadcast "
                              "equi-join on lang against the <=n_langs "
                              "tertile rows",
+    "x11b_ccnet_buckets_approx": "embeds x11's shape (v3b's one-row "
+                                 "broadcast normalizers); both the exact "
+                                 "and sketch cutpoint tables plus the "
+                                 "per-lang agreement rates are <=n_langs "
+                                 "broadcast rows",
     "e2e_corpus_build_v": "embeds x11 (v3b's one-row broadcast "
                           "normalizers + the <=n_langs cutpoint "
                           "broadcast); the gate filter, dedup canon "

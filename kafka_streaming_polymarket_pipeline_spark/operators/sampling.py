@@ -203,18 +203,25 @@ def _dsir_grams_by_bucket(df, n_buckets, id_col, text_col, with_target=None):
     ), base
 
 
-def _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col):
-    """(tb, base) with the entropy target flag attached — the shared
-    feature stage of the model fit (and of dsir_select's one-pass
-    composition)."""
-    from kafka_streaming_polymarket_pipeline_spark.operators.text import (
-        char_entropy_frame,
-    )
+def _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col, target=None):
+    """(tb, base) with the target flag attached — the shared feature
+    stage of the model fit (and of dsir_select's one-pass composition).
+    ``target`` (any boolean/int Column over ``df``'s rows) overrides the
+    default char-entropy gate; at the driver's gate SFs the entropy gate
+    is DEGENERATE (every doc clears 2.0 bits, so tgt == raw and every
+    lam is 0 — found by the r10 margin audit), which is why x9c gates a
+    lang-slice target whose lams are 64/64 non-zero."""
+    if target is not None:
+        labeled = df.withColumn("_tgt", target.cast("int"))
+    else:
+        from kafka_streaming_polymarket_pipeline_spark.operators.text import (
+            char_entropy_frame,
+        )
 
-    labeled = char_entropy_frame(df, text_col).withColumn(
-        "_tgt",
-        (F.round(F.col("char_entropy_bits"), 6) >= entropy_min).cast("int"),
-    )
+        labeled = char_entropy_frame(df, text_col).withColumn(
+            "_tgt",
+            (F.round(F.col("char_entropy_bits"), 6) >= entropy_min).cast("int"),
+        )
     return _dsir_grams_by_bucket(
         labeled, n_buckets, id_col, text_col, with_target=F.col("_tgt")
     )
@@ -260,6 +267,7 @@ def dsir_model(
     entropy_min: float = 2.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target: Column | None = None,
 ) -> DataFrame:
     """Fit the DSIR importance model: exactly ``n_buckets`` rows
     (bucket, lam_micro) where lam_micro is the integer-micro-unit
@@ -268,7 +276,7 @@ def dsir_model(
     offline stage a standing ingest job freezes at build time (the
     drift-monitor reference-histogram pattern); :func:`dsir_score`
     applies it to any frame, batch or per-micro-batch."""
-    tb, _ = _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col)
+    tb, _ = _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col, target)
     return _model_from_tb(tb, df.sparkSession, n_buckets)
 
 
@@ -323,6 +331,7 @@ def dsir_select(
     entropy_min: float = 2.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target: Column | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     pick the raw-corpus documents whose hashed-n-gram distribution looks
@@ -368,7 +377,7 @@ def dsir_select(
     # table is persisted and consumed by the model fold AND the per-doc
     # score (calling dsir_model + dsir_score separately would tokenize
     # and shuffle the corpus twice — the dominant cost).
-    tb, base = _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col)
+    tb, base = _dsir_labeled_grams(df, n_buckets, entropy_min, id_col, text_col, target)
     tb = tb.persist(StorageLevel.MEMORY_AND_DISK)
     lam = _model_from_tb(tb, df.sparkSession, n_buckets)
     scores = (

@@ -85,10 +85,13 @@ _REGISTRY: dict[str, Query] = {}
 # pins all ~200 oracle output schemas to portable types, and
 # tests/test_sampling_margins.py retires the rounding-flip hypothesis
 # (min margin 1.9e-3 micro-units, >= 10^5 x any libm ulp spread).
-# Block 3 (39, stalest first): regional_revenue + order_priority_check
+# Block 3 (38, stalest first): regional_revenue + order_priority_check
 # (the last two r05 rows), then the r06 rows straight off the front of
 # the staleness-ordered tail (d13 .. q3_recall). No rows-only row is
 # due (a13/m4 out of prefix): CORRECTNESS_r10's target is 50/50 green.
+# (x9c_dsir_lang_target joined Block 1 mid-round — the margin audit
+# showed x9's entropy target is degenerate at gate SFs, so x9c gates
+# the DSIR model with real non-zero scores.)
 #
 # ---- r09 gate prefix (history; exactly the 50 entries below Block
 # comments describe) ----
@@ -138,6 +141,7 @@ _DRIVER_PRIORITY: list[str] = [
     "e2e_corpus_build_v",
     "x9a_dsir_model_gate",
     "x9b_dsir_keys",
+    "x9c_dsir_lang_target",
     "d12c_prefix_jaccard_dfpruned",
     "x11b_ccnet_buckets_approx",
     "e2e_corpus_build_g",

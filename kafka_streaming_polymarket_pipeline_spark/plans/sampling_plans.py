@@ -493,6 +493,86 @@ def x9b_dsir_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x9c_dsir_lang_target",
+    oracle="""
+WITH lab AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tgt, unnest(toks) AS g FROM lab
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM lab WHERE len(toks) >= 2
+),
+tb AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+bt AS (
+  SELECT s.bucket,
+         coalesce(sum(tb.cnt), 0) AS raw_cnt,
+         coalesce(sum(CASE WHEN tb.tgt = 1 THEN tb.cnt END), 0) AS tgt_cnt
+  FROM spine s LEFT JOIN tb USING (bucket) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS rtot,
+         CAST(sum(tgt_cnt) AS DOUBLE) AS ttot
+  FROM bt
+),
+lam AS (
+  SELECT bucket,
+         CAST(round((ln((tgt_cnt + 1.0) / (ttot + 64.0))
+                     - ln((raw_cnt + 1.0) / (rtot + 64.0))) * 1e6) AS BIGINT)
+           AS lam_micro
+  FROM bt, tot
+),
+sc AS (
+  SELECT lab.doc_id,
+         CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro
+  FROM lab LEFT JOIN (
+    SELECT tb.doc_id, sum(tb.cnt * lam.lam_micro) AS score_micro
+    FROM tb JOIN lam USING (bucket) GROUP BY 1
+  ) s USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, score_micro,
+         score_micro + CAST(round(-ln(-ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0)) * 1e6) AS BIGINT) AS key_micro
+  FROM sc
+)
+SELECT doc_id, score_micro, key_micro
+FROM keyed
+ORDER BY key_micro DESC, doc_id
+LIMIT 100
+""",
+)
+def x9c_dsir_lang_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling against a NON-DEGENERATE target: the r10 margin
+    audit found x9's char-entropy gate passes EVERY document at the
+    gate SFs (min entropy 3.68 bits vs the 2.0 threshold), so tgt==raw
+    in every bucket, every lam_micro is exactly 0, and x9's official
+    row only ever exercises the Gumbel stage. This registration targets
+    the lang='en' slice ("make the corpus look like the English
+    slice"), whose model is 64/64 non-zero lams spanning ~±1.3e5
+    micro-units (margin to any .5 rounding boundary >= 5.8e-3 at the
+    gate SFs — five orders above libm ulp spread), so the model fit,
+    the bigint score sum, AND the keyed cut are all hash-gated with
+    real values. Same plan shape as x9; target is a row-local flag
+    instead of the entropy pass."""
+    docs = load(spark, sf_dir, "documents")
+    return S.dsir_select(docs, k=100, target=F.col("lang") == "en")
+
+
+@register(
     "x10_decontam_split",
     oracle=f"""
 WITH toks AS (

@@ -68,6 +68,8 @@ ALLOWED_NESTED = {
     "x9a_dsir_model_gate": "x9's model-fit stage alone: the same "
                            "crossJoin against the broadcast ONE-ROW "
                            "(rtot, ttot) gram-total aggregate",
+    "x9c_dsir_lang_target": "x9's shape with a lang-slice target: the "
+                            "same one-row broadcast gram-total crossJoin",
     "e2e_corpus_build_d": "embeds x9's one-row broadcast gram-total "
                           "aggregate (the DSIR model-fit stage)",
     "v3_unigram_estep": "crossJoin against the broadcast ONE-ROW vocab "

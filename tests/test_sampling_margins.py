@@ -100,6 +100,42 @@ FROM bt, tot
     assert margin > 1e-4, f"lam pre-round value within {margin} of a .5 boundary"
 
 
+def test_lam_micro_margins_lang_target(con):
+    """x9c's lang='en' target produces 64/64 NON-ZERO lams (unlike the
+    degenerate entropy target, where every lam is exactly 0) — so this
+    is the margin check that actually exercises log-ratio rounding."""
+    rows = con.execute("""
+WITH lab AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+  FROM documents),
+grams AS (
+  SELECT doc_id, tgt, unnest(toks) AS g FROM lab
+  UNION ALL
+  SELECT doc_id, tgt, unnest(list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM lab WHERE len(toks) >= 2),
+tb AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+bt AS (
+  SELECT s.bucket, coalesce(sum(tb.cnt), 0) AS raw_cnt,
+         coalesce(sum(CASE WHEN tb.tgt = 1 THEN tb.cnt END), 0) AS tgt_cnt
+  FROM spine s LEFT JOIN tb USING (bucket) GROUP BY 1),
+tot AS (SELECT CAST(sum(raw_cnt) AS DOUBLE) rtot, CAST(sum(tgt_cnt) AS DOUBLE) ttot FROM bt)
+SELECT (ln((tgt_cnt + 1.0) / (ttot + 64.0))
+        - ln((raw_cnt + 1.0) / (rtot + 64.0))) * 1e6
+FROM bt, tot
+    """).fetchall()
+    vals = [r[0] for r in rows]
+    assert sum(1 for v in vals if abs(v) > 0.5) == 64, "en-target lam degenerate?"
+    margin = _min_margin_to_half(vals)
+    assert margin > 1e-4, f"en-target lam pre-round value within {margin} of .5"
+
+
 def test_entropy_gate_margins(con):
     rows = con.execute(f"""
         WITH base AS (SELECT string_split(text, '') AS chars FROM documents)

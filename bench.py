@@ -84,7 +84,11 @@ HEADLINE = [
     "d17_paragraph_dedup",    # sub-document exact dedup + reassembly (r09)
     "t21_quality_lr_eval",    # train/score/AUC eval loop for the LR (r09)
     "v5_unigram_doc_ppl",     # doc perplexity under the in-engine-trained LM (r09)
+    "x9c_dsir_lang_target",   # DSIR resample, non-degenerate lang target (r10)
 ]
+# (e2e_corpus_build_g, like its four e2e siblings, stays out of bench:
+# the compositions re-run operators the tiers already time — d18 alone
+# is e2e_g's dominant cost and is heavy-tier-tracked.)
 
 # Heavy tier: the most expensive registered operators, trend-tracked with
 # their own subtotal so regressions in the expensive tier show up in the

@@ -45,6 +45,7 @@ HEADLINE = [
     "d1_exact_dedup",         # exact dedup (hash groupBy)
     "d3_minhash_lsh",         # MinHash+LSH near-dup
     "d3c_minhash_lsh_dfpruned",  # DF-pruned LSH (boilerplate-blind production lever)
+    "d3d_minhash_lsh_oph",  # OPH signatures (r10; one hash/shingle vs d3's 128)
     "c1_kmeans_assign",       # deterministic k-means (2 Lloyd rounds, hash-gated)
     "d8_semantic_dedup",      # SemDeDup: within-k-means-cell cosine pairs
     "t1_token_stats",         # text analysis over documents

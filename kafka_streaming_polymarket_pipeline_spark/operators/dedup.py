@@ -251,11 +251,21 @@ def minhash_lsh_dedup(
     broadcast, drop the hint and the joins become shuffle-hash on
     doc_id — still candidate-local work.
     """
+    index = shingle_index(df, id_col, text_col, n)
+    return _banded_verify_funnel(df, minhash_signatures(index), threshold, n, id_col, text_col)
+
+
+def _banded_verify_funnel(
+    df: DataFrame, sigs: DataFrame, threshold: float, n: int,
+    id_col: str, text_col: str,
+) -> DataFrame:
+    """The shared band -> band-count -> est -> exact-verify funnel over a
+    prepared m0..m{NUM_PERM-1} signature frame (minhash_lsh_dedup's body,
+    extracted verbatim so the OPH signature variant reuses it)."""
     from pyspark.storagelevel import StorageLevel
 
     rows, min_bands, est_cutoff = _lsh_params(threshold)
-    index = shingle_index(df, id_col, text_col, n)
-    sigs = minhash_signatures(index).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     buckets = _band_buckets(sigs, rows)
     left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
@@ -273,6 +283,83 @@ def minhash_lsh_dedup(
     n_docs = sigs.count()  # materializes the persisted signatures once
     survivors = _est_filter(cand, sigs, est_cutoff, n_docs)
     return _verify_jaccard(survivors, hashed, threshold, n_docs)
+
+
+def oph_signatures(index: DataFrame) -> DataFrame:
+    """One-Permutation-Hashing MinHash signature (Li/Owen/Zhang, NIPS 2012)
+    with rotation densification (Shrivastava/Li, ICML 2014): ONE hash per
+    shingle instead of NUM_PERM multiply-mods.
+
+    Each shingle hashes once; the low 7 bits pick one of NUM_PERM=128 bins
+    and the remaining 57 bits are the rank value. The signature is the
+    per-bin minimum; an empty bin borrows the nearest non-empty bin to its
+    right (circular rotation), so two docs with similar shingle sets —
+    hence similar emptiness patterns — borrow the same source bins and the
+    densified collision probability still tracks J.
+
+    Two-level aggregation keeps the per-shingle cost O(1):
+
+      stage 1  groupBy(doc_id, bin) -> min(val): map-side combine collapses
+               each partition to <= NUM_PERM rows/doc before the shuffle,
+               so shuffle volume matches minhash_signatures' while the
+               per-shingle compute drops ~NUM_PERM-fold.
+      stage 2  groupBy(doc_id) pivots <= NUM_PERM bin rows into the m0..m127
+               columns (the conditional-min expressions run over bin rows,
+               not shingle rows).
+      densify  doc-grain array pass: m_i = first non-null among
+               r_i, r_{i+1 mod 128}, ... via slice+filter over a doubled
+               array — interpreted higher-order ops, but over docs x 128
+               elements only, off the shingle-mass hot path.
+
+    vs minhash_signatures: the Omega(shingles x NUM_PERM) signature floor
+    SCALE.md documents for d3 becomes Omega(shingles) + Theta(docs x
+    NUM_PERM^2) — at 100 TB (shingle mass >> doc count) that floor is the
+    whole game. Downstream banding/est/verify is unchanged and the output
+    stays exact-verified, so recall loss shows up as a hash mismatch
+    against the exact-Jaccard oracle rather than silent corruption.
+    """
+    h = F.xxhash64("sh")
+    partial = (
+        index.select(
+            "doc_id",
+            F.pmod(h, F.lit(NUM_PERM)).alias("bin"),
+            F.shiftrightunsigned(h, 7).alias("v"),  # drops the 7 bin bits
+        )
+        .groupBy("doc_id", "bin")
+        .agg(F.min("v").alias("mv"))
+    )
+    raw = partial.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("bin") == i, F.col("mv"))).alias(f"r{i}") for i in range(NUM_PERM)]
+    )
+    doubled = raw.select(
+        "doc_id",
+        F.concat(
+            F.array(*[F.col(f"r{i}") for i in range(NUM_PERM)]),
+            F.array(*[F.col(f"r{i}") for i in range(NUM_PERM)]),
+        ).alias("rr"),
+    )
+    return doubled.select(
+        "doc_id",
+        *[
+            F.element_at(
+                F.filter(F.slice("rr", i + 1, NUM_PERM), lambda x: x.isNotNull()), 1
+            ).alias(f"m{i}")
+            for i in range(NUM_PERM)
+        ],
+    )
+
+
+def minhash_lsh_dedup_oph(
+    df: DataFrame, threshold: float = 0.5, n: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """minhash_lsh_dedup with OPH signatures: same banding, same band-count
+    and signature-agreement prefilters, same exact-Jaccard verification —
+    the only change is the signature stage's per-shingle cost (one hash vs
+    NUM_PERM multiply-mods; see oph_signatures). Output contract is
+    unchanged: equals ngram_jaccard_pairs at the same threshold."""
+    index = shingle_index(df, id_col, text_col, n)
+    return _banded_verify_funnel(df, oph_signatures(index), threshold, n, id_col, text_col)
 
 
 def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -1331,6 +1418,46 @@ def paragraph_dedup(
         (F.col("doc_id") == F.col("_k")["doc_id"])
         & (F.col("chunk_idx") == F.col("_k")["chunk_idx"])
     )
+    return _rebuild_kept_windows(df, id_col, paras, kept)
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb pass
+    that deletes EVERY occurrence of a paragraph seen in more than
+    ``max_doc_freq`` distinct documents (headers, footers, license
+    blocks, navigation chrome). The keep rule is the semantic complement
+    of paragraph_dedup/d17: d17 keeps one canonical copy of a repeated
+    paragraph; this keeps none — repeated content is treated as
+    template noise, not as content that deserves a canonical survivor.
+    Intra-doc repeats with doc-frequency 1 survive (they are stylistic,
+    not cross-doc boilerplate).
+
+    Scale: one groupBy(paragraph) count-distinct (map-side partials on
+    (_pt, doc_id) then _pt), then a LEFT ANTI join of the window table
+    against the frequent set — by Zipf the frequent side is a tiny
+    fraction of distinct windows (317 of 10,387 at sf0.1), so at corpus
+    scale it broadcasts and the scrub is map-side; the reassembly is
+    d17's per-doc rebuild. No windows over unbounded partitions, no
+    doc x doc anything. Output: (doc_id, text_clean, n_paras,
+    n_removed) — one row per INPUT doc so over-removal flips the gate."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import passage_chunks
+
+    paras = passage_chunks(
+        df, size=size, stride=size, id_col=id_col, text_col=text_col
+    ).select("doc_id", "chunk_idx", F.col("chunk_text").alias("_pt"))
+    frequent = (
+        paras.groupBy("_pt")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_pt")
+    )
+    kept = paras.join(frequent, "_pt", "left_anti")
     return _rebuild_kept_windows(df, id_col, paras, kept)
 
 

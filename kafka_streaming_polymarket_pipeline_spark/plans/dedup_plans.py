@@ -112,6 +112,18 @@ def d3c_minhash_lsh_dfpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d3d_minhash_lsh_oph", oracle=_JACCARD_ORACLE)
+def d3d_minhash_lsh_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing MinHash (Li/Owen/Zhang 2012 + rotation
+    densification, Shrivastava/Li 2014) through d3's banding/est/verify
+    funnel: ONE hash per shingle instead of 128 multiply-mods, attacking
+    the Omega(shingles x 128) signature floor SCALE.md documents as d3's
+    measured cost driver. Output contract and oracle are d3's exactly —
+    the funnel's exact-Jaccard verification means any densification recall
+    loss surfaces as a hash mismatch, not silent corruption."""
+    return D.minhash_lsh_dedup_oph(load(spark, sf_dir, "documents"), threshold=0.5, n=5)
+
+
 @register(
     "d7_incremental_neardup",
     oracle="""
@@ -645,6 +657,51 @@ def d17_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark uses a groupBy min-struct + join back (map-side combined —
     no global window at corpus scale)."""
     return D.paragraph_dedup(load(spark, sf_dir, "documents"), size=32)
+
+
+@register(
+    "d19_boilerplate_scrub",
+    oracle="""
+WITH tkz AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+n AS (SELECT doc_id, ts, len(ts) AS L FROM tkz),
+p AS (
+  SELECT doc_id, CAST(ci AS INT) AS pidx,
+         array_to_string(ts[CAST(ci * 32 + 1 AS BIGINT) : CAST(ci * 32 + 32 AS BIGINT)], ' ') AS ptext
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, greatest(CAST(floor((L - 32 + 31) / 32) AS BIGINT), 0) + 1)) AS ci
+        FROM n WHERE L > 0)
+),
+freq AS (
+  SELECT ptext FROM p GROUP BY ptext HAVING count(DISTINCT doc_id) > 1
+),
+k AS (SELECT doc_id, pidx, ptext FROM p ANTI JOIN freq USING (ptext)),
+reb AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS text_clean,
+         count(*) AS nk
+  FROM k GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS np FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.text_clean, '') AS text_clean,
+       CAST(coalesce(tot.np, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(tot.np, 0) - coalesce(reb.nk, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+""",
+)
+def d19_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate scrub (r10): delete EVERY occurrence
+    of a 32-token paragraph that appears in more than one distinct
+    document — the CCNet/RefinedWeb template-removal pass, the semantic
+    complement of d17's keep-one-canonical rule (repeated content is
+    noise here, not a canonical survivor; intra-doc repeats with
+    doc-frequency 1 survive). Spark: count-distinct per window, LEFT
+    ANTI join against the Zipf-small frequent set (broadcastable at
+    corpus scale — the scrub itself is map-side), d17's reading-order
+    reassembly with one row per input doc."""
+    return D.boilerplate_scrub(load(spark, sf_dir, "documents"), size=32, max_doc_freq=1)
 
 
 @register(

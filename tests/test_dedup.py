@@ -56,6 +56,29 @@ def test_minhash_lsh_matches_exact(planted):
     assert lsh == exact and exact  # finds the same non-empty pair set
 
 
+def test_oph_lsh_matches_exact(planted):
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in D.ngram_jaccard_pairs(planted, 0.5).collect()
+    }
+    oph = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in D.minhash_lsh_dedup_oph(planted, 0.5).collect()
+    }
+    assert oph == exact and exact
+
+
+def test_oph_signatures_dense_and_deterministic(planted, spark):
+    # Short docs (<128 shingles) force empty bins; rotation densification
+    # must fill every one of the 128 columns, and two docs with identical
+    # text must produce identical signatures.
+    dup = spark.createDataFrame(
+        [(10, "tiny text"), (11, "tiny text")], "doc_id long, text string"
+    )
+    sigs = D.oph_signatures(D.shingle_index(dup)).collect()
+    by_id = {r["doc_id"]: [r[f"m{i}"] for i in range(D.NUM_PERM)] for r in sigs}
+    assert all(v is not None for v in by_id[10])  # densified: no holes
+    assert by_id[10] == by_id[11]  # content-determined
+
+
 def test_lsh_params_reproduce_calibrated_constants():
     # threshold=0.5 must reproduce round-1's hand-calibrated prefilters
     # exactly (r=2, min_bands=3, est cutoff 38/128) so registered-query

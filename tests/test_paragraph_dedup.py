@@ -60,6 +60,26 @@ def test_shared_paragraph_removed_from_noncanonical_doc(spark):
     assert got[2].n_paras == 2
 
 
+def test_boilerplate_scrub_removes_all_copies(spark):
+    """d19 semantics vs d17: a cross-doc repeated window is removed from
+    EVERY doc (no canonical survivor), while an intra-doc repeat with
+    doc-frequency 1 is kept in both positions."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.dedup import boilerplate_scrub
+
+    boiler = _para("bp")
+    a_only, b_only, twice = _para("ao"), _para("bo"), _para("tw")
+    docs = [
+        (1, boiler + " " + a_only),
+        (2, boiler + " " + b_only),
+        (3, twice + " " + twice),  # intra-doc repeat, df=1 -> kept whole
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in boilerplate_scrub(df, size=32).collect()}
+    assert got[1].text_clean == a_only and got[1].n_removed == 1
+    assert got[2].text_clean == b_only and got[2].n_removed == 1
+    assert got[3].text_clean == twice + " " + twice and got[3].n_removed == 0
+
+
 def test_no_duplicates_roundtrips_text(spark):
     docs = [(i, _para(f"u{i}a") + " " + _para(f"u{i}b")) for i in range(5)]
     got = _run(spark, docs)

@@ -748,3 +748,143 @@ def e2e_corpus_build_g(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.packed_sequences(kept).select(
         "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"
     )
+
+
+# Sixth composition: the RefinedWeb-recipe pipeline — scrub-ALL template
+# windows first (d19: a 32-token paragraph in >1 distinct doc is noise,
+# no canonical survivor — RefinedWeb's corpus-wide line dedup), then
+# DOC-level near-dup dedup over the scrubbed text with the keep-longest
+# canonical rule, then the t17 entropy gate, then pk1 packing. Differs
+# from the Dolma build (_g) in stage 1's keep rule: _g keeps one fuzzy
+# canonical window per near-dup cluster; _r deletes every cross-doc
+# repeat outright — the two stage-1 philosophies real pipelines choose
+# between, both now gated end-to-end.
+
+
+@register(
+    "e2e_corpus_build_r",
+    oracle=f"""
+WITH RECURSIVE tkz AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+nn AS (SELECT doc_id, ts, len(ts) AS L FROM tkz),
+p AS (
+  SELECT doc_id, CAST(ci AS INT) AS pidx,
+         array_to_string(ts[CAST(ci * 32 + 1 AS BIGINT) : CAST(ci * 32 + 32 AS BIGINT)], ' ') AS ptext
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, greatest(CAST(floor((L - 32 + 31) / 32) AS BIGINT), 0) + 1)) AS ci
+        FROM nn WHERE L > 0)
+),
+freq AS (
+  SELECT ptext FROM p GROUP BY ptext HAVING count(DISTINCT doc_id) > 1
+),
+k AS (SELECT doc_id, pidx, ptext FROM p ANTI JOIN freq USING (ptext)),
+reb AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS text_clean
+  FROM k GROUP BY doc_id
+),
+scrub AS (
+  SELECT d.doc_id, coalesce(reb.text_clean, '') AS text
+  FROM documents d LEFT JOIN reb USING (doc_id)
+),
+dsh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 3, 1)),
+                                 i -> substr(text, CAST(i AS INT), 5))) AS s
+    FROM scrub)
+),
+dsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+dinter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM dinter
+  JOIN dsz sa ON doc_id_a = sa.doc_id
+  JOIN dsz sb ON doc_id_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+),
+dedges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM dpairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM dpairs
+),
+dreach(node, lab) AS (
+  SELECT doc_id, doc_id FROM scrub
+  UNION
+  SELECT e.src, r.lab FROM dedges e JOIN dreach r ON r.node = e.dst
+),
+dclusters AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM dreach GROUP BY node),
+canon AS (
+  SELECT doc_id, text FROM (
+    SELECT s.doc_id, s.text,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY len(s.text) DESC, s.doc_id) AS rn
+    FROM scrub s JOIN dclusters c USING (doc_id)
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id, text FROM canon
+  WHERE round(-coalesce(list_sum(list_transform(
+          list_sort(list_distinct(string_split(text, ''))),
+          ch -> (CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+                  / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE))
+                * log2(CAST(len(list_filter(string_split(text, ''), x -> x = ch)) AS DOUBLE)
+                  / CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE)))), 0.0), 6)
+        >= {ENTROPY_KEEP_BITS}
+),
+tk AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM kept
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tok_start
+  FROM tk
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {P.PACK_BUDGET} AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // {P.PACK_BUDGET}
+            ELSE tok_start // {P.PACK_BUDGET} END AS seq_last
+FROM placed
+""",
+)
+def e2e_corpus_build_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-recipe corpus materialization (r10): d19's
+    corpus-frequency boilerplate scrub rewrites every document (EVERY
+    occurrence of a cross-doc repeated 32-token window deleted — no
+    canonical survivor), then doc-level near-dup dedup runs over the
+    scrubbed text (d3's funnel + d6b star CC) with d13's keep-longest
+    canonical rule, the t17 char-entropy gate drops fully-scrubbed and
+    low-entropy survivors, and pk1 packs the rest into 512-token
+    sequences. Stage 1's deletions mutate cluster membership, canonical
+    choice, AND the token spine — the stage-coupling bug class only an
+    end-to-end gate sees. Every stage is an independently hash-gated
+    operator (d19, d3, d6b, d13, t17, pk1); the oracle re-derives the
+    chain in one statement with one recursive doc-grain closure."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = D.boilerplate_scrub(docs, size=32, max_doc_freq=1).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    pairs = D.minhash_lsh_dedup(scrubbed, threshold=0.5, n=5)
+    clusters = D.neardup_clusters_star(scrubbed, pairs)
+    canon = scrubbed.join(
+        D.keep_longest_per_cluster(scrubbed, clusters)
+        .select(F.col("kept_doc_id").alias("doc_id")),
+        "doc_id",
+    )
+    kept = (
+        T.char_entropy_frame(canon)
+        .filter(F.round(F.col("char_entropy_bits"), 6) >= ENTROPY_KEEP_BITS)
+        .select("doc_id", "text")
+    )
+    return P.packed_sequences(kept).select(
+        "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"
+    )

@@ -1021,6 +1021,82 @@ def quality_lr_eval(
     )
 
 
+def quality_lr_calibration(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    entropy_min: float = 2.0,
+):
+    """Reliability diagram for t20's classifier — the CALIBRATION check
+    that complements t21's discrimination check (AUC says the ranking is
+    right; a quality-threshold pipeline also needs the probabilities to
+    mean what they say before 'keep if p >= 0.x' is a defensible knob).
+    Train on the x1 'train' split, score the held-out docs, convert each
+    6-dp logit to an integer micro-probability
+    p_micro = round(1e6 * sigmoid(logit)) — rounded ONCE; every
+    downstream step (decile binning by integer division, per-bin sums)
+    is exact BIGINT, the x9/DSIR discipline — and report one row per
+    occupied probability decile: doc count, positive count, mean
+    predicted probability, empirical positive rate, and |gap| (the
+    per-bin term of expected calibration error).
+
+    Scale shape: train/score reuse t20's broadcast-join shapes; the only
+    aggregation is a groupBy over <= 10 bin keys (map-side combined) —
+    no global window at all, unlike the AUC rank. Output: (bin, n_docs,
+    n_pos, avg_p, pos_rate, gap), bin ascending."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.sampling import hash_split
+
+    split = hash_split(df, id_col=id_col).select(id_col, "split")
+    train = df.join(split.filter(F.col("split") == "train").select(id_col), id_col)
+    held = df.join(split.filter(F.col("split") != "train").select(id_col), id_col)
+    w = train_quality_lr(
+        train, id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        entropy_min=entropy_min,
+    )
+    scored = apply_quality_lr(
+        held, w, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    labels = char_entropy_frame(held, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        (F.round(F.col("char_entropy_bits"), 6) >= entropy_min)
+        .cast("long")
+        .alias("y"),
+    )
+    p_micro = F.round(
+        F.lit(1e6) / (F.lit(1.0) + F.exp(-F.col("quality_logit"))), 0
+    ).cast("long")
+    pm = scored.join(labels, "doc_id").select("doc_id", "y", p_micro.alias("_pm"))
+    # Range-adaptive bins: the trained logits cluster tightly around 0,
+    # so fixed [0,1] deciles collapse to one bin — bin over the OBSERVED
+    # micro-probability range instead. All-integer: (pm-mn)*10 div
+    # (mx-mn+1) lands in 0..9 with no float boundary anywhere (numerator
+    # <= 1e7), and the two scalars broadcast (x11's cutpoint shape).
+    stats = pm.agg(F.min("_pm").alias("_mn"), F.max("_pm").alias("_mx"))
+    binned = (
+        pm.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "y", "_pm",
+            F.expr("((_pm - _mn) * 10) div (_mx - _mn + 1)").cast("int").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("_pm").alias("_spm"),
+        )
+    )
+    nd = F.col("n_docs").cast("double")
+    avg_p = F.col("_spm") / nd / F.lit(1e6)
+    pos_rate = F.col("n_pos") / nd
+    return binned.select(
+        "bin", "n_docs", "n_pos",
+        F.round(avg_p, 6).alias("avg_p"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(avg_p - pos_rate), 6).alias("gap"),
+    ).orderBy("bin")
+
+
 def char_entropy_frame(df, text_col: str = "text"):
     """Attach `n_chars_split`, `n_distinct_chars`, `char_entropy_bits`
     (unrounded) for the Shannon character entropy of ``text_col`` — the

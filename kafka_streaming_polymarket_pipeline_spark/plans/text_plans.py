@@ -965,6 +965,116 @@ def t21_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t22_quality_lr_calibration",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         string_split(text, '') AS chars,
+         ('0x' || substr(md5(concat_ws(':', lang, CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+           % 100 AS sb
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+         CAST({_T21_Y} AS DOUBLE) AS y
+  FROM base WHERE sb < 80
+),
+ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM lab),
+tb AS (
+  SELECT doc_id, y, n,
+         CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM (SELECT doc_id, y, n, unnest(toks) AS t FROM lab)
+  GROUP BY 1, 2, 3, 4
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+g1 AS (
+  SELECT bucket,
+         round(sum((0.5 - y) * cnt / n) / (SELECT nn FROM ncnt), 6) AS g
+  FROM tb GROUP BY bucket
+),
+w1 AS (
+  SELECT s.bucket, round(0.0 - 1.0 * COALESCE(g1.g, 0.0), 6) AS weight
+  FROM spine s LEFT JOIN g1 USING (bucket)
+),
+p2 AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-round(sum(tb.cnt * w1.weight) / any_value(tb.n), 6))) AS p
+  FROM tb JOIN w1 USING (bucket) GROUP BY doc_id
+),
+g2 AS (
+  SELECT tb.bucket,
+         round(sum((p2.p - tb.y) * tb.cnt / tb.n) / (SELECT nn FROM ncnt), 6) AS g
+  FROM tb JOIN p2 USING (doc_id) GROUP BY tb.bucket
+),
+w2 AS (
+  SELECT s.bucket, round(w1.weight - 1.0 * COALESCE(g2.g, 0.0), 6) AS weight
+  FROM spine s JOIN w1 ON s.bucket = w1.bucket LEFT JOIN g2 ON s.bucket = g2.bucket
+),
+hlab AS (
+  SELECT doc_id, toks,
+         CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+         {_T21_Y} AS y
+  FROM base WHERE sb >= 80
+),
+hocc AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INTEGER) AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS t FROM hlab)
+),
+hsum AS (
+  SELECT hocc.doc_id, sum(w2.weight) AS s
+  FROM hocc JOIN w2 USING (bucket) GROUP BY hocc.doc_id
+),
+pz AS (
+  SELECT l.doc_id, l.y, round(COALESCE(hsum.s, 0.0) / l.n, 6) AS z
+  FROM hlab l LEFT JOIN hsum USING (doc_id)
+),
+pm AS (
+  SELECT doc_id, CAST(y AS BIGINT) AS y,
+         CAST(round(1e6 / (1.0 + exp(-z)), 0) AS BIGINT) AS p_micro
+  FROM pz
+),
+st AS (SELECT min(p_micro) AS mn, max(p_micro) AS mx FROM pm),
+b AS (
+  SELECT ((p_micro - st.mn) * 10) // (st.mx - st.mn + 1) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(p_micro) AS BIGINT) AS spm
+  FROM pm, st GROUP BY 1
+)
+SELECT CAST(bin AS INT) AS bin, n_docs, n_pos,
+       round(spm / CAST(n_docs AS DOUBLE) / 1e6, 6) AS avg_p,
+       round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+       round(abs(spm / CAST(n_docs AS DOUBLE) / 1e6
+                 - CAST(n_pos AS DOUBLE) / n_docs), 6) AS gap
+FROM b
+""",
+)
+def t22_quality_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the in-engine quality classifier (r10):
+    t21 gates DISCRIMINATION (rank-sum AUC); this gates CALIBRATION —
+    per probability decile of the held-out scores, mean predicted
+    probability vs empirical positive rate and their |gap| (the per-bin
+    term of expected calibration error), the check a 'keep if p >= 0.x'
+    production knob needs before the threshold is meaningful. Scores
+    convert to integer micro-probabilities (round(1e6*sigmoid(logit)),
+    rounded ONCE — the DSIR discipline) so binning (all-integer
+    range-adaptive decile over the observed micro range; the trained
+    logits cluster near 0, so fixed [0,1] deciles would collapse to one
+    bin) and per-bin sums are exact BIGINT on both engines; the only
+    aggregation is a groupBy over <= 10 bin keys, no global window
+    (unlike t21's rank). Label gate at the 4.1-bit corpus median for
+    the same two-class reason as t21. Oracle: t21's full two-step
+    descent + inference chain, then the micro-probability binning."""
+    return T.quality_lr_calibration(
+        load(spark, sf_dir, "documents"), entropy_min=4.1
+    )
+
+
+@register(
     "m4b_video_decode_gate",
     oracle="""
 SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,

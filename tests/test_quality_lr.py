@@ -202,3 +202,39 @@ def test_eval_single_class_auc_null(spark):
     row = quality_lr_eval(df).collect()[0]
     assert row.n_pos == row.n_held and row.n_neg == 0
     assert row.auc is None and row.auc_baseline is None
+
+
+def test_calibration_bins_partition_heldout(spark):
+    """t22's reliability diagram on the learnable synthetic corpus:
+    bins partition the held-out docs (counts sum to n_held), every bin
+    id is a valid adaptive decile, per-bin accounting is internally
+    consistent (n_pos <= n_docs, gap == |avg_p - pos_rate| at 6 dp),
+    and the junk/clean structure separates — the top bin must be purer
+    than the bottom bin."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import (
+        quality_lr_calibration,
+        quality_lr_eval,
+    )
+
+    vocab = [
+        "river", "engine", "window", "batch", "stream", "table", "query",
+        "sorted", "hash", "join", "state", "event", "core", "plan",
+    ]
+    docs = []
+    for i in range(40):
+        words = [vocab[(i + k * 3) % len(vocab)] for k in range(12)]
+        docs.append((i, "en", " ".join(words)))
+    for i in range(40, 80):
+        tok = ["aa", "zz", "qq"][i % 3]
+        docs.append((i, "en", " ".join([tok] * 12)))
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = quality_lr_calibration(df).collect()
+    n_held = quality_lr_eval(df).collect()[0].n_held
+    assert sum(r.n_docs for r in rows) == n_held
+    assert all(0 <= r.bin <= 9 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n_docs
+        assert abs(r.gap - round(abs(r.avg_p - r.pos_rate), 6)) < 2e-6, r
+    by_bin = {r.bin: r for r in rows}
+    lo, hi = min(by_bin), max(by_bin)
+    assert by_bin[hi].pos_rate >= by_bin[lo].pos_rate, (by_bin[lo], by_bin[hi])

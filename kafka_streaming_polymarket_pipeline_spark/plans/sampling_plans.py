@@ -268,6 +268,134 @@ def x6_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x12_repeat_capped_alloc",
+    oracle="""
+WITH c AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY lang
+),
+t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM c),
+z AS (SELECT sum(pow(n_tok * 1.0 / total, 0.3)) AS z FROM c CROSS JOIN t),
+w AS (
+  SELECT lang, n_tok,
+         CAST(round(1e6 * pow(n_tok * 1.0 / total, 0.3) / z, 0) AS BIGINT) AS w_micro,
+         CAST(3 * total AS BIGINT) AS budget,
+         CAST(4 * n_tok AS BIGINT) AS cap
+  FROM c CROSS JOIN t CROSS JOIN z
+),
+wt AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM w),
+r AS (
+  SELECT w.*, wt.w_tot,
+         COALESCE(CAST(sum(cap) OVER (ORDER BY cap * 1.0 / w_micro, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_cap,
+         COALESCE(CAST(sum(w_micro) OVER (ORDER BY cap * 1.0 / w_micro, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS w_prev
+  FROM w CROSS JOIN wt
+),
+f AS (SELECT *, (cap * (w_tot - w_prev) <= (budget - cum_cap) * w_micro) AS capped FROM r),
+m AS (
+  SELECT COALESCE(CAST(sum(cap) FILTER (WHERE capped) AS BIGINT), 0) AS cap_sum,
+         COALESCE(CAST(sum(w_micro) FILTER (WHERE capped) AS BIGINT), 0) AS w_cap
+  FROM f
+)
+SELECT lang, n_tok, w_micro, capped,
+       round(CASE WHEN capped THEN cap * 1.0
+                  ELSE (budget - m.cap_sum) * 1.0 * w_micro / (w_tot - m.w_cap) END, 6) AS alloc_tok,
+       round(CASE WHEN capped THEN 4.0
+                  ELSE (budget - m.cap_sum) * 1.0 * w_micro / (w_tot - m.w_cap) / n_tok END, 6) AS epochs
+FROM f CROSS JOIN m
+""",
+)
+def x12_repeat_capped_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-capped proportional token-budget allocation — the
+    data-constrained-scaling regime (Muennighoff et al. 2023): spend a
+    3x-corpus token budget across languages proportionally to x4's
+    temperature-softened weights (alpha=0.3), but cap every language at
+    4 epochs of its own unique tokens (the paper's ~4-epoch
+    value-of-repetition knee); the capped languages' excess demand
+    redistributes to the uncapped ones by weighted water-filling. x6's
+    complement: x6 fills UNIFORMLY toward 1 epoch under-budget, x12
+    fills PROPORTIONALLY over-budget, which is where the repeat cap —
+    not the budget split — binds on tail languages.
+
+    Engine-exact discipline: the softened weight rounds ONCE to integer
+    micro-units; the greedy cap decision (order by cap/weight, then
+    cap_k * W_remaining <= (B - cum_caps) * w_k) is pure BIGINT
+    cross-multiplication, so the capped set is exact on both engines;
+    only the final fill level divides (rounded 6 dp). At the sf0.01
+    gate the split is non-degenerate (2 capped / 3 water-filled).
+
+    Scale shape: one groupBy(lang) token-count; the ordering window
+    runs over O(#languages) rows; everything else is 1-row broadcast
+    aggregates — one narrow shuffle at any corpus size."""
+    from pyspark.sql import Window
+
+    from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    c = docs.select(
+        "lang", F.size(tokens(F.col("text"))).cast("long").alias("_nt")
+    ).groupBy("lang").agg(F.sum("_nt").alias("n_tok"))
+    t = c.agg(F.sum("n_tok").alias("total"))
+    withp = c.crossJoin(F.broadcast(t)).withColumn(
+        "pa", F.pow(F.col("n_tok") / F.col("total"), F.lit(0.3))
+    )
+    z = withp.agg(F.sum("pa").alias("z"))
+    w = (
+        withp.crossJoin(F.broadcast(z))
+        .select(
+            "lang", "n_tok",
+            F.round(F.lit(1e6) * F.col("pa") / F.col("z"), 0).cast("long").alias("w_micro"),
+            (F.lit(3) * F.col("total")).cast("long").alias("budget"),
+            (F.lit(4) * F.col("n_tok")).cast("long").alias("cap"),
+        )
+    )
+    wt = w.agg(F.sum("w_micro").alias("w_tot"))
+    ordw = Window.orderBy(F.col("cap") / F.col("w_micro"), "lang")
+    r = (
+        w.crossJoin(F.broadcast(wt))
+        .withColumn(
+            "cum_cap",
+            F.coalesce(
+                F.sum("cap").over(ordw.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "w_prev",
+            F.coalesce(
+                F.sum("w_micro").over(ordw.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    f = r.withColumn(
+        "capped",
+        F.col("cap") * (F.col("w_tot") - F.col("w_prev"))
+        <= (F.col("budget") - F.col("cum_cap")) * F.col("w_micro"),
+    )
+    m = f.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)).alias("cap_sum"),
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("w_micro"))), F.lit(0)).alias("w_cap"),
+    )
+    fill = (
+        (F.col("budget") - F.col("cap_sum"))
+        * F.col("w_micro")
+        / (F.col("w_tot") - F.col("w_cap"))
+    )
+    return f.crossJoin(F.broadcast(m)).select(
+        "lang", "n_tok", "w_micro", "capped",
+        F.round(
+            F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(fill), 6
+        ).alias("alloc_tok"),
+        F.round(
+            F.when(F.col("capped"), F.lit(4.0)).otherwise(fill / F.col("n_tok")), 6
+        ).alias("epochs"),
+    )
+
+
+@register(
     "x7_group_split",
     oracle="""
 SELECT doc_id, source,

@@ -140,3 +140,35 @@ def test_x10_override_actually_fires(spark):
             b = raw[r["doc_id"]]
             want = "train" if b < 80 else ("validation" if b < 90 else "test")
             assert r["split"] == want
+
+
+def test_repeat_capped_alloc_math(spark, tmp_path):
+    """x12 on planted skewed languages: a 3x-token budget with a 4-epoch
+    cap must cap the temperature-BOOSTED tail language (its softened
+    weight demands > 4 epochs of its tiny unique supply) while the head
+    water-fills below 4; the capped language gets exactly 4.0 epochs,
+    total allocation returns the full budget within rounding, and every
+    epochs value is <= 4."""
+    import os
+
+    from kafka_streaming_polymarket_pipeline_spark.plans.registry import get
+
+    rows, i = [], 0
+    # head 'en': 200 docs x 10 tokens; tail 'xx': 5 docs x 10 tokens
+    for lang, n in (("en", 200), ("xx", 5)):
+        for _ in range(n):
+            rows.append((i, lang, " ".join(f"w{i}k{k}" for k in range(10))))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in get("x12_repeat_capped_alloc").builder(spark, str(tmp_path)).collect()
+    }
+    assert got["xx"]["capped"] and got["xx"]["epochs"] == 4.0
+    assert got["xx"]["alloc_tok"] == 4.0 * got["xx"]["n_tok"]
+    assert not got["en"]["capped"] and got["en"]["epochs"] <= 4.0
+    total_tok = sum(r["n_tok"] for r in got.values())
+    total_alloc = sum(r["alloc_tok"] for r in got.values())
+    assert abs(total_alloc - 3 * total_tok) < 1e-3, (total_alloc, 3 * total_tok)

@@ -62,6 +62,9 @@ def corpus_ingest_sink(
     monitor_bins: int = 10,
     dsir_lambda: DataFrame | None = None,
     lm_model: DataFrame | None = None,
+    scrub_boilerplate: bool = False,
+    scrub_size: int = 32,
+    scrub_max_doc_freq: int = 1,
 ):
     """Standing job: per micro-batch, quality-gate the docs, quarantine
     rejects, then run the admitted docs through the incremental dedup
@@ -102,7 +105,20 @@ def corpus_ingest_sink(
     lineage never re-runs per batch) with the OOV-char floor pinned
     there too, so every batch scores under literally the same table;
     per batch the scorer costs one per-DISTINCT-WORD Viterbi fold + a
-    broadcast model join over admitted docs only."""
+    broadcast model join over admitted docs only.
+
+    Pass ``scrub_boilerplate=True`` to ALSO run the prefix-causal
+    template scrub (``streaming/boilerplate_stream.py``) on admitted
+    docs BEFORE they reach the dedup probe and the optional scorers —
+    the d3c motivation at ingest time: template windows stop polluting
+    the near-dup index and the DSIR/LM features the moment they go
+    frequent. ``admitted/batch=<id>`` then carries the SCRUBBED text
+    plus (n_paras, n_removed) accounting, and the window-frequency
+    index lives beside the dedup index under ``index/wfreq/batch=<id>``
+    with the same overwrite + before_batch retry armor. Docs scrubbed
+    to empty text stay in the landed output (the accounting row is the
+    audit trail) but cost the dedup probe nothing (empty shingle sets
+    never index)."""
     from kafka_streaming_polymarket_pipeline_spark.sources.sinks import (
         foreach_batch_sink,
     )
@@ -174,6 +190,28 @@ def corpus_ingest_sink(
         admitted = batch.join(
             feats.filter(F.col("keep")).select("doc_id"), "doc_id"
         ).localCheckpoint(eager=True)
+        if scrub_boilerplate:
+            from kafka_streaming_polymarket_pipeline_spark.streaming import (
+                boilerplate_stream as BS,
+            )
+
+            scrubbed, wfreq_part = BS.boilerplate_scrub_batch(
+                admitted,
+                index_path,
+                size=scrub_size,
+                max_doc_freq=scrub_max_doc_freq,
+                before_batch=batch_id,
+            )
+            admitted = (
+                admitted.drop("text")
+                .join(
+                    scrubbed.withColumnRenamed("text_clean", "text"), "doc_id"
+                )
+                .localCheckpoint(eager=True)
+            )
+            wfreq_part.write.mode("overwrite").parquet(
+                os.path.join(index_path, BS.WFREQ, f"batch={batch_id}")
+            )
         landed = admitted
         if lam_rows is not None:
             from kafka_streaming_polymarket_pipeline_spark.operators.sampling import (

@@ -370,3 +370,73 @@ def test_score_with_model_matches_v5_on_training_corpus(spark):
         for r in unigram_score_with_model(docs, unigram_lm_model(docs)).collect()
     }
     assert v5 == frozen
+
+
+def test_ingest_scrub_stage_keeps_templates_out_of_the_index(spark, tmp_path):
+    """scrub_boilerplate=True: a template paragraph shared across
+    batches is scrubbed from its later arrival BEFORE the dedup probe,
+    so the template-driven near-dup pair disappears from the pair
+    stream (the d3c motivation at ingest time); quarantined docs never
+    reach the window-frequency index; landed rows carry the scrubbed
+    text + accounting."""
+    template = " ".join(f"tpl{i}" for i in range(32))
+    batch_a = [
+        (0, "en", "s0", template + " ua0 ua1 ua2 ua3"),
+        (1, "en", "s0", "solo doc about watermark propagation semantics"),
+    ]
+    batch_b = [
+        (2, "en", "s0", template + " uc0 uc1 uc2 uc3"),
+        (3, "en", "s1", JUNK),  # quarantined: its windows must not index
+    ]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    a = spark.createDataFrame(batch_a, SCHEMA)
+    b = spark.createDataFrame(batch_b, SCHEMA)
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    time.sleep(1.1)
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path / "out")
+    q = IS.corpus_ingest_sink(
+        stream, out, str(tmp_path / "ck"), scrub_boilerplate=True
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    adm = {
+        r["doc_id"]: r
+        for r in spark.read.option("basePath", f"{out}/admitted")
+        .parquet(f"{out}/admitted/batch=*")
+        .collect()
+    }
+    assert set(adm) == {0, 1, 2}
+    assert adm[0]["text"].startswith(template) and adm[0]["n_removed"] == 0
+    assert adm[2]["text"] == "uc0 uc1 uc2 uc3" and adm[2]["n_removed"] == 1
+
+    # the raw corpus HAS the template-driven near-dup pair (0, 2)...
+    raw = a.unionByName(b).select("doc_id", "text")
+    raw_pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.ngram_jaccard_pairs(raw, 0.5).collect()
+    }
+    assert (0, 2) in raw_pairs
+    # ...but the scrubbed pair stream does not
+    got_pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.option("basePath", f"{out}/pairs")
+        .parquet(f"{out}/pairs/batch=*")
+        .collect()
+    }
+    assert (0, 2) not in got_pairs
+
+    # quarantined doc 3's windows never reached the frequency index
+    wfreq = spark.read.option("basePath", f"{out}/index/wfreq").parquet(
+        f"{out}/index/wfreq/batch=*"
+    )
+    assert wfreq.filter(F.col("ptext").contains("aa")).count() == 0
+    assert wfreq.filter(F.col("ptext") == template).count() == 2  # both batches

@@ -86,6 +86,8 @@ HEADLINE = [
     "t21_quality_lr_eval",    # train/score/AUC eval loop for the LR (r09)
     "v5_unigram_doc_ppl",     # doc perplexity under the in-engine-trained LM (r09)
     "x9c_dsir_lang_target",   # DSIR resample, non-degenerate lang target (r10)
+    "d19_boilerplate_scrub",  # corpus-frequency template removal (r10)
+    "t22_quality_lr_calibration",  # reliability diagram for the LR (r10)
 ]
 # (e2e_corpus_build_g, like its four e2e siblings, stays out of bench:
 # the compositions re-run operators the tiers already time — d18 alone

@@ -125,6 +125,14 @@ ALLOWED_NESTED = {
                         "broadcast k-row (k=8) centroid table",
     "x6_unimax_budget": "crossJoins against the broadcast one-row "
                         "budget and water-fill-level aggregates",
+    "x12_repeat_capped_alloc": "x6's shape: crossJoins against the "
+                               "broadcast one-row total/normalizer/"
+                               "weight-sum/cap-sum aggregates; the "
+                               "per-language frame is O(#languages)",
+    "t22_quality_lr_calibration": "crossJoin against the broadcast "
+                                  "one-row min/max micro-probability "
+                                  "aggregate (the adaptive bin range), "
+                                  "x11's cutpoint shape",
     "d8_semantic_dedup": "embeds c1's k-row centroid crossJoin; the "
                          "within-cell pair join itself is an equi-join "
                          "on cell",

@@ -36,11 +36,11 @@ from kafka_streaming_polymarket_pipeline_spark.operators.text import char_shingl
 NUM_PERM = 128
 
 # Above this many docs the LSH est/verify joins stop broadcasting the
-# signature / hashed-shingle sides and switch to shuffle-hash on doc_id
-# (candidate-local either way).  ~1 KB/doc of 128-int signatures and a
-# similar hashed-array payload put the broadcast budget around a few
-# hundred MB at the default; the 100 TB path needs no code edit, only
-# (optionally) this env knob.
+# signature / hashed-shingle projections of the payload and switch to
+# shuffle-hash on doc_id (candidate-local either way).  ~1 KB/doc of
+# 128-int signatures and a similar hashed-array payload put the
+# broadcast budget around a few hundred MB at the default; the 100 TB
+# path needs no code edit, only (optionally) this env knob.
 BROADCAST_VERIFY_MAX_DOCS = int(os.environ.get("PMPS_BROADCAST_VERIFY_MAX_DOCS", "500000"))
 
 
@@ -125,13 +125,147 @@ def minhash_signatures(index: DataFrame) -> DataFrame:
     functions evaluate interpreted, measured 4x slower here. The groupBy
     does map-side partial min, so the shuffle carries one 128-value row per
     doc regardless of shingle count."""
-    h32 = F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
-    hashed = index.select("doc_id", h32.alias("h"))
-    mins = [
-        F.min((F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i])) % F.lit(_MERSENNE_P)).alias(f"m{i}")
+    hashed = index.select("doc_id", F.xxhash64("sh").alias("h64"))
+    return hashed.groupBy("doc_id").agg(*_perm_mins())
+
+
+def _perm_mins() -> list[Column]:
+    """The 128 permutation min-aggregates over a 64-bit shingle hash
+    column ``h64`` (h32 = h64 mod 2^32 exactly as the string path always
+    hashed: pmod(xxhash64(sh), 2^32))."""
+    h32 = F.pmod(F.col("h64"), F.lit(1 << 32))
+    return [
+        F.min(
+            (F.lit(_PERM_A[i]) * h32 + F.lit(_PERM_B[i])) % F.lit(_MERSENNE_P)
+        ).alias(f"m{i}")
         for i in range(NUM_PERM)
     ]
-    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def _hashed_shingle_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, h64): one row per shingle OCCURRENCE (multiset — consumers
+    dedupe via min/collect_set), hashed with xxhash64 over the n-char
+    substring. Whole-stage-codegen explode+substring+hash — the r10
+    optimization replacing the interpreted transform(sequence)+
+    array_distinct(string array) path, which materialized every shingle
+    STRING per doc before hashing (guide §4.1: built-ins beat interpreted
+    higher-order lambdas; measured v0 5.9 s -> v4 5.2 s for the combined
+    agg at sf0.1, and the string-array pass it replaces cost another
+    ~4 s). The length guard keeps sequence() ascending (an L<n doc would
+    otherwise generate a DESCENDING [1,0] range)."""
+    return (
+        df.filter(F.length(F.col(text_col)) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1))
+            ).alias("_i"),
+        )
+        .select("doc_id", F.xxhash64(F.expr(f"substring(_t, _i, {n})")).alias("h64"))
+    )
+
+
+def _sig_payload(index_h: DataFrame) -> DataFrame:
+    """ONE aggregation producing everything the funnel consumes per doc:
+    (doc_id, hsh = distinct shingle-hash set, sz = |hsh|, m0..m127).
+
+    This is the r10 single-pass restructure: the funnel previously ran
+    TWO full shingle passes over the corpus — one exploded pass for the
+    128-permutation signature aggregation and one array-materializing
+    pass for the verify-side hashed shingle arrays (guide §1.2: remove
+    whole passes before tuning inside them). Both were the measured
+    Ω(shingle-mass) floor; one combined groupBy now computes signatures
+    AND verify arrays from a single codegen shingle stream (measured at
+    sf0.1: 5.2 s replacing 5.9 s + 4.2 s of separate stages).
+
+    ``sz`` counts DISTINCT 64-bit shingle hashes where the old path
+    counted distinct shingle strings; an intra-doc xxhash64 collision
+    (odds ~L²/2^64 ≈ 2e-13 per doc) would shrink it by one — the same
+    accepted tolerance class as the hashed verify intersections
+    (~5e-15/pair), documented there since round 1."""
+    return (
+        index_h.groupBy("doc_id")
+        .agg(F.collect_set("h64").alias("hsh"), *_perm_mins())
+        .withColumn("sz", F.size("hsh"))
+    )
+
+
+def _cand_pairs(buckets: DataFrame, min_bands: int) -> DataFrame:
+    """Band-bucket self-join -> per-pair band-match count -> k >= min_bands
+    cut (the funnel's first exactness-preserving prefilter, factored)."""
+    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
+    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") >= min_bands)
+        .drop("k")
+    )
+
+
+def _est_verify(
+    cand: DataFrame,
+    payload: DataFrame,
+    est_cutoff: int,
+    threshold: float,
+    n_docs: int | None,
+    int_pred: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Signature-estimate cut, then exact verify, both sides projected
+    from ONE persisted payload frame (r10: the per-doc signature and
+    hashed-array frames used to be built and persisted separately; one
+    combined aggregation now feeds both join stages via column-pruned
+    projections of the same cache)."""
+    sig_a = payload.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    sig_b = payload.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM)
+    )
+    # Join ORDER is load-bearing: the est joins see every candidate (4.2M
+    # at sf0.1) but carry only fixed-width signature columns; the hashed
+    # arrays (~1.5 KB/doc) join AFTER the estimate cut, so only the ~1-2%
+    # surviving pairs ever copy an array into a joined row.  A merged
+    # single-pass variant was measured 4-5x SLOWER here (the broadcast
+    # join materializes both arrays into every candidate row before the
+    # filter can kill it — 4.2M x 3 KB of memcpy).
+    survivors = (
+        cand.join(_doc_side(sig_a, n_docs), "doc_id_a")
+        .join(_doc_side(sig_b, n_docs), "doc_id_b")
+        .filter(est >= F.lit(est_cutoff))
+        .select("doc_id_a", "doc_id_b")
+    )
+    sh_a = payload.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hsh").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    sh_b = payload.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("hsh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    if int_pred is None:
+        # unrounded float predicate, same expression as the oracle
+        keep = jac >= threshold
+    else:
+        # d12-family integer cross-multiplication (no float edge)
+        num, den = int_pred
+        keep = den * inter >= num * (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        survivors.join(_doc_side(sh_a, n_docs), "doc_id_a")
+        .join(_doc_side(sh_b, n_docs), "doc_id_b")
+        .filter(keep)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 def _band_buckets(signatures: DataFrame, rows: int = 2) -> DataFrame:
@@ -235,54 +369,47 @@ def minhash_lsh_dedup(
     true Jaccard. Output equals ngram_jaccard_pairs; no shingle-index
     self-join ever materializes.
 
-    Physical notes: the count aggregation shuffles only (doc_id_a,
-    doc_id_b) pairs — measured ~4 s for 25M rows vs the ~6x it saves on
-    the wide est join (whose input drops from every bucket-co-occurrence
-    row to distinct pairs with k >= min_bands). Signatures feed three
-    join sides and are persisted: the 129-column columnar cache build
-    costs ~5 s, but the alternative (no persist) re-executes the
-    signature aggregation per consumer — exchange reuse does NOT fire
-    across the three differently-projected broadcast consumers
-    (measured: 0 ReusedExchange nodes, 29-35 s no-persist vs ~17 s
-    persisted at sf0.1; an earlier 6-9 s no-persist reading was
-    contaminated by CacheManager substituting frames a prior persisted
-    run had left cached). Signature/shingle sides are broadcast (MBs at
-    bench scale); on a 1000-executor corpus where they outgrow
-    broadcast, drop the hint and the joins become shuffle-hash on
-    doc_id — still candidate-local work.
+    Physical notes (r10 restructure, guide §1.2/§2.4): ONE codegen
+    shingle-hash stream (explode+substring+xxhash64 — no interpreted
+    transform/array_distinct string pass) feeds ONE combined payload
+    aggregation producing signatures AND verify arrays per doc — the
+    r09 shape ran the Ω(shingle-mass) pass twice and persisted two
+    frames (measured at sf0.1: 5.2 s for the combined agg vs
+    5.9 s + 4.2 s separate).  The band-count aggregation still shuffles
+    only (doc_id_a, doc_id_b) pairs (25M bucket-co-occurrence rows ->
+    4.2M candidates at sf0.1).  The est+verify stages merged into one
+    pass over the payload (two joins, not four); est kills ~98% of
+    candidates before the array intersection evaluates (codegen
+    short-circuit), measured 2.1 s est + 0.8 s verify at sf0.1.  The
+    payload is persisted — exchange reuse does NOT fire across its
+    three differently-projected consumers (banding + both join sides;
+    measured round 1: 0 ReusedExchange, ~2x no-persist).  Payload sides
+    broadcast at bench scale; above BROADCAST_VERIFY_MAX_DOCS the joins
+    flip to shuffle-hash on doc_id — still candidate-local work.
     """
-    index = shingle_index(df, id_col, text_col, n)
-    return _banded_verify_funnel(df, minhash_signatures(index), threshold, n, id_col, text_col)
+    return _payload_funnel(
+        _sig_payload(_hashed_shingle_stream(df, id_col, text_col, n)), threshold
+    )
 
 
-def _banded_verify_funnel(
-    df: DataFrame, sigs: DataFrame, threshold: float, n: int,
-    id_col: str, text_col: str,
+def _payload_funnel(
+    payload: DataFrame, threshold: float, int_pred: tuple[int, int] | None = None
 ) -> DataFrame:
-    """The shared band -> band-count -> est -> exact-verify funnel over a
-    prepared m0..m{NUM_PERM-1} signature frame (minhash_lsh_dedup's body,
-    extracted verbatim so the OPH signature variant reuses it)."""
+    """The shared band -> band-count -> merged est+verify funnel over a
+    prepared (doc_id, hsh, sz, m0..m{NUM_PERM-1}) payload frame.
+
+    The payload feeds three consumers (banding, est side a, est side b)
+    and is persisted: exchange reuse does NOT fire across the
+    differently-projected consumers (measured round 1; the r10
+    restructure shrinks what gets persisted to ONE frame where the old
+    funnel cached signatures AND hashed arrays separately)."""
     from pyspark.storagelevel import StorageLevel
 
     rows, min_bands, est_cutoff = _lsh_params(threshold)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    buckets = _band_buckets(sigs, rows)
-    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
-    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
-    cand = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("k"))
-        .filter(F.col("k") >= min_bands)
-        .drop("k")
-    )
-
-    hashed = _hashed_shingle_arrays(df, id_col, text_col, n)
-    n_docs = sigs.count()  # materializes the persisted signatures once
-    survivors = _est_filter(cand, sigs, est_cutoff, n_docs)
-    return _verify_jaccard(survivors, hashed, threshold, n_docs)
+    payload = payload.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = payload.count()  # materializes the persisted payload once
+    cand = _cand_pairs(_band_buckets(payload, rows), min_bands)
+    return _est_verify(cand, payload, est_cutoff, threshold, n_docs, int_pred)
 
 
 def oph_signatures(index: DataFrame) -> DataFrame:
@@ -318,9 +445,19 @@ def oph_signatures(index: DataFrame) -> DataFrame:
     stays exact-verified, so recall loss shows up as a hash mismatch
     against the exact-Jaccard oracle rather than silent corruption.
     """
-    h = F.xxhash64("sh")
+    return _oph_signatures_hashed(
+        index.select("doc_id", F.xxhash64("sh").alias("h64"))
+    )
+
+
+def _oph_signatures_hashed(index_h: DataFrame) -> DataFrame:
+    """:func:`oph_signatures` over an already-hashed (doc_id, h64) stream
+    (xxhash64 of the shingle string — identical values either way), so
+    the codegen shingle stream feeds OPH without re-materializing
+    strings."""
+    h = F.col("h64")
     partial = (
-        index.select(
+        index_h.select(
             "doc_id",
             F.pmod(h, F.lit(NUM_PERM)).alias("bin"),
             F.shiftrightunsigned(h, 7).alias("v"),  # drops the 7 bin bits
@@ -357,9 +494,24 @@ def minhash_lsh_dedup_oph(
     and signature-agreement prefilters, same exact-Jaccard verification —
     the only change is the signature stage's per-shingle cost (one hash vs
     NUM_PERM multiply-mods; see oph_signatures). Output contract is
-    unchanged: equals ngram_jaccard_pairs at the same threshold."""
-    index = shingle_index(df, id_col, text_col, n)
-    return _banded_verify_funnel(df, oph_signatures(index), threshold, n, id_col, text_col)
+    unchanged: equals ngram_jaccard_pairs at the same threshold.
+
+    r10 physical shape: ONE codegen shingle-hash stream, persisted,
+    feeds both the OPH two-level aggregation and the verify-array
+    collect_set; the two 5k-row per-doc frames join into the funnel's
+    single payload."""
+    from pyspark.storagelevel import StorageLevel
+
+    index_h = _hashed_shingle_stream(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _oph_signatures_hashed(index_h)
+    hashed = (
+        index_h.groupBy("doc_id")
+        .agg(F.collect_set("h64").alias("hsh"))
+        .withColumn("sz", F.size("hsh"))
+    )
+    return _payload_funnel(sigs.join(hashed, "doc_id"), threshold)
 
 
 def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -447,9 +599,6 @@ def minhash_lsh_dedup_dfpruned(
     downstream reuses the exact funnel's machinery and inherits its
     exactness bounds relative to pruned-set Jaccard.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    rows, min_bands, est_cutoff = _lsh_params(threshold)
     idx0 = shingle_index(df, id_col, text_col, n)
     n_docs = df.agg(F.count("*").alias("n_docs"))
     dfreq = idx0.groupBy("sh").agg(F.count("*").alias("dfq"))
@@ -459,35 +608,19 @@ def minhash_lsh_dedup_dfpruned(
         .select("sh")
     )
     # Rare shingles are the numerous ones — the kept set does NOT broadcast;
-    # plain shuffle-hash equi-join on the shingle key.
-    idx = idx0.join(kept_sh, "sh").persist(StorageLevel.MEMORY_AND_DISK)
-
-    sigs = minhash_signatures(idx).persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = _band_buckets(sigs, rows)
-    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
-    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
-    cand = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("k"))
-        .filter(F.col("k") >= min_bands)
-        .drop("k")
-    )
-    # Verify arrays come from the pruned index (collect_list order is
-    # irrelevant: array_intersect + exact sizes; shingles are distinct
-    # per doc). Docs whose every shingle was pruned vanish from the index
-    # and therefore from signatures and output — matching the oracle,
-    # where such docs simply have no rows in the pruned CTE.
-    hashed = (
-        idx.select("doc_id", F.xxhash64("sh").alias("h"))
-        .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hsh"), F.count("*").alias("sz"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_docs = sigs.count()  # materializes the persisted pruned signatures once
-    survivors = _est_filter(cand, sigs, est_cutoff, n_docs)
-    return _verify_jaccard(survivors, hashed, threshold, n_docs)
+    # plain shuffle-hash equi-join on the shingle key.  The DF cut stays
+    # keyed on the shingle STRING (integer-exact kept set, oracle
+    # replicates it bit-for-bit; hashing the DF key would merge counts on
+    # 64-bit collisions, a real effect at 100 TB's ~1e12 distinct
+    # shingles).  Everything AFTER the cut is hashed immediately and the
+    # funnel runs on longs: one combined payload aggregation replaces the
+    # r09 shape's separately-persisted string index + signature agg +
+    # collect_list agg (r10; guide §1.2 — docs whose every shingle was
+    # pruned vanish from the stream and therefore from the payload and
+    # output, matching the oracle, where such docs have no rows in the
+    # pruned CTE).
+    idx_h = idx0.join(kept_sh, "sh").select("doc_id", F.xxhash64("sh").alias("h64"))
+    return _payload_funnel(_sig_payload(idx_h), threshold)
 
 
 def minhash_lsh_incremental(
@@ -512,11 +645,14 @@ def minhash_lsh_incremental(
     from pyspark.storagelevel import StorageLevel
 
     rows, min_bands, est_cutoff = _lsh_params(threshold)
-    corpus_sigs = minhash_signatures(shingle_index(corpus, id_col, text_col, n))
-    new_sigs = minhash_signatures(shingle_index(new, id_col, text_col, n))
-    sigs = corpus_sigs.union(new_sigs).persist(StorageLevel.MEMORY_AND_DISK)
-    corpus_buckets = _band_buckets(corpus_sigs, rows)
-    new_buckets = _band_buckets(new_sigs, rows)
+    corpus_pl = _sig_payload(
+        _hashed_shingle_stream(corpus, id_col, text_col, n)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_pl = _sig_payload(
+        _hashed_shingle_stream(new, id_col, text_col, n)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_buckets = _band_buckets(corpus_pl, rows)
+    new_buckets = _band_buckets(new_pl, rows)
 
     nb = new_buckets.select(F.col("doc_id").alias("nid"), "band_id", "band_hash")
     cb = corpus_buckets.select(F.col("doc_id").alias("cid"), "band_id", "band_hash")
@@ -538,12 +674,9 @@ def minhash_lsh_incremental(
         .drop("k")
     )
 
-    all_docs = corpus.select(id_col, text_col).union(new.select(id_col, text_col))
-    hashed = _hashed_shingle_arrays(all_docs, id_col, text_col, n)
-    n_docs = sigs.count()  # materializes the persisted union signatures once
-    return _verify_jaccard(
-        _est_filter(cand, sigs, est_cutoff, n_docs), hashed, threshold, n_docs
-    )
+    payload = corpus_pl.unionByName(new_pl)
+    n_docs = corpus_pl.count() + new_pl.count()  # materializes both payloads
+    return _est_verify(cand, payload, est_cutoff, threshold, n_docs)
 
 
 # --- Near-dup clustering (connected components) -----------------------------

@@ -130,58 +130,20 @@ def token_set_lsh_pairs(
     standing tolerance).  Banding miss probability at t>=0.5 is
     <=1e-8/pair (``_lsh_params``) — the documented approximation the
     LSH family always carries."""
-    from pyspark.storagelevel import StorageLevel
-
     from kafka_streaming_polymarket_pipeline_spark.operators.text import tokens
 
-    rows, min_bands, est_cutoff = D._lsh_params(num / den)
-    toks_arr = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    index = docs.select(
+    # r10 physical shape: one codegen token-hash stream into the funnel's
+    # combined payload aggregation (collect_set dedups the multiset, the
+    # permutation mins are duplicate-insensitive), then the shared
+    # band -> band-count -> merged est+verify tail with the d12 integer
+    # predicate. Same pair set as the r09 shape; one corpus pass instead
+    # of two and two payload joins instead of four (see dedup._est_verify).
+    index_h = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(toks_arr).alias("sh"),
-    )
-    sigs = D.minhash_signatures(index).persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = D._band_buckets(sigs, rows)
-    left = buckets.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_hash")
-    right = buckets.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
-    cand = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("k"))
-        .filter(F.col("k") >= min_bands)
-        .drop("k")
-    )
-    hashed = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(toks_arr, lambda t: F.xxhash64(t)).alias("hsh"),
-        )
-        .withColumn("sz", F.size("hsh"))
-        .filter(F.col("sz") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_docs = sigs.count()  # materializes the persisted signatures once
-    survivors = D._est_filter(cand, sigs, est_cutoff, n_docs)
-    sh_a = hashed.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("hsh").alias("sh_a"), F.col("sz").alias("sz_a")
-    )
-    sh_b = hashed.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("hsh").alias("sh_b"), F.col("sz").alias("sz_b")
-    )
-    i = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        survivors.join(sh_a, "doc_id_a")
-        .join(sh_b, "doc_id_b")
-        .withColumn("_i", i)
-        .filter(den * F.col("_i") >= num * (F.col("sz_a") + F.col("sz_b") - F.col("_i")))
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round(
-                F.col("_i") / (F.col("sz_a") + F.col("sz_b") - F.col("_i")), 6
-            ).alias("jaccard"),
-        )
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h64"))
+    return D._payload_funnel(
+        D._sig_payload(index_h), num / den, int_pred=(num, den)
     )
 
 

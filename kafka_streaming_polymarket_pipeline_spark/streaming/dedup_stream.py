@@ -175,13 +175,10 @@ def _table_is_flat(table_path: str) -> bool:
 
 def _index_parts(docs: DataFrame, threshold: float, n: int):
     rows, _, _ = D._lsh_params(threshold)
-    sigs = D.minhash_signatures(D.shingle_index(docs, "doc_id", "text", n))
-    buckets = D._band_buckets(sigs, rows)
-    hashed = D.doc_shingle_arrays(docs, "doc_id", "text", n).select(
-        "doc_id",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"),
-        "sz",
-    )
+    payload = D._sig_payload(D._hashed_shingle_stream(docs, "doc_id", "text", n))
+    sigs = payload.select("doc_id", *[f"m{i}" for i in range(D.NUM_PERM)])
+    buckets = D._band_buckets(payload, rows)
+    hashed = payload.select("doc_id", "hsh", "sz")
     return sigs, buckets, hashed
 
 
@@ -255,25 +252,20 @@ def _read_index(
 
 def checkpointed_parts(new: DataFrame, threshold: float = 0.5, n: int = 5) -> tuple:
     """The batch's (sigs, buckets, hashed) frames, eagerly materialized —
-    computed once, shared by the probe and the index write.  sigs is
-    checkpointed FIRST and buckets derived from the checkpointed frame,
-    so the signature map pass (the expensive stage) runs exactly once
-    per batch; buckets itself is a cheap row-local hash over cached sig
-    rows and needs no checkpoint of its own."""
+    computed once, shared by the probe and the index write.  r10: ONE
+    combined payload aggregation (dedup._sig_payload over the codegen
+    shingle-hash stream) is checkpointed and the three frames are
+    projections of it, so the shingle pass — the expensive per-batch map
+    stage — runs exactly ONCE per batch where the r09 shape ran it twice
+    (signatures + hashed arrays separately); buckets is a cheap
+    row-local hash over the checkpointed rows."""
     rows, _, _ = D._lsh_params(threshold)
-    sigs = D.minhash_signatures(
-        D.shingle_index(new, "doc_id", "text", n)
+    payload = D._sig_payload(
+        D._hashed_shingle_stream(new, "doc_id", "text", n)
     ).localCheckpoint(eager=True)
-    buckets = D._band_buckets(sigs, rows)
-    hashed = (
-        D.doc_shingle_arrays(new, "doc_id", "text", n)
-        .select(
-            "doc_id",
-            F.transform("shingles", lambda s: F.xxhash64(s)).alias("hsh"),
-            "sz",
-        )
-        .localCheckpoint(eager=True)
-    )
+    sigs = payload.select("doc_id", *[f"m{i}" for i in range(D.NUM_PERM)])
+    buckets = D._band_buckets(payload, rows)
+    hashed = payload.select("doc_id", "hsh", "sz")
     return sigs, buckets, hashed
 
 

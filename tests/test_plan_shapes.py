@@ -255,8 +255,9 @@ def test_lsh_verify_join_strategy_is_size_conditional(spark, monkeypatch):
     def plan_of(frame):
         return frame._jdf.queryExecution().executedPlan().toString()
 
-    # fixture scale: all four payload joins (est a/b, verify a/b)
-    # broadcast; no shuffle-hash anywhere
+    # fixture scale: all four payload joins (est a/b, verify a/b — both
+    # sides column-pruned projections of the ONE persisted payload frame
+    # since r10) broadcast; no shuffle-hash anywhere
     small = D.minhash_lsh_dedup(df, threshold=0.5)
     assert plan_of(small).count("ShuffledHashJoin") == 0
     assert "BroadcastHashJoin" in plan_of(small)

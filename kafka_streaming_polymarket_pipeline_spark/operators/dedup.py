@@ -1331,7 +1331,18 @@ def prefix_jaccard_pairs(
     answer set itself (every pair sharing ANY surviving token
     qualifies at 19/20).
     """
+    from pyspark.storagelevel import StorageLevel
+
     docs, cand = prefix_jaccard_candidates(df, id_col, text_col, num, den, max_df_pct)
+    # Persist the ordered-docs frame: FOUR consumers read it (both prefix
+    # explode sides inside ``cand`` and both verify array sides below),
+    # and exchange reuse does not fire across the differently-projected
+    # subtrees — unpersisted, the tokenize+DF-join+collect pipeline
+    # re-executes per consumer and the whole query measured 23.5 s at
+    # sf0.1 vs 2.4 s with this one persist (r10; the d15/d16
+    # _containment_join already carried the same persist for the same
+    # reason).
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     da = docs.select(
         F.col("did").alias("doc_id_a"), F.col("toks").alias("_ta"), F.col("sz").alias("_sa")
     )

@@ -1943,6 +1943,15 @@ def j10_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.unix_micros("s"), F.unix_micros("r_s"))
         ).cast("long").alias("overlap_us"),
     )
+    # r10 skew audit: this top-k window is NOT the day-partition skew it
+    # reads as — Spark 4 plans a map-side WindowGroupLimit(Partial)
+    # below the exchange, so each scan task locally sorts and keeps
+    # <= 10 rows/day and only ~tasks x 10 x days rows ever shuffle.  A
+    # salted two-level variant (rank within (day, salt-64) first) was
+    # built and MEASURED SLOWER (19.6 s -> 26.8 s at sf0.1): it re-sorts
+    # the full 17M-row pair mass a second time for zero shuffle savings.
+    # The remaining cost is the local sort of the inherently quadratic
+    # pair mass feeding the partial limit — the exact-output floor.
     w = Window.partitionBy("day").orderBy(
         F.desc("overlap_us"), "user_a", "user_b"
     )

@@ -861,7 +861,7 @@ def train_quality_lr(
     )
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     w = spine.select("bucket", F.lit(0.0).alias("weight"))
-    for _ in range(iters):
+    for _it in range(iters):
         logits = (
             tb.join(F.broadcast(w), "bucket")
             .groupBy("did", "y", "n")
@@ -895,6 +895,18 @@ def train_quality_lr(
                     6,
                 ).alias("weight"),
             )
+        )
+        # Materialize the <= n_buckets-row weight table as a LITERAL frame
+        # per iteration (r10): left lazy, every broadcast consumer of w —
+        # the next iteration's logits, its gradient, and the final apply —
+        # re-executes the full descent lineage (tb scans + both groupBys
+        # per prior iteration), turning 2 iterations into ~6 pipeline
+        # runs. A 64-row model-table collect is this repo's standing
+        # bounded-state pattern (k-means centroids, IVF codebooks);
+        # doubles round-trip the driver exactly, so the values — and the
+        # hash gate — are unchanged.
+        w = spark.createDataFrame(
+            w.collect(), "bucket int, weight double"
         )
     return w
 

@@ -1943,6 +1943,58 @@ def j10_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.unix_micros("s"), F.unix_micros("r_s"))
         ).cast("long").alias("overlap_us"),
     )
+    # Exact top-k pre-prune (r10, guide §1.2 "don't compute what you
+    # throw away"): overlap(a,b) <= min(len_a, len_b), and the global
+    # top-10 of a day is bounded below by the 10th-best overlap of ANY
+    # concrete pair subset. Pairing just the 11 longest intervals per
+    # day (a <= 55-pair probe, driver-free, broadcast back) yields a
+    # per-day threshold T_d; every pair with overlap_us < T_d provably
+    # cannot rank — so the ~17M-row pair mass dies inside the join's
+    # output stage instead of feeding the top-k sort (the measured 15 s
+    # of j10 was the WindowGroupLimit's local sort of that mass; the
+    # join itself is 4.8 s). Days with < 10 probe pairs keep everything
+    # (T_d -> -inf), so the output is row-identical by construction.
+    ln = (F.unix_micros("e") - F.unix_micros("s")).alias("_len")
+    w_len = Window.partitionBy("day").orderBy(F.desc("_len"), "user_id")
+    top_iv = (
+        iv.select("user_id", "day", "s", "e", ln)
+        .withColumn("_r", F.row_number().over(w_len))
+        .filter(F.col("_r") <= 11)
+    )
+    ta = top_iv.select(
+        F.col("day"), F.col("user_id").alias("_ua"),
+        F.col("s").alias("_sa"), F.col("e").alias("_ea"),
+    )
+    tb = top_iv.select(
+        F.col("day"), F.col("user_id").alias("_ub"),
+        F.col("s").alias("_sb"), F.col("e").alias("_eb"),
+    )
+    probe_ov = (
+        ta.join(tb, "day")
+        .filter(
+            (F.col("_ua") < F.col("_ub"))
+            & (F.col("_sa") < F.col("_eb"))
+            & (F.col("_sb") < F.col("_ea"))
+        )
+        .select(
+            "day",
+            (
+                F.least(F.unix_micros("_ea"), F.unix_micros("_eb"))
+                - F.greatest(F.unix_micros("_sa"), F.unix_micros("_sb"))
+            ).cast("long").alias("_pov"),
+        )
+    )
+    w_pr = Window.partitionBy("day").orderBy(F.desc("_pov"))
+    thr = (
+        probe_ov.withColumn("_pr", F.row_number().over(w_pr))
+        .filter(F.col("_pr") == 10)
+        .select("day", F.col("_pov").alias("_thr"))
+    )
+    pairs = (
+        pairs.join(F.broadcast(thr), "day", "left")
+        .filter(F.col("overlap_us") >= F.coalesce("_thr", F.lit(-(1 << 62))))
+        .drop("_thr")
+    )
     # r10 skew audit: this top-k window is NOT the day-partition skew it
     # reads as — Spark 4 plans a map-side WindowGroupLimit(Partial)
     # below the exchange, so each scan task locally sorts and keeps

@@ -732,7 +732,10 @@ def e2e_corpus_build_g(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scrubbed = D.paragraph_neardup_dedup(docs, size=32).select(
         "doc_id", F.col("text_clean").alias("text")
-    )
+    ).persist()  # r10: four consumers (funnel, CC labels, keep-longest,
+    # canon join) — unpersisted, the whole scrub stage re-executed per
+    # consumer (the d12 lesson; for the d18-based sibling that is a full
+    # fuzzy-dedup re-run each time)
     pairs = D.minhash_lsh_dedup(scrubbed, threshold=0.5, n=5)
     clusters = D.neardup_clusters_star(scrubbed, pairs)
     canon = scrubbed.join(
@@ -872,7 +875,10 @@ def e2e_corpus_build_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scrubbed = D.boilerplate_scrub(docs, size=32, max_doc_freq=1).select(
         "doc_id", F.col("text_clean").alias("text")
-    )
+    ).persist()  # r10: four consumers (funnel, CC labels, keep-longest,
+    # canon join) — unpersisted, the whole scrub stage re-executed per
+    # consumer (the d12 lesson; for the d18-based sibling that is a full
+    # fuzzy-dedup re-run each time)
     pairs = D.minhash_lsh_dedup(scrubbed, threshold=0.5, n=5)
     clusters = D.neardup_clusters_star(scrubbed, pairs)
     canon = scrubbed.join(

@@ -88,11 +88,22 @@ def packed_sequences(
 
     Requires a numeric id (static range bucketing); ids need not be dense.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # Persist the 3-long-column token-count frame: it feeds the local
+    # prefix-sum window, the per-bucket totals, AND (through
+    # _bucket_offsets) two broadcast builds — each a separate job that
+    # would otherwise re-execute the ENTIRE upstream lineage. For bare
+    # pk1/pk2 that is one extra documents scan; composed at the end of
+    # an e2e corpus build it re-ran the scrub+dedup+entropy chain 3x on
+    # broadcast-exchange threads (r11; part of the e2e_g/e2e_r sf0.1
+    # tail). The cached rows are O(docs x 24 bytes) — model-state-sized
+    # next to the corpus, the d12 persist discipline.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         token_count(F.col(text_col)).alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_width).alias("_b"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     wlocal = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )

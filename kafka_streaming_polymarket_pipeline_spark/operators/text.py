@@ -1115,41 +1115,70 @@ def char_entropy_frame(df, text_col: str = "text"):
     low-entropy/gibberish quality filter (binary junk scores near 0 bits;
     natural language sits ~4 bits/char).
 
-    O(len log len) per document: the sorted char array is MATERIALIZED as
-    a column (an expression referenced from inside a lambda is re-evaluated
-    per element — the same transform+slice trap `_gram_join` documents, and
-    a naive alphabet x len membership count measured 45 s at 50k docs,
-    while an inlined get(sort(...), i) boundary scan degraded to
-    O(len^2 log len); the materialized form is a run-boundary scan over one
-    sort). Run lengths emerge in sorted-char order — the SAME order the
-    oracle's sorted-alphabet transform uses — so the probability fold sums
-    identical terms in identical order on both engines. get() is
-    OOB-null-safe under ANSI, and `i == size-1` ORs TRUE before the null
-    comparison can matter."""
+    O(len log len) per document: ONE run-length fold over ONE sorted
+    char array. The r10 shape materialized the sorted array as a column
+    and scanned run boundaries through positional get() lambdas — but
+    CollapseProject inlines single-consumer columns back into the
+    consuming lambdas, so inside the e2e compositions every per-element
+    get() re-evaluated the interpreted ArraySort (jstack r11:
+    TimSort -> If/LessThan.eval under ArrayFilter), O(len^2 log len)
+    per doc on an AQE-coalesced single task — the e2e_g/e2e_r >150 s
+    sf0.1 tail. This form has exactly one reference to the sorted
+    array (the aggregate's input, evaluated once per row however the
+    optimizer inlines it), uses sort_array (native type ordering) over
+    array_sort (interpreted per-comparison lambda), and carries
+    (prev char, run length, run count, entropy acc) through a single
+    aggregate state. Terms accumulate run-by-run in sorted-char order —
+    the SAME order and float association as before (each run's
+    (cnt/n)*log2(cnt/n) joins the sum when the next run starts; the
+    last at the finish step) and the SAME order the oracle's
+    sorted-alphabet transform uses, so the hash gate is unchanged."""
     chars = F.split(F.col(text_col), "")
-    d = df.withColumn("_t17_srt", F.array_sort(chars))
-    srt = F.col("_t17_srt")
-    size = F.size(srt)
-    # 0-based positions i where a run ends: last index, or srt[i] != srt[i+1].
-    d = d.withColumn(
-        "_t17_bounds",
-        F.filter(
-            F.sequence(F.lit(0), size - 1),
-            lambda i: (i == size - 1) | (F.get(srt, i) != F.get(srt, i + 1)),
+    size = F.size(chars)
+    n = F.greatest(size.cast("long"), F.lit(1))
+    st = F.aggregate(
+        F.sort_array(chars),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("cnt"),
+            F.lit(0).cast("long").alias("runs"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, ch: F.when(
+            acc["cnt"] == 0,
+            F.struct(
+                ch.alias("prev"), F.lit(1).alias("cnt"),
+                F.lit(1).cast("long").alias("runs"), acc["acc"].alias("acc"),
+            ),
+        )
+        .when(
+            ch == acc["prev"],
+            F.struct(
+                ch.alias("prev"), (acc["cnt"] + F.lit(1)).alias("cnt"),
+                acc["runs"].alias("runs"), acc["acc"].alias("acc"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                ch.alias("prev"), F.lit(1).alias("cnt"),
+                (acc["runs"] + F.lit(1)).cast("long").alias("runs"),
+                (acc["acc"] + (acc["cnt"] / n) * F.log2(acc["cnt"] / n)).alias("acc"),
+            ),
+        ),
+        lambda acc: F.struct(
+            (
+                -F.when(
+                    acc["cnt"] > 0,
+                    acc["acc"] + (acc["cnt"] / n) * F.log2(acc["cnt"] / n),
+                ).otherwise(acc["acc"])
+            ).alias("bits"),
+            acc["runs"].alias("runs"),
         ),
     )
-    bounds = F.col("_t17_bounds")
-    n = F.greatest(size.cast("long"), F.lit(1))
-    prev = F.concat(F.array(F.lit(-1)), F.slice(bounds, 1, F.size(bounds) - 1))
-    counts = F.zip_with(bounds, prev, lambda b, p: b - p)
-    entropy = -F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n),
-    )
     return (
-        d.withColumn("n_chars_split", size.cast("long"))
-        .withColumn("n_distinct_chars", F.size(bounds).cast("long"))
-        .withColumn("char_entropy_bits", entropy)
-        .drop("_t17_srt", "_t17_bounds")
+        df.withColumn("_t17_st", st)
+        .withColumn("n_chars_split", size.cast("long"))
+        .withColumn("n_distinct_chars", F.col("_t17_st")["runs"])
+        .withColumn("char_entropy_bits", F.col("_t17_st")["bits"])
+        .drop("_t17_st")
     )

@@ -2,7 +2,8 @@
 """Capture .explain('formatted') output for named registered queries.
 
 Usage: python scripts/capture_plans.py <suffix> name1 [name2 ...]
-Writes plans/r10/<name>_<suffix>.txt for each query (suffix: before/after).
+Writes plans/$PLANS_ROUND/<name>_<suffix>.txt for each query (suffix:
+before/after; PLANS_ROUND defaults to r11).
 """
 import os
 import sys
@@ -20,7 +21,11 @@ names = sys.argv[2:]
 spark = get_spark(app_name="capture-plans", cpus=8, shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
 
-out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+out_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r11"),
+)
 os.makedirs(out_dir, exist_ok=True)
 
 reg = plans.all_queries()

@@ -468,8 +468,19 @@ def _oph_signatures_hashed(index_h: DataFrame) -> DataFrame:
     raw = partial.groupBy("doc_id").agg(
         *[F.min(F.when(F.col("bin") == i, F.col("mv"))).alias(f"r{i}") for i in range(NUM_PERM)]
     )
+    return _oph_densify(raw)
+
+
+def _oph_densify(raw: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    """Rotation densification of a pivoted (doc_id, r0..r127[, carry...])
+    bin-min frame into the funnel's m0..m127 signature columns: m_i =
+    first non-null among r_i, r_{i+1 mod NUM_PERM}, ... via slice+filter
+    over a doubled array (interpreted higher-order ops, but over docs x
+    NUM_PERM elements only — off the shingle-mass hot path)."""
+    carry = carry or []
     doubled = raw.select(
         "doc_id",
+        *carry,
         F.concat(
             F.array(*[F.col(f"r{i}") for i in range(NUM_PERM)]),
             F.array(*[F.col(f"r{i}") for i in range(NUM_PERM)]),
@@ -477,6 +488,7 @@ def _oph_signatures_hashed(index_h: DataFrame) -> DataFrame:
     )
     return doubled.select(
         "doc_id",
+        *carry,
         *[
             F.element_at(
                 F.filter(F.slice("rr", i + 1, NUM_PERM), lambda x: x.isNotNull()), 1
@@ -484,6 +496,40 @@ def _oph_signatures_hashed(index_h: DataFrame) -> DataFrame:
             for i in range(NUM_PERM)
         ],
     )
+
+
+def _oph_payload(index_h: DataFrame) -> DataFrame:
+    """ONE two-level aggregation producing the funnel payload (doc_id,
+    hsh, sz, m0..m127) with OPH signatures — the r11 restructure of
+    minhash_lsh_dedup_oph's payload build (guide §1.2 and ADVICE r10):
+    the r10 shape PERSISTED the Θ(shingle-mass) (doc_id, h64) stream and
+    ran two separate aggregations over it (the OPH two-level min and a
+    collect_set pass) joined back together — a corpus-sized cache
+    (~16 B/char) plus an extra full pass plus a per-doc join. Here
+    stage 1's groupBy(doc_id, bin) computes min(v) AND collect_set(h64)
+    together; because bin = pmod(h64, NUM_PERM) is a FUNCTION of h64,
+    equal hashes land in one bin and distinct hashes never collide
+    across bins, so the per-bin distinct sets are disjoint and stage 2's
+    flatten(collect_list(hs)) IS the per-doc distinct hash set — no
+    array_distinct, no join, no shingle-mass persist anywhere."""
+    partial = (
+        index_h.select(
+            "doc_id",
+            F.pmod(F.col("h64"), F.lit(NUM_PERM)).alias("bin"),
+            F.shiftrightunsigned(F.col("h64"), 7).alias("v"),
+            "h64",
+        )
+        .groupBy("doc_id", "bin")
+        .agg(F.min("v").alias("mv"), F.collect_set("h64").alias("hs"))
+    )
+    raw = partial.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("bin") == i, F.col("mv"))).alias(f"r{i}")
+            for i in range(NUM_PERM)
+        ],
+        F.flatten(F.collect_list("hs")).alias("hsh"),
+    )
+    return _oph_densify(raw, carry=["hsh"]).withColumn("sz", F.size("hsh"))
 
 
 def minhash_lsh_dedup_oph(
@@ -496,22 +542,15 @@ def minhash_lsh_dedup_oph(
     NUM_PERM multiply-mods; see oph_signatures). Output contract is
     unchanged: equals ngram_jaccard_pairs at the same threshold.
 
-    r10 physical shape: ONE codegen shingle-hash stream, persisted,
-    feeds both the OPH two-level aggregation and the verify-array
-    collect_set; the two 5k-row per-doc frames join into the funnel's
-    single payload."""
-    from pyspark.storagelevel import StorageLevel
-
-    index_h = _hashed_shingle_stream(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    r11 physical shape: ONE codegen shingle-hash stream feeds ONE
+    two-level payload aggregation (:func:`_oph_payload`) computing the
+    OPH bin mins AND the verify hash set in the same stage-1 groupBy —
+    no shingle-mass persist, no extra pass, no per-doc join (the r10
+    shape carried all three; ADVICE r10 flagged the Θ(shingle-mass)
+    cache)."""
+    return _payload_funnel(
+        _oph_payload(_hashed_shingle_stream(df, id_col, text_col, n)), threshold
     )
-    sigs = _oph_signatures_hashed(index_h)
-    hashed = (
-        index_h.groupBy("doc_id")
-        .agg(F.collect_set("h64").alias("hsh"))
-        .withColumn("sz", F.size("hsh"))
-    )
-    return _payload_funnel(sigs.join(hashed, "doc_id"), threshold)
 
 
 def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -1726,6 +1765,15 @@ def paragraph_neardup_dedup(
         .alias("wid"),
     )
     wdocs = paras.select(F.col("wid").alias("doc_id"), F.col("_pt").alias("text"))
+    # r11 negative result (VERDICT r10 task 4 proposed routing this
+    # funnel through OPH signatures): MEASURED SLOWER at window grain —
+    # d18 25.0 s -> 29.2 s at sf0.1 (min-of-2, same box/protocol) with
+    # the restructured _oph_payload, vs d3d's 22.7 -> 17.5 s gain on
+    # doc grain. At window grain the per-group state is small (~150
+    # chars/window), so _sig_payload's ONE combined groupBy beats OPH's
+    # two aggregation levels: the extra (wid, bin)-grain shuffle +
+    # ObjectHashAggregate outweighs replacing 128 multiply-mods/shingle
+    # with one hash. Kept on the single-pass exact funnel.
     pairs = minhash_lsh_dedup(wdocs, threshold=threshold, n=n)
     labels = neardup_clusters_star(wdocs, pairs).select(
         F.col("doc_id").alias("wid"), "cluster_id"

@@ -45,6 +45,24 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def fan_out_narrow(df: DataFrame, width: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism guard for heavy per-row map stages
+    (shingle/token explodes, per-char folds, per-vector scans) that run
+    BEFORE their first shuffle: when the input arrives in fewer
+    partitions than the machine's parallelism (a single small parquet
+    file is one input split — guide §2.5 input skew in its degenerate
+    form; a 2-file micro-batch is two), round-robin repartition it up.
+    When the input is already at least that wide — any real 100 TB scan
+    — this is a NO-OP: no exchange is added, so it is scale-adaptive,
+    not a local-mode constant. Row-set semantics are unchanged (round
+    robin; sortBeforeRepartition keeps retries deterministic)."""
+    spark = df.sparkSession
+    width = width or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
 def salted(df: DataFrame, salt_n: int, salt_col: str = "_salt") -> DataFrame:
     """Add a deterministic salt in [0, salt_n) derived from a stable row
     hash — reproducible (no rand()) and uniform."""

@@ -259,9 +259,16 @@ def checkpointed_parts(new: DataFrame, threshold: float = 0.5, n: int = 5) -> tu
     stage — runs exactly ONCE per batch where the r09 shape ran it twice
     (signatures + hashed arrays separately); buckets is a cheap
     row-local hash over the checkpointed rows."""
+    from kafka_streaming_polymarket_pipeline_spark.operators.scale import fan_out_narrow
+
     rows, _, _ = D._lsh_params(threshold)
+    # A micro-batch arrives in maxFilesPerTrigger-many input splits, so
+    # the payload aggregation — the expensive per-batch map stage — ran
+    # on that many cores regardless of machine width (measured r11:
+    # 2.3 s/batch on 2 of 32 cores). Widen narrow batches first; a wide
+    # batch passes through untouched (scale-adaptive, guide §2.5).
     payload = D._sig_payload(
-        D._hashed_shingle_stream(new, "doc_id", "text", n)
+        D._hashed_shingle_stream(fan_out_narrow(new), "doc_id", "text", n)
     ).localCheckpoint(eager=True)
     sigs = payload.select("doc_id", *[f"m{i}" for i in range(D.NUM_PERM)])
     buckets = D._band_buckets(payload, rows)
@@ -362,19 +369,40 @@ def incremental_dedup_sink(
     """Standing job: per micro-batch, emit near-dup pairs touching the
     batch (probing the persistent index), then extend the index. Pairs
     land under batch=<id> dirs (overwrite -> idempotent on retry)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from kafka_streaming_polymarket_pipeline_spark.sources.sinks import foreach_batch_sink
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)
+        # No batch-level localCheckpoint (r11): the batch frame is
+        # scanned exactly once — by checkpointed_parts' payload
+        # aggregation — so materializing it first was a pure extra job
+        # per micro-batch (write_index_batch and the probe consume only
+        # ``parts``).
         parts = checkpointed_parts(batch, threshold, n)
         pairs = incremental_pairs_against_index(
             batch, index_path, threshold, n, parts=parts
         )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_path, f"batch={batch_id}")
-        )
-        # reuse the probed frames: the signature map pass runs once/batch
-        write_index_batch(batch, index_path, batch_id, threshold, n, parts=parts)
+
+        def write_pairs() -> None:
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_path, f"batch={batch_id}")
+            )
+
+        def write_index() -> None:
+            # reuse the probed frames: the signature map pass runs once/batch
+            write_index_batch(batch, index_path, batch_id, threshold, n, parts=parts)
+
+        # The pairs write and the index extension are INDEPENDENT
+        # consumers of the checkpointed parts (both land under their own
+        # batch=<id> dir with per-dir overwrite, so retry idempotency is
+        # order-free) — submit them concurrently so the index writes
+        # back-fill executors left idle by the pairs job's tail
+        # (guide §2.6). Each future re-raises into foreachBatch on
+        # failure, keeping the stream's retry semantics.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(write_pairs), pool.submit(write_index)]:
+                fut.result()
 
     return foreach_batch_sink(docs_stream, process, checkpoint)
 

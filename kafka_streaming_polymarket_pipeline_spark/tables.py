@@ -35,6 +35,20 @@ TABLE_NAMES = (
 # Either way downstream code sees a plain TIMESTAMP column.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# Tables whose consumers do heavy PER-ROW map work before their first
+# shuffle (shingle/token explodes, per-char entropy folds, per-vector
+# distance scans). A small table lands as ONE parquet file = one 128 MB
+# input split = ONE task for that entire map stage regardless of core
+# count — guide §2.5's "input skew" in its degenerate form (measured
+# r11: the d3 payload aggregation ran 4.8 s on one core vs 0.84 s
+# repartitioned, with 31 cores idle). These scans are widened to the
+# machine's parallelism when they arrive narrower; a real 100 TB scan
+# arrives with thousands of splits and the guard is a NO-OP (no
+# exchange added — this is scale-adaptive, not a local-mode constant).
+# Relational tables stay as-is: their per-row work is cheap codegen
+# scans whose first shuffle arrives immediately.
+_FAN_OUT_TABLES = frozenset({"documents", "embeddings"})
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -48,6 +62,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif isinstance(df.schema[c].dataType, TimestampNTZType):
             df = df.withColumn(c, F.to_timestamp(c))
+    if name in _FAN_OUT_TABLES:
+        # Filters/column pruning push through Repartition, so scan
+        # pruning is unaffected; no query depends on row placement.
+        from kafka_streaming_polymarket_pipeline_spark.operators.scale import fan_out_narrow
+
+        df = fan_out_narrow(df)
     return df
 
 

@@ -398,11 +398,12 @@ def _payload_funnel(
     """The shared band -> band-count -> merged est+verify funnel over a
     prepared (doc_id, hsh, sz, m0..m{NUM_PERM-1}) payload frame.
 
-    The payload feeds three consumers (banding, est side a, est side b)
-    and is persisted: exchange reuse does NOT fire across the
-    differently-projected consumers (measured round 1; the r10
-    restructure shrinks what gets persisted to ONE frame where the old
-    funnel cached signatures AND hashed arrays separately)."""
+    The payload feeds FIVE consumers (banding, est sides a and b, and
+    both verify-side hsh/sz projections inside _est_verify — ADVICE r10
+    corrected the count) and is persisted: exchange reuse does NOT fire
+    across the differently-projected consumers (measured round 1; the
+    r10 restructure shrinks what gets persisted to ONE frame where the
+    old funnel cached signatures AND hashed arrays separately)."""
     from pyspark.storagelevel import StorageLevel
 
     rows, min_bands, est_cutoff = _lsh_params(threshold)
@@ -873,9 +874,13 @@ def neardup_clusters_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
 
-    if edges.isEmpty():
-        max_iter = 0  # empty graph: skip the loop, everyone is a singleton
-    for _ in range(max_iter):
+    # Empty graph: skip the loop outright — everyone is a singleton.
+    # A separate flag, NOT max_iter=0 (ADVICE r10): reusing max_iter as
+    # the sentinel made an explicit caller-passed max_iter=0 on a
+    # NON-empty graph silently return labels from the raw unconverged
+    # edge list instead of raising non-convergence.
+    skip_loop = edges.isEmpty()
+    for _ in range(0 if skip_loop else max_iter):
         # large-star
         n = nbrs(edges)
         m = closed_min(n)
@@ -905,7 +910,7 @@ def neardup_clusters_star(
         if changed == 0:
             break
     else:
-        if max_iter > 0:
+        if not skip_loop:
             raise RuntimeError(
                 f"neardup_clusters_star did not converge in {max_iter} rounds"
             )

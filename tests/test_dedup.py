@@ -206,6 +206,22 @@ def test_star_clusters_adversarial_chain(spark):
     assert got == expect
 
 
+def test_star_clusters_max_iter_zero_raises(spark):
+    # ADVICE r10: max_iter=0 on a NON-empty graph must raise
+    # non-convergence (r10's empty-graph sentinel reused max_iter and
+    # silently returned labels from the raw unconverged edge list).
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1)], "doc_id_a long, doc_id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_clusters_star(docs, pairs, max_iter=0)
+    # ... while an empty graph still short-circuits to all-singletons.
+    empty = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters_star(docs, empty, max_iter=0).collect()}
+    assert got == {i: i for i in range(4)}
+
+
 def test_star_clusters_match_propagation(planted):
     pairs = D.ngram_jaccard_pairs(planted, threshold=0.5)
     star = {r["doc_id"]: r["cluster_id"] for r in D.neardup_clusters_star(planted, pairs).collect()}

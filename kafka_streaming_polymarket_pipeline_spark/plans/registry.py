@@ -67,7 +67,27 @@ _REGISTRY: dict[str, Query] = {}
 # when a twin's re-audit comes due the pair enters together (adjacent),
 # accepting that round's one expected rows-only row.
 #
-# ---- r10 gate prefix (exactly 50 entries) ----
+# ---- r11 gate prefix (exactly 50 entries) ----
+# Rotation rule order (r05 verdict task 4; invariant above). Rule 2
+# (changed code) dominates this round — the r11 optimization session
+# restructured operators that flow through most of the prefix:
+# Block 1 (16): queries whose OPERATOR code changed in r11 — the
+# char-entropy single-aggregate rewrite (t17, t20, t21, t22 and the x9
+# DSIR family whose target label it computes), the packer token-frame
+# persist (pk1, pk2, and the three e2e compositions that end in it,
+# including the e2e_g/e2e_r sf0.1-tail fix), the OPH one-pass payload
+# (d3d), and the star-CC empty-graph flag (d6b, d18). Each was
+# driver_sim-verified at sf0.001+sf0.01 when the change landed.
+# Block 2 (34): the r10 rotation misses VERDICT r10 task 9 scheduled by
+# name (j10, d12, d14, d3c, d3d, t21, t22 — builder-only verification
+# last round), then the heaviest consumers of the r11 scan fan-out
+# (tables.load now widens single-split documents/embeddings scans),
+# which re-plans every text/vector query: the d-tier funnel family,
+# t7/c1/d8/b1/v5, containment pairs, and the ANN/quantization heads.
+# No rows-only row is due (a13/m4 stay out of prefix): the r11 target
+# is 50/50 fully hash-green.
+#
+# ---- r10 gate prefix (history; the 50 entries the r10 driver ran) ----
 # Rotation rule order (r05 verdict task 4; invariant above):
 # Block 1 (9, never-audited): the four round-9 post-prefix additions
 # the r09 verdict scheduled by name to LEAD (v5_unigram_doc_ppl,
@@ -134,24 +154,62 @@ _REGISTRY: dict[str, Query] = {}
 # rows-only twins (m4, a13) are pinned ADJACENT to their hash-gated
 # gates (m4b, a13b) wherever the gate lands, per the module docstring.
 _DRIVER_PRIORITY: list[str] = [
-    # -- Block 1: never-audited (r09 post-prefix + r10 additions) --
-    "v5_unigram_doc_ppl",
-    "x11_ccnet_ppl_buckets",
+    "t17_char_entropy",
+    "t20_quality_lr_train",
+    "t21_quality_lr_eval",
+    "t22_quality_lr_calibration",
+    "pk1_pack_assignments",
+    "pk2_sequence_fill",
+    "e2e_corpus_build_p",
+    "e2e_corpus_build_g",
+    "e2e_corpus_build_r",
+    "d3d_minhash_lsh_oph",
+    "d6b_neardup_clusters_star",
     "d18_paragraph_neardup",
-    "e2e_corpus_build_v",
+    "x9_dsir_resample",
     "x9a_dsir_model_gate",
     "x9b_dsir_keys",
     "x9c_dsir_lang_target",
+    "j10_interval_overlap_join",
+    "d12_prefix_jaccard_join",
+    "d14_neardup_auto",
+    "d3c_minhash_lsh_dfpruned",
+    "d3_minhash_lsh",
+    "d13_keep_longest_per_cluster",
     "d12c_prefix_jaccard_dfpruned",
+    "d17_paragraph_dedup",
+    "d19_boilerplate_scrub",
+    "t7_winnow_fingerprints",
+    "c1_kmeans_assign",
+    "d8_semantic_dedup",
+    "b1_bm25_topk",
+    "v5_unigram_doc_ppl",
+    "d2_ngram_jaccard",
+    "d1_exact_dedup",
+    "d15_containment_pairs",
+    "d16_cross_containment",
+    "q2_pq_adc_topk",
+    "q3_ivf_pq_topk",
+    "s1_ann_bruteforce_topk",
+    "s2_ann_ivf_topk",
+    "s3_ann_lsh_topk",
+    "q4_binary_hamming_topk",
+    "q1_embedding_quantize",
+    "t1_token_stats",
+    "t12_bigram_lm_score",
+    "t14_span_scrub",
+    "t16_quality_classifier",
+    "d4_simhash",
+    "d5_embedding_neardup",
+    "d5b_embedding_neardup_blocked",
+    "d10_semantic_decontam",
+    "d6_neardup_clusters",
+    "x11_ccnet_ppl_buckets",
+    "e2e_corpus_build_v",
     "x11b_ccnet_buckets_approx",
-    "e2e_corpus_build_g",
-    # -- Block 2: changed code (r09 HUGEINT hash-FAILs, oracles fixed) --
-    "x9_dsir_resample",
     "e2e_corpus_build_d",
-    # -- Block 3: stalest official rows, oldest first --
     "regional_revenue",
     "order_priority_check",
-    "d13_keep_longest_per_cluster",
     "d8b_semantic_dedup_kscaled",
     "d8c_semantic_dedup_signcells",
     "u11_full_outer_reconcile",
@@ -160,19 +218,9 @@ _DRIVER_PRIORITY: list[str] = [
     "a24c_ewma_timeaware",
     "w8_cumulative_distinct",
     "a30_kmv_source_overlap",
-    "pk1_pack_assignments",
-    "pk2_sequence_fill",
     "sh1_shard_assignment",
     "v1_bpe_learn_vocab",
     "v2_bpe_tokenize_corpus",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "d5_embedding_neardup",
-    "d5b_embedding_neardup_blocked",
-    "d6_neardup_clusters",
-    "d6b_neardup_clusters_star",
     "d7_incremental_neardup",
     "t11_tfidf_top_terms",
     "e2e_corpus_build_t",
@@ -182,10 +230,7 @@ _DRIVER_PRIORITY: list[str] = [
     "e2e_corpus_build",
     "r2_min_cost_supplier",
     "r13_cust_order_counts",
-    "q1_embedding_quantize",
-    "q2_pq_adc_topk",
     "q2_recall",
-    "q3_ivf_pq_topk",
     "q3_recall",
     "a4_ratio_guarded",
     "a5_topk_per_group",
@@ -210,25 +255,21 @@ _DRIVER_PRIORITY: list[str] = [
     "a13b_approx_distinct_gate",
     "k1_salted_agg",
     "a14_approx_percentile_gate",
-    "t1_token_stats",
     "t2_lang_id",
     "t3_quality_score",
     "t4_fingerprint",
     "t5_top_tokens",
     "m1_binary_metadata",
     "t6_bpe_token_count",
-    "t7_winnow_fingerprints",
     "t8_decontamination",
     "t9_pii_redaction",
     "t10_repetition_stats",
     "m2_image_decode_features",
-    "t12_bigram_lm_score",
     "t13_boilerplate_coverage",
     "j6_asof_join",
     "j7_band_join",
     "j8_asof_forward_join",
     "j9_asof_nearest_join",
-    "j10_interval_overlap_join",
     "c3_triangle_count",
     "a23_mad_outliers",
     "a24_ewma_per_user",
@@ -241,20 +282,15 @@ _DRIVER_PRIORITY: list[str] = [
     "r19_disjunctive_join",
     "r22_idle_balances",
     "u6_pivot_status",
-    "t16_quality_classifier",
     "x7_group_split",
     "x8_weighted_sample",
-    "t17_char_entropy",
-    "q4_binary_hamming_topk",
     "q4_recall",
     "u7_intersect_users",
     "a31_psi_drift",
     "a32_ks_two_sample",
     "a33_wasserstein_drift",
-    "d14_neardup_auto",
     "t18_exact_substr_spans",
     "t19_exact_substr_scrub",
-    "t20_quality_lr_train",
     "u8_except_all_pairs",
     "w4_trailing_range_window",
     "a18_funnel_stages",
@@ -268,23 +304,16 @@ _DRIVER_PRIORITY: list[str] = [
     "a22_type_trend_corr",
     "m4_video_decode",
     "m4b_video_decode_gate",
-    "t14_span_scrub",
     "sh2_epoch_shuffle",
-    "d3c_minhash_lsh_dfpruned",
-    "c1_kmeans_assign",
-    "d8_semantic_dedup",
     "x6_unimax_budget",
     "t15_passage_chunks",
     "d9_semantic_clusters",
-    "b1_bm25_topk",
-    "d10_semantic_decontam",
     "r7_nation_trade",
     "r8_market_share",
     "a15_cms_heavy_hitters",
     "c2_pagerank",
     "a16_bloom_decontam",
     "a17_portable_hll",
-    "d12_prefix_jaccard_join",
     "d11_editdist_pairs",
     "a27_markov_transitions",
     "a28_pair_lift",
@@ -298,9 +327,7 @@ _DRIVER_PRIORITY: list[str] = [
     "z1_zorder_layout",
     "k2_salted_join",
     "r12_priority_lines",
-    # -- r09-green rows (freshest; displaced to the back of the tail) --
     "x10_decontam_split",
-    "d15_containment_pairs",
     "c4_kcore",
     "c4b_kcore_dfpruned",
     "v3_unigram_estep",
@@ -309,10 +336,6 @@ _DRIVER_PRIORITY: list[str] = [
     "a34_sample_quantiles",
     "j11_asof_interpolate",
     "w9_resample_interpolate",
-    "t21_quality_lr_eval",
-    "d16_cross_containment",
-    "d17_paragraph_dedup",
-    "e2e_corpus_build_p",
     "r14_promo_share",
     "r18_large_orders",
     "a1_array_sum",
@@ -332,9 +355,6 @@ _DRIVER_PRIORITY: list[str] = [
     "j3_left_label_join",
     "j4_lag_deltas",
     "j5_latest_scalar",
-    "s1_ann_bruteforce_topk",
-    "s2_ann_ivf_topk",
-    "s3_ann_lsh_topk",
     "s2_recall",
     "s3_recall",
     "g1_momentum_volatility",

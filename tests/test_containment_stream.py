@@ -6,6 +6,8 @@ when the container arrived first)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -88,6 +90,7 @@ def test_probe_cost_is_per_batch_not_per_corpus(spark, tmp_path):
     assert post2.count() == 5  # its own 5 distinct tokens, nothing else
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_restart_from_checkpoint_resumes_against_index(spark, tmp_path):
     """Stop the standing job after the first batches, add new files,
     resume the SAME checkpoint: the resumed batch probes the index built
@@ -188,6 +191,7 @@ LATE = [
 ]
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_needs_compaction_decision_arithmetic(spark, tmp_path):
     """The containment index's trigger counts TOTAL parquet files per
     flat table (every probe reads both tables whole), flips needed at
@@ -212,6 +216,7 @@ def test_needs_compaction_decision_arithmetic(spark, tmp_path):
     assert after["worst"] < before["worst"] and after["needed"] is False
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_compaction_between_micro_batches_leaves_emissions_identical(
     spark, tmp_path
 ):

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_streaming_polymarket_pipeline_spark.operators import dedup as D
@@ -112,6 +114,7 @@ def test_ingest_stream_equals_batch_and_rejects_never_indexed(spark, tmp_path):
     assert (0, 3) in b1_pairs and (1, 3) in b1_pairs
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_ingest_monitor_emits_per_batch_drift(spark, tmp_path):
     """The wired drift monitor: per micro-batch, one (n_events, psi,
     ks_stat, w1_distance) reading — the FULL drift triple from the one
@@ -192,6 +195,7 @@ def test_ingest_monitor_requires_binning_constants(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_ingest_stream_attaches_frozen_dsir_scores(spark, tmp_path):
     """With a frozen dsir_model table, every admitted doc lands with a
     score_micro equal to the BATCH dsir_score of the same docs under the
@@ -276,6 +280,7 @@ def test_ingest_rejects_partial_or_empty_dsir_model(spark, tmp_path):
             )
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_ingest_stream_attaches_frozen_lm_ppl(spark, tmp_path):
     """With a frozen unigram-LM model, every admitted doc lands with
     lm_ppl/lm_total_lp_micro equal to the BATCH unigram_score_with_model
@@ -372,6 +377,7 @@ def test_score_with_model_matches_v5_on_training_corpus(spark):
     assert v5 == frozen
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_ingest_scrub_stage_keeps_templates_out_of_the_index(spark, tmp_path):
     """scrub_boilerplate=True: a template paragraph shared across
     batches is scrubbed from its later arrival BEFORE the dedup probe,

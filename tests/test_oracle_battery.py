@@ -14,8 +14,19 @@ from tests.oracle import check_query
 
 ALL = sorted(plans.all_queries())
 
+# Oracle-side cost outliers at sf0.001 (the DuckDB recursive Viterbi /
+# doc-grain-closure CTEs, measured r11: 197 s + 122 s + 57 s of the
+# 723 s battery): marked slow so the default per-commit battery stays
+# bounded. They remain in the slow sf0.01 battery below, and both e2e
+# compositions lead the r11 driver-prefix rotation, so each still gets
+# an official hash row.
+_ORACLE_HOGS = {"e2e_corpus_build_v", "e2e_corpus_build_g", "v3b_unigram_em2"}
+SMOKE = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _ORACLE_HOGS else n for n in ALL
+]
 
-@pytest.mark.parametrize("name", ALL)
+
+@pytest.mark.parametrize("name", SMOKE)
 def test_query_matches_oracle_smoke(spark, sf_smoke, name):
     check_query(spark, name, sf_smoke)
 

@@ -149,12 +149,17 @@ def _plan(spark, sf, name):
 
 
 def test_x8_is_take_ordered_no_shuffle(spark, sf_smoke):
-    """The weighted draw must compile to TakeOrderedAndProject with ZERO
-    exchanges — per-partition heaps merged at the driver. Any regression
-    to a global sort or a row_number window would show up here."""
+    """The weighted draw must compile to TakeOrderedAndProject with no
+    DATA shuffle — per-partition heaps merged at the driver. Any
+    regression to a global sort or a row_number window would surface as
+    a range/hash exchange. (tables.load's r11 fan-out of narrow
+    documents scans adds a round-robin exchange below the heap — that
+    is input widening, not a sort, and is explicitly allowed.)"""
     p = _plan(spark, sf_smoke, "x8_weighted_sample")
     assert "TakeOrderedAndProject" in p
-    assert "Exchange" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Window" not in p
 
 
 def test_w5_scd2_reuses_one_sort(spark, sf_smoke):

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from datetime import timedelta
 
@@ -12,6 +14,7 @@ from tests import fixtures as fx
 from tests.test_streaming import _write_bronze_jsonl
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_bronze_parquet_sink_partitioned_by_date(spark, tmp_path):
     d = tmp_path / "in"
     _write_bronze_jsonl(d / "a.jsonl", fx.asset_prices(6), "asset-prices")

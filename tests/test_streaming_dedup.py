@@ -4,6 +4,8 @@ the batch ground truth over the full corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -114,6 +116,7 @@ def test_index_payload_reads_partition_prune(spark, tmp_path):
     assert 0 < len(want) < 200
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_bucket_count_pinned_in_meta_survives_constant_change(spark, tmp_path):
     """The bucket modulus is the DIRECTORY LAYOUT: an index created at
     one count and probed/extended by a process whose module constant
@@ -160,6 +163,7 @@ def test_bucket_count_pinned_in_meta_survives_constant_change(spark, tmp_path):
     finally:
         DS.N_DOC_BUCKETS = orig
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_legacy_index_without_meta_probes_unpruned(spark, tmp_path):
     """An index with batch dirs but no _meta.json predates the pinning
     scheme; its creation modulus is unknowable (empty buckets leave no
@@ -231,6 +235,7 @@ def test_retry_after_index_write_emits_no_self_pairs(spark, tmp_path):
     assert all(a != b for a, b, _ in retried)
     assert retried == original and original
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_compact_index_preserves_probes_and_shrinks_files(spark, tmp_path):
     """Offline compaction merges all batch dirs into one per table:
     probe results are identical before/after, parquet file counts
@@ -302,6 +307,7 @@ def test_compact_index_preserves_probes_and_shrinks_files(spark, tmp_path):
     assert any(20 in (a, b) for a, b, _ in got)
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_compact_index_recovers_from_crash_states(spark, tmp_path):
     """Staged-protocol recovery: an incomplete staging dir (no _SUCCESS)
     is discarded and compaction redone from the intact originals; a
@@ -349,6 +355,7 @@ def test_compact_index_recovers_from_crash_states(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_compact_index_recovers_partial_deletion_without_data_loss(spark, tmp_path):
     """The nastiest crash window: staging complete (_SUCCESS), crash
     after SOME originals were deleted but not all. The survivors'
@@ -397,6 +404,7 @@ def test_compact_index_recovers_partial_deletion_without_data_loss(spark, tmp_pa
     assert got == want  # batches 0 and 2's rows survived the crash
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_flat_legacy_table_stays_flat_and_probes_keep_working(spark, tmp_path):
     """A pre-kbucket index (flat batch dirs) must keep accepting new
     batches WITHOUT inventing the __kbucket level — mixed partition
@@ -445,6 +453,7 @@ def test_flat_legacy_table_stays_flat_and_probes_keep_working(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_compacted_dir_is_batch_zero_never_a_retryable_id(spark, tmp_path):
     """The merged dir must land as batch=0, NOT the highest existing id:
     the highest id is exactly the batch a foreachBatch retry replays if
@@ -472,6 +481,7 @@ def test_compacted_dir_is_batch_zero_never_a_retryable_id(spark, tmp_path):
     assert hashed.select("doc_id").distinct().count() == 6
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_needs_compaction_decision_arithmetic(spark, tmp_path):
     """The trigger policy reports the worst per-probe-unit file count
     (max files per kbucket for payload tables, total files for the flat
@@ -504,6 +514,7 @@ def test_needs_compaction_decision_arithmetic(spark, tmp_path):
     assert after["needed"] is False
 
 
+@pytest.mark.slow  # maintenance/soak-grade runtime; deselected from the bounded default gate (pytest.ini)
 def test_compaction_between_micro_batches_leaves_emissions_identical(spark, tmp_path):
     """VERDICT r07 task 5: stop the standing job after its first batches,
     compact the index, resume the SAME checkpoint with new files — the
